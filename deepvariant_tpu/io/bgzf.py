@@ -1,0 +1,262 @@
+"""BGZF (blocked gzip) reader/writer in pure Python on top of zlib.
+
+BGZF is the container for BAM/.vcf.gz/.fa.gz(+.gzi): a series of gzip members,
+each <= 64KiB uncompressed, each carrying a BC extra subfield with the
+compressed block size, terminated by a fixed 28-byte EOF member. Virtual file
+offsets pack (compressed_block_offset << 16 | within_block_offset), which is
+how BAI/tabix indexes address records.
+
+The reference gets this from htslib; this is a from-scratch implementation of
+the public format (SAM spec section 4.1). A C++ fast path can replace the
+decompression loop later without changing callers.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+from typing import BinaryIO, Iterator, Optional, Tuple
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+MAX_BLOCK_UNCOMPRESSED = 65280
+
+
+def _parse_block_header(header: bytes) -> int:
+    """Return BSIZE (total compressed block length) from an 18+ byte header."""
+    if header[:2] != b"\x1f\x8b":
+        raise ValueError("not a gzip block")
+    xlen = struct.unpack_from("<H", header, 10)[0]
+    # Scan extra subfields for BC.
+    pos = 12
+    end = 12 + xlen
+    while pos + 4 <= end:
+        si1, si2, slen = header[pos], header[pos + 1], struct.unpack_from(
+            "<H", header, pos + 2
+        )[0]
+        if si1 == 66 and si2 == 67 and slen == 2:  # 'B','C'
+            bsize = struct.unpack_from("<H", header, pos + 4)[0]
+            return bsize + 1
+        pos += 4 + slen
+    raise ValueError("gzip block without BGZF BC subfield")
+
+
+class BgzfReader:
+    """Random-access BGZF reader with virtual-offset seeks.
+
+    Maintains a one-block cache; sequential `read` crosses blocks.
+    """
+
+    def __init__(self, path_or_file):
+        if isinstance(path_or_file, (str, bytes)):
+            self._fh: BinaryIO = open(path_or_file, "rb")
+            self._owns = True
+        else:
+            self._fh = path_or_file
+            self._owns = False
+        self._block_coffset = -1
+        self._block_data = b""
+        self._within = 0
+        self._next_coffset = 0
+        self._load_block(0)
+
+    def close(self):
+        if self._owns:
+            self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- block management ------------------------------------------------------
+
+    def _load_block(self, coffset: int) -> bool:
+        """Load the block at compressed offset; returns False at EOF."""
+        if coffset == self._block_coffset:
+            return True
+        self._fh.seek(coffset)
+        header = self._fh.read(18)
+        if len(header) == 0:
+            self._block_coffset = coffset
+            self._block_data = b""
+            self._next_coffset = coffset
+            return False
+        if len(header) < 18:
+            raise ValueError("truncated BGZF block header")
+        bsize = _parse_block_header(header)
+        rest = self._fh.read(bsize - 18)
+        comp = header + rest
+        # Strip gzip wrapper: wbits=-15 raw deflate after the header;
+        # the 18-byte fixed header is standard for BGZF blocks.
+        data = zlib.decompress(comp[18:-8], wbits=-15)
+        self._block_coffset = coffset
+        self._block_data = data
+        self._next_coffset = coffset + bsize
+        self._within = 0
+        return len(data) > 0 or bsize > 28
+
+    # -- virtual offsets -------------------------------------------------------
+
+    @property
+    def virtual_offset(self) -> int:
+        return (self._block_coffset << 16) | self._within
+
+    def seek_virtual(self, voffset: int):
+        coffset = voffset >> 16
+        within = voffset & 0xFFFF
+        self._load_block(coffset)
+        self._within = within
+
+    # -- reading ---------------------------------------------------------------
+
+    def read(self, n: int) -> bytes:
+        out = []
+        need = n
+        while need > 0:
+            avail = len(self._block_data) - self._within
+            if avail <= 0:
+                if not self._load_block(self._next_coffset) and not self._block_data:
+                    break
+                if not self._block_data:
+                    # Empty block (possibly EOF marker); try next.
+                    prev = self._block_coffset
+                    if not self._load_block(self._next_coffset):
+                        break
+                    if self._block_coffset == prev:
+                        break
+                continue
+            take = min(avail, need)
+            out.append(self._block_data[self._within : self._within + take])
+            self._within += take
+            need -= take
+        return b"".join(out)
+
+    def read_exact(self, n: int) -> bytes:
+        data = self.read(n)
+        if len(data) != n:
+            raise EOFError(f"wanted {n} bytes, got {len(data)}")
+        return data
+
+    def read_all(self) -> bytes:
+        chunks = []
+        while True:
+            chunk = self.read(1 << 20)
+            if not chunk:
+                break
+            chunks.append(chunk)
+        return b"".join(chunks)
+
+    def at_eof(self) -> bool:
+        if self._within < len(self._block_data):
+            return False
+        # Peek at next block.
+        pos = self._next_coffset
+        self._fh.seek(pos)
+        probe = self._fh.read(1)
+        if not probe:
+            return True
+        # There is more compressed data; check it decompresses to something.
+        cur = (self._block_coffset, self._within)
+        had = self._load_block(pos)
+        if not had and not self._block_data:
+            return True
+        if len(self._block_data) == 0:
+            return self.at_eof()
+        self._within = 0
+        return False
+
+
+def decompress_all(path: str) -> bytes:
+    """Decompress an entire BGZF (or plain gzip) file."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    out = []
+    pos = 0
+    d = zlib.decompressobj(wbits=47)  # auto-detect gzip members
+    while pos < len(raw):
+        out.append(d.decompress(raw[pos:]))
+        pos = len(raw) - len(d.unused_data)
+        if d.eof and pos < len(raw):
+            d = zlib.decompressobj(wbits=47)
+        elif d.eof:
+            break
+        else:
+            break
+    return b"".join(out)
+
+
+class BgzfWriter:
+    """Writes BGZF blocks (with BC subfield) and the EOF marker on close."""
+
+    def __init__(self, path_or_file, compresslevel: int = 6):
+        if isinstance(path_or_file, (str, bytes)):
+            self._fh: BinaryIO = open(path_or_file, "wb")
+            self._owns = True
+        else:
+            self._fh = path_or_file
+            self._owns = False
+        self._buf = bytearray()
+        self._level = compresslevel
+        self._closed = False
+
+    def write(self, data: bytes):
+        self._buf.extend(data)
+        while len(self._buf) >= MAX_BLOCK_UNCOMPRESSED:
+            self._flush_block(
+                bytes(self._buf[:MAX_BLOCK_UNCOMPRESSED])
+            )
+            del self._buf[:MAX_BLOCK_UNCOMPRESSED]
+
+    def _flush_block(self, data: bytes):
+        co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
+        comp = co.compress(data) + co.flush()
+        bsize = len(comp) + 18 + 8
+        if bsize > 65536:
+            raise ValueError("BGZF block too large after compression")
+        header = (
+            b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+            + struct.pack("<H", 6)  # XLEN
+            + b"BC"
+            + struct.pack("<H", 2)
+            + struct.pack("<H", bsize - 1)
+        )
+        footer = struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data))
+        self._fh.write(header + comp + footer)
+
+    def flush(self):
+        if self._buf:
+            self._flush_block(bytes(self._buf))
+            self._buf.clear()
+        self._fh.flush()
+
+    def close(self):
+        if self._closed:
+            return
+        self.flush()
+        self._fh.write(BGZF_EOF)
+        self._fh.flush()
+        if self._owns:
+            self._fh.close()
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def is_bgzf(path: str) -> bool:
+    with open(path, "rb") as f:
+        header = f.read(18)
+    if len(header) < 18 or header[:2] != b"\x1f\x8b":
+        return False
+    try:
+        _parse_block_header(header)
+        return True
+    except ValueError:
+        return False

@@ -1,0 +1,165 @@
+"""Indexed FASTA reading (faidx), including bgzipped FASTA.
+
+Equivalent of nucleus's IndexedFastaReader / InMemoryFastaReader
+(third_party/nucleus/io/reference.h:174,333). Bases are returned uppercased
+as numpy uint8 ASCII arrays — the natural form for vectorized allele counting
+and pileup encoding.
+
+For bgzipped FASTA we decompress the whole file once into memory (a 3 Gbp
+genome is ~3 GB — fine on TPU hosts, and it makes every query an O(1) slice);
+the .gzi index is therefore not needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from deepvariant_tpu.core.types import ContigInfo, Range
+from deepvariant_tpu.io import bgzf
+
+
+@dataclasses.dataclass
+class FaidxRecord:
+    name: str
+    length: int
+    offset: int
+    line_bases: int
+    line_width: int
+
+
+def read_fai(path: str) -> List[FaidxRecord]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 5:
+                continue
+            out.append(
+                FaidxRecord(
+                    parts[0], int(parts[1]), int(parts[2]), int(parts[3]),
+                    int(parts[4]),
+                )
+            )
+    return out
+
+
+class FastaReader:
+    """Random-access reference reader; contigs held as uint8 arrays."""
+
+    def __init__(self, path: str, fai_path: Optional[str] = None):
+        self._path = path
+        fai_path = fai_path or path + ".fai"
+        self._records = read_fai(fai_path)
+        if path.endswith(".gz") or bgzf.is_bgzf(path):
+            data = bgzf.decompress_all(path)
+        else:
+            with open(path, "rb") as f:
+                data = f.read()
+        raw = np.frombuffer(data, np.uint8)
+        self._contigs: Dict[str, np.ndarray] = {}
+        upper = _UPPER_LUT
+        for rec in self._records:
+            n_lines = (rec.length + rec.line_bases - 1) // rec.line_bases
+            span = raw[
+                rec.offset : rec.offset
+                + rec.length
+                + n_lines * (rec.line_width - rec.line_bases)
+            ]
+            mat_len = n_lines * rec.line_width
+            padded = np.full(mat_len, ord("\n"), np.uint8)
+            padded[: len(span)] = span[:mat_len]
+            mat = padded.reshape(n_lines, rec.line_width)
+            bases = mat[:, : rec.line_bases].reshape(-1)[: rec.length]
+            self._contigs[rec.name] = upper[bases]
+
+    @property
+    def contigs(self) -> List[ContigInfo]:
+        return [
+            ContigInfo(r.name, r.length, i)
+            for i, r in enumerate(self._records)
+        ]
+
+    def contig_names(self) -> List[str]:
+        return [r.name for r in self._records]
+
+    def has_contig(self, name: str) -> bool:
+        return name in self._contigs
+
+    def contig_length(self, name: str) -> int:
+        for r in self._records:
+            if r.name == name:
+                return r.length
+        raise KeyError(name)
+
+    def bases(self, region: Range) -> np.ndarray:
+        """Uppercased ASCII bases for region as uint8[len(region)]."""
+        arr = self._contigs[region.reference_name]
+        start = max(0, region.start)
+        end = min(len(arr), region.end)
+        return arr[start:end]
+
+    def query(self, region: Range) -> str:
+        return self.bases(region).tobytes().decode()
+
+    def is_valid(self, region: Range) -> bool:
+        arr = self._contigs.get(region.reference_name)
+        return (
+            arr is not None
+            and 0 <= region.start < region.end <= len(arr)
+        )
+
+
+class InMemoryFasta:
+    """Reference built from literal sequences (tests; reference.h:333)."""
+
+    def __init__(self, contigs: Dict[str, str], starts: Optional[Dict[str, int]] = None):
+        # `starts` allows contig fragments anchored at an offset (like
+        # InMemoryFastaReader's RefFastaSeq start).
+        self._starts = dict(starts or {})
+        self._contigs = {
+            name: np.frombuffer(seq.upper().encode(), np.uint8)
+            for name, seq in contigs.items()
+        }
+
+    @property
+    def contigs(self) -> List[ContigInfo]:
+        return [
+            ContigInfo(name, self._starts.get(name, 0) + len(arr), i)
+            for i, (name, arr) in enumerate(self._contigs.items())
+        ]
+
+    def contig_names(self) -> List[str]:
+        return list(self._contigs)
+
+    def has_contig(self, name: str) -> bool:
+        return name in self._contigs
+
+    def contig_length(self, name: str) -> int:
+        return self._starts.get(name, 0) + len(self._contigs[name])
+
+    def bases(self, region: Range) -> np.ndarray:
+        arr = self._contigs[region.reference_name]
+        off = self._starts.get(region.reference_name, 0)
+        start = max(0, region.start - off)
+        end = max(start, region.end - off)
+        return arr[start : min(end, len(arr))]
+
+    def query(self, region: Range) -> str:
+        return self.bases(region).tobytes().decode()
+
+    def is_valid(self, region: Range) -> bool:
+        if region.reference_name not in self._contigs:
+            return False
+        off = self._starts.get(region.reference_name, 0)
+        return (
+            off <= region.start < region.end
+            <= off + len(self._contigs[region.reference_name])
+        )
+
+
+_UPPER_LUT = np.arange(256, dtype=np.uint8)
+for _c in range(ord("a"), ord("z") + 1):
+    _UPPER_LUT[_c] = _c - 32

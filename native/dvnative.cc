@@ -1,0 +1,283 @@
+// dvnative: host-side native kernels for deepvariant_tpu.
+//
+// This library holds the CPU hot loops that sit outside the JAX/TPU compute
+// path: CRC32C for TFRecord framing, BGZF block inflation, and BAM record
+// decoding into columnar arrays. Exposed through a plain C ABI and bound via
+// ctypes (deepvariant_tpu/io/native.py) — no pybind dependency.
+//
+// Role parity: replaces what the reference gets from htslib + nucleus C++
+// (sam_reader.cc, tfrecord_writer.h); the design differs — records decode
+// straight into structure-of-arrays buffers supplied by the caller.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CRC32C (Castagnoli). Uses SSE4.2 hardware instruction when available.
+// ---------------------------------------------------------------------------
+
+#if defined(__x86_64__)
+__attribute__((target("sse4.2")))
+static uint32_t crc32c_hw(const uint8_t* data, uint64_t n, uint32_t crc) {
+  uint64_t c = crc ^ 0xFFFFFFFFu;
+  while (n >= 8) {
+    uint64_t word;
+    std::memcpy(&word, data, 8);
+    c = __builtin_ia32_crc32di(c, word);
+    data += 8;
+    n -= 8;
+  }
+  uint32_t c32 = static_cast<uint32_t>(c);
+  while (n > 0) {
+    c32 = __builtin_ia32_crc32qi(c32, *data);
+    ++data;
+    --n;
+  }
+  return c32 ^ 0xFFFFFFFFu;
+}
+#endif
+
+static uint32_t kCrcTable[256];
+static bool kCrcInit = false;
+
+static void crc_table_init() {
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t crc = i;
+    for (int k = 0; k < 8; ++k) {
+      crc = (crc >> 1) ^ ((crc & 1) ? 0x82F63B78u : 0);
+    }
+    kCrcTable[i] = crc;
+  }
+  kCrcInit = true;
+}
+
+static uint32_t crc32c_sw(const uint8_t* data, uint64_t n, uint32_t crc) {
+  if (!kCrcInit) crc_table_init();
+  uint32_t c = crc ^ 0xFFFFFFFFu;
+  for (uint64_t i = 0; i < n; ++i) {
+    c = (c >> 8) ^ kCrcTable[(c ^ data[i]) & 0xFF];
+  }
+  return c ^ 0xFFFFFFFFu;
+}
+
+uint32_t dv_crc32c(const uint8_t* data, uint64_t n, uint32_t crc) {
+#if defined(__x86_64__)
+  if (__builtin_cpu_supports("sse4.2")) {
+    return crc32c_hw(data, n, crc);
+  }
+#endif
+  return crc32c_sw(data, n, crc);
+}
+
+// ---------------------------------------------------------------------------
+// BGZF: inflate a whole BGZF file image into a caller-grown buffer.
+// Returns uncompressed size, or -1 on error. If out == nullptr, only sizes.
+// ---------------------------------------------------------------------------
+
+int64_t dv_bgzf_inflate_all(const uint8_t* src, int64_t src_len, uint8_t* out,
+                            int64_t out_cap) {
+  int64_t pos = 0;
+  int64_t written = 0;
+  while (pos + 18 <= src_len) {
+    if (src[pos] != 0x1f || src[pos + 1] != 0x8b) return -1;
+    uint16_t xlen;
+    std::memcpy(&xlen, src + pos + 10, 2);
+    // Find the BC subfield for the block size.
+    int64_t xpos = pos + 12;
+    int64_t xend = xpos + xlen;
+    int bsize = -1;
+    while (xpos + 4 <= xend) {
+      uint8_t si1 = src[xpos], si2 = src[xpos + 1];
+      uint16_t slen;
+      std::memcpy(&slen, src + xpos + 2, 2);
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        uint16_t bs;
+        std::memcpy(&bs, src + xpos + 4, 2);
+        bsize = bs + 1;
+        break;
+      }
+      xpos += 4 + slen;
+    }
+    if (bsize < 0 || pos + bsize > src_len) return -1;
+    uint32_t isize;
+    std::memcpy(&isize, src + pos + bsize - 4, 4);
+    if (out != nullptr) {
+      if (written + isize > out_cap) return -1;
+      if (isize > 0) {
+        z_stream zs;
+        std::memset(&zs, 0, sizeof(zs));
+        if (inflateInit2(&zs, -15) != Z_OK) return -1;
+        zs.next_in = const_cast<uint8_t*>(src + pos + 18);
+        zs.avail_in = bsize - 18 - 8;
+        zs.next_out = out + written;
+        zs.avail_out = isize;
+        int rc = inflate(&zs, Z_FINISH);
+        inflateEnd(&zs);
+        if (rc != Z_STREAM_END) return -1;
+      }
+    }
+    written += isize;
+    pos += bsize;
+  }
+  return written;
+}
+
+// ---------------------------------------------------------------------------
+// BAM record scan: decode records from an inflated BAM byte stream into
+// columnar output arrays. The caller passes the uncompressed bytes starting
+// at a record boundary plus capacity-bounded output arrays; we return the
+// number of records decoded and fill counts. Filtering happens here so
+// Python never touches rejected records.
+// ---------------------------------------------------------------------------
+
+struct DvBamFilter {
+  int32_t ref_id;           // -1 = accept all contigs
+  int64_t start;            // overlap window on ref_id
+  int64_t end;
+  int32_t min_mapq;
+  uint16_t flag_reject;     // records with any of these flags are dropped
+};
+
+// Output arrays sized by caller: n_max records, seq_cap bases, cigar_cap ops.
+// name bytes are written packed with offsets.
+struct DvBamOut {
+  uint16_t* flag;
+  int32_t* ref_id;
+  int64_t* pos;
+  uint8_t* mapq;
+  int32_t* mate_ref_id;
+  int64_t* mate_pos;
+  int32_t* tlen;
+  uint8_t* seq;          // ASCII
+  uint8_t* qual;
+  int64_t* seq_offsets;  // n+1
+  int8_t* cigar_ops;     // proto codes
+  int32_t* cigar_lens;
+  int64_t* cigar_offsets;  // n+1
+  uint8_t* names;        // packed, NUL separated
+  int64_t* name_offsets;  // n+1
+  int64_t* aux_offsets;   // n+1 (offsets into src for lazy aux parsing)
+  int64_t* aux_src_start;  // n (absolute src offset of aux blob)
+};
+
+static const char kSeqCode[17] = "=ACMGRSVTWYHKDBN";
+
+int64_t dv_bam_scan(const uint8_t* src, int64_t src_len, DvBamFilter filter,
+                    int64_t n_max, int64_t seq_cap, int64_t cigar_cap,
+                    int64_t name_cap, DvBamOut* o, int64_t* consumed) {
+  int64_t pos = 0;
+  int64_t n = 0;
+  int64_t seq_off = 0, cig_off = 0, name_off = 0;
+  o->seq_offsets[0] = 0;
+  o->cigar_offsets[0] = 0;
+  o->name_offsets[0] = 0;
+  while (pos + 4 <= src_len && n < n_max) {
+    int32_t block_size;
+    std::memcpy(&block_size, src + pos, 4);
+    if (pos + 4 + block_size > src_len) break;
+    const uint8_t* rec = src + pos + 4;
+    int32_t rid, rpos, next_rid, next_pos, tlen32, l_seq;
+    uint32_t lrn_mq_bin, flag_nc;
+    std::memcpy(&rid, rec, 4);
+    std::memcpy(&rpos, rec + 4, 4);
+    std::memcpy(&lrn_mq_bin, rec + 8, 4);
+    std::memcpy(&flag_nc, rec + 12, 4);
+    std::memcpy(&l_seq, rec + 16, 4);
+    std::memcpy(&next_rid, rec + 20, 4);
+    std::memcpy(&next_pos, rec + 24, 4);
+    std::memcpy(&tlen32, rec + 28, 4);
+    uint32_t l_read_name = lrn_mq_bin & 0xFF;
+    uint32_t mapq = (lrn_mq_bin >> 8) & 0xFF;
+    uint32_t n_cigar = flag_nc & 0xFFFF;
+    uint32_t flag = (flag_nc >> 16) & 0xFFFF;
+
+    pos += 4 + block_size;
+
+    if (filter.ref_id >= 0) {
+      if (rid != filter.ref_id) {
+        if (rid > filter.ref_id || rid < 0) { break; }
+        continue;
+      }
+      if (rpos >= filter.end) break;
+    }
+    if (flag & filter.flag_reject) continue;
+    if (static_cast<int32_t>(mapq) < filter.min_mapq) continue;
+
+    const uint8_t* p = rec + 32;
+    const uint8_t* name_p = p;
+    p += l_read_name;
+    const uint8_t* cigar_p = p;
+    p += 4 * n_cigar;
+
+    // Reference span for overlap check.
+    if (filter.ref_id >= 0 && n_cigar > 0) {
+      int64_t span = 0;
+      for (uint32_t k = 0; k < n_cigar; ++k) {
+        uint32_t unit;
+        std::memcpy(&unit, cigar_p + 4 * k, 4);
+        uint32_t op = unit & 0xF;
+        // BAM ops consuming ref: M(0) D(2) N(3) =(7) X(8)
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) {
+          span += unit >> 4;
+        }
+      }
+      if (rpos + span <= filter.start) continue;
+    }
+
+    // Capacity checks.
+    if (seq_off + l_seq > seq_cap || cig_off + n_cigar > cigar_cap ||
+        name_off + static_cast<int64_t>(l_read_name) > name_cap) {
+      pos -= 4 + block_size;  // rewind; caller regrows and resumes
+      break;
+    }
+
+    o->flag[n] = static_cast<uint16_t>(flag);
+    o->ref_id[n] = rid;
+    o->pos[n] = rpos;
+    o->mapq[n] = static_cast<uint8_t>(mapq);
+    o->mate_ref_id[n] = next_rid;
+    o->mate_pos[n] = next_pos;
+    o->tlen[n] = tlen32;
+
+    std::memcpy(o->names + name_off, name_p, l_read_name);
+    name_off += l_read_name;  // includes trailing NUL
+    o->name_offsets[n + 1] = name_off;
+
+    for (uint32_t k = 0; k < n_cigar; ++k) {
+      uint32_t unit;
+      std::memcpy(&unit, cigar_p + 4 * k, 4);
+      o->cigar_ops[cig_off + k] = static_cast<int8_t>((unit & 0xF) + 1);
+      o->cigar_lens[cig_off + k] = static_cast<int32_t>(unit >> 4);
+    }
+    cig_off += n_cigar;
+    o->cigar_offsets[n + 1] = cig_off;
+
+    const uint8_t* seq_p = p;
+    uint32_t nbytes = (l_seq + 1) / 2;
+    p += nbytes;
+    for (int32_t k = 0; k < l_seq; ++k) {
+      uint8_t b = seq_p[k >> 1];
+      o->seq[seq_off + k] =
+          kSeqCode[(k & 1) ? (b & 0xF) : (b >> 4)];
+    }
+    std::memcpy(o->qual + seq_off, p, l_seq);
+    p += l_seq;
+    seq_off += l_seq;
+    o->seq_offsets[n + 1] = seq_off;
+
+    // Aux blob location in src for lazy parse.
+    o->aux_src_start[n] = (p - src);
+    o->aux_offsets[n + 1] = (rec + block_size) - src;
+
+    ++n;
+  }
+  *consumed = pos;
+  return n;
+}
+
+}  // extern "C"

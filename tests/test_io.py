@@ -1,0 +1,249 @@
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from deepvariant_tpu.core.cigar import read_span_array, ref_span_array
+from deepvariant_tpu.core.types import Range
+from deepvariant_tpu.io import bgzf, examples, tfrecord
+from deepvariant_tpu.io.bam import BamReader, ReadBatch, ReadRequirements, parse_aux
+from deepvariant_tpu.io.fasta import FastaReader, InMemoryFasta
+
+
+BAM = "input/NA12878_S1.chr20.10_10p1mb.bam"
+FASTA = "input/hs37d5_chr20_1_1000000.fa.gz"
+GRCH38_FASTA = "input/grch38.chr20_and_21_10M.fa.gz"
+
+
+# ---------------------------------------------------------------------------
+# BGZF
+# ---------------------------------------------------------------------------
+
+def test_bgzf_roundtrip(tmp_path):
+    path = str(tmp_path / "test.bgzf")
+    payload = bytes(range(256)) * 2000  # > one block
+    with bgzf.BgzfWriter(path) as w:
+        w.write(payload)
+    with bgzf.BgzfReader(path) as r:
+        assert r.read_all() == payload
+    assert bgzf.is_bgzf(path)
+    # Whole-file decompress helpers agree.
+    assert bgzf.decompress_all(path) == payload
+
+
+def test_bgzf_reads_reference_fasta(testdata_dir):
+    path = os.path.join(testdata_dir, FASTA)
+    ours = bgzf.decompress_all(path)
+    with gzip.open(path, "rb") as f:
+        theirs = f.read()
+    assert ours == theirs
+
+
+def test_native_bgzf_matches(testdata_dir):
+    native = pytest.importorskip("deepvariant_tpu.io.native")
+    path = os.path.join(testdata_dir, FASTA)
+    with open(path, "rb") as f:
+        raw = f.read()
+    assert native.bgzf_decompress_all(raw) == bgzf.decompress_all(path)
+
+
+# ---------------------------------------------------------------------------
+# FASTA
+# ---------------------------------------------------------------------------
+
+def test_fasta_reader(testdata_dir):
+    fa = FastaReader(os.path.join(testdata_dir, FASTA))
+    (chrom,) = fa.contig_names()
+    length = fa.contig_length(chrom)
+    # Independent check against raw text.
+    with gzip.open(os.path.join(testdata_dir, FASTA), "rt") as f:
+        lines = f.read().splitlines()
+    assert lines[0].lstrip(">").split()[0] == chrom
+    seq = "".join(lines[1:]).upper()
+    assert length == len(seq)
+    assert fa.query(Range(chrom, 0, 100)) == seq[:100]
+    assert fa.query(Range(chrom, 500000, 500050)) == seq[500000:500050]
+    assert fa.query(Range(chrom, length - 10, length)) == seq[-10:]
+    assert fa.is_valid(Range(chrom, 0, length))
+    assert not fa.is_valid(Range(chrom, 0, length + 1))
+    assert not fa.is_valid(Range("chrX", 0, 10))
+
+
+def test_in_memory_fasta():
+    fa = InMemoryFasta({"chr1": "acgtACGT"})
+    assert fa.query(Range("chr1", 0, 8)) == "ACGTACGT"
+    assert fa.contig_length("chr1") == 8
+    fa2 = InMemoryFasta({"chr1": "ACGT"}, starts={"chr1": 100})
+    assert fa2.query(Range("chr1", 100, 104)) == "ACGT"
+    assert fa2.is_valid(Range("chr1", 100, 104))
+    assert not fa2.is_valid(Range("chr1", 99, 104))
+
+
+# ---------------------------------------------------------------------------
+# BAM
+# ---------------------------------------------------------------------------
+
+def test_bam_header(testdata_dir):
+    with BamReader(os.path.join(testdata_dir, BAM)) as bam:
+        names = bam.ref_names
+        assert "20" in names or "chr20" in names
+        assert bam.header.sample_names()
+
+
+def test_bam_query(testdata_dir):
+    with BamReader(os.path.join(testdata_dir, BAM)) as bam:
+        chrom = "chr20" if "chr20" in bam.ref_names else "20"
+        region = Range(chrom, 10000000, 10000100)
+        batch = bam.query(region)
+        assert len(batch) > 10
+        ends = batch.reference_ends()
+        # Every read overlaps the queried window.
+        assert np.all(batch.pos < region.end)
+        assert np.all(ends > region.start)
+        # seq/cigar consistency: read bases consumed == seq length.
+        for i in range(len(batch)):
+            ops, lens = batch.cigar_of(i)
+            assert read_span_array(ops, lens) == len(batch.seq_of(i))
+        # Sorted by position within the region scan.
+        assert np.all(np.diff(batch.pos) >= 0)
+        # Flags: no unmapped/secondary/dup under default requirements.
+        assert np.all(batch.flag & 0x4 == 0)
+        assert np.all(batch.flag & 0x100 == 0)
+        assert np.all(batch.flag & 0x400 == 0)
+
+
+def test_bam_query_matches_iterate(testdata_dir):
+    path = os.path.join(testdata_dir, BAM)
+    with BamReader(path) as bam:
+        chrom = "chr20" if "chr20" in bam.ref_names else "20"
+        region = Range(chrom, 10000500, 10001000)
+        via_index = bam.query(region)
+        everything = bam.iterate()
+    ref_id = everything.ref_names.index(chrom)
+    ends = everything.reference_ends()
+    mask = (
+        (everything.ref_id == ref_id)
+        & (everything.pos < region.end)
+        & (ends > region.start)
+    )
+    expected = {
+        (everything.name[i], int(everything.pos[i]))
+        for i in np.nonzero(mask)[0]
+    }
+    got = {(via_index.name[i], int(via_index.pos[i]))
+           for i in range(len(via_index))}
+    assert got == expected
+
+
+def test_bam_subset_and_roundtrip(testdata_dir):
+    with BamReader(os.path.join(testdata_dir, BAM)) as bam:
+        chrom = "chr20" if "chr20" in bam.ref_names else "20"
+        batch = bam.query(Range(chrom, 10000000, 10000200))
+    sub = batch.subset(np.arange(0, len(batch), 2))
+    assert len(sub) == (len(batch) + 1) // 2
+    reads = sub.to_reads()
+    back = ReadBatch.from_reads(reads, batch.ref_names)
+    assert back.name == sub.name
+    np.testing.assert_array_equal(back.pos, sub.pos)
+    np.testing.assert_array_equal(back.seq, sub.seq)
+    np.testing.assert_array_equal(back.cigar_lens, sub.cigar_lens)
+
+
+def test_bam_aux_parse(testdata_dir):
+    with BamReader(os.path.join(testdata_dir, BAM)) as bam:
+        chrom = "chr20" if "chr20" in bam.ref_names else "20"
+        batch = bam.query(Range(chrom, 10000000, 10000050))
+    found_any = False
+    for blob in batch.aux[:20]:
+        tags = parse_aux(blob)
+        if tags:
+            found_any = True
+    assert found_any
+
+
+def test_bam_mapq_filter(testdata_dir):
+    path = os.path.join(testdata_dir, BAM)
+    with BamReader(path, ReadRequirements(min_mapping_quality=60)) as bam:
+        chrom = "chr20" if "chr20" in bam.ref_names else "20"
+        batch = bam.query(Range(chrom, 10000000, 10000500))
+    assert np.all(batch.mapq >= 60)
+
+
+def test_bam_downsample(testdata_dir):
+    path = os.path.join(testdata_dir, BAM)
+    with BamReader(path) as bam:
+        chrom = "chr20" if "chr20" in bam.ref_names else "20"
+        full = bam.query(Range(chrom, 10000000, 10010000))
+    with BamReader(path, downsample_fraction=0.5, random_seed=7) as bam:
+        half = bam.query(Range(chrom, 10000000, 10010000))
+    assert 0.35 * len(full) < len(half) < 0.65 * len(full)
+
+
+# ---------------------------------------------------------------------------
+# TFRecord + tf.Example
+# ---------------------------------------------------------------------------
+
+def test_crc32c_known_values():
+    # Known CRC-32C test vectors (RFC 3720 appendix B.4 style).
+    assert tfrecord.crc32c(b"") == 0
+    assert tfrecord.crc32c(b"123456789") == 0xE3069283
+    assert tfrecord._crc32c_py(b"123456789") == 0xE3069283
+    data = bytes(range(256)) * 5
+    assert tfrecord.crc32c(data) == tfrecord._crc32c_py(data)
+
+
+def test_tfrecord_roundtrip(tmp_path):
+    path = str(tmp_path / "test.tfrecord.gz")
+    records = [b"hello", b"", b"x" * 100000]
+    tfrecord.write_tfrecords(records, path)
+    got = list(tfrecord.TFRecordReader(path, verify_crc=True))
+    assert got == records
+
+
+def test_example_roundtrip():
+    from deepvariant_tpu.core.types import Variant
+
+    img = np.arange(100 * 221 * 7, dtype=np.uint8).reshape(100, 221, 7)
+    v = Variant(
+        reference_name="chr20", start=100, end=101,
+        reference_bases="A", alternate_bases=["C"],
+    )
+    buf = examples.make_example(v, img, [0], "chr20:51-271", label=1)
+    ex = examples.parse_example(buf)
+    assert ex.shape == (100, 221, 7)
+    np.testing.assert_array_equal(ex.image, img)
+    assert ex.variant.reference_bases == "A"
+    assert ex.alt_allele_indices == [0]
+    assert ex.label == 1
+    assert ex.locus == "chr20:51-271"
+    assert ex.variant_type == examples.VARIANT_TYPE_SNP
+
+
+def test_decode_reference_golden_examples(testdata_dir):
+    """Interop: decode the reference's golden calling examples."""
+    path = os.path.join(testdata_dir, "golden.calling_examples.tfrecord.gz")
+    info = examples.read_example_info(path)
+    shape = tuple(info["shape"])
+    n = 0
+    starts = []
+    for rec in tfrecord.read_tfrecords(path, max_records=20):
+        ex = examples.parse_example(rec)
+        assert ex.shape == shape
+        assert ex.image is not None and ex.image.dtype == np.uint8
+        assert ex.variant is not None
+        assert ex.variant.reference_name in ("chr20", "20")
+        assert len(ex.variant.alternate_bases) >= 1
+        assert ex.alt_allele_indices
+        starts.append(ex.variant.start)
+        n += 1
+    assert n == 20
+    assert all(9_990_000 < s < 10_100_000 for s in starts)
+
+
+def test_example_info_roundtrip(tmp_path):
+    path = str(tmp_path / "examples.tfrecord.gz")
+    examples.write_example_info(path, (100, 221, 7), [1, 2, 3, 4, 5, 6, 19])
+    info = examples.read_example_info(path)
+    assert info["shape"] == [100, 221, 7]
+    assert info["channels"] == [1, 2, 3, 4, 5, 6, 19]
