@@ -1,0 +1,418 @@
+"""Very-sensitive candidate variant caller + gVCF reference confidence.
+
+Re-implements the reference's candidate proposal logic
+(variant_calling_multisample.cc: IsGoodAltAllele :235, SelectAltAlleles :586,
+CalcRefBases :119, BuildAlleleMap :685, AddReadDepths :727, CallVariant :972)
+and the Python gVCF math (variant_caller.py:121-420) on top of our vectorized
+AlleleCounter.
+
+Candidate rules (single sample; multi-sample hooks kept):
+- an alt allele is good iff count >= min_count(type) and
+  count/total >= min_fraction(type); SOFT_CLIP and REFERENCE never pass.
+- ref bases of the Variant = region ref base extended by the longest deletion.
+- alt strings rebuilt against those ref bases (MakeAltAllele semantics).
+- variant gets calls=[{sample, GT=[-1,-1], DP, AD, VAF}] and alts sorted.
+
+gVCF rules: p_error model with GQ quantization into blocks
+(variant_caller.py:220-254 & make_gvcfs :256-420); GQ cache for
+coverage <= 100; haploid contigs handled; max_gq 50.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from deepvariant_tpu.core import genomics_math
+from deepvariant_tpu.core.types import Range, Variant, VariantCall
+from deepvariant_tpu.make_examples.allele_counter import (
+    Allele,
+    AlleleCounter,
+    DELETION,
+    INSERTION,
+    REFERENCE,
+    SOFT_CLIP,
+    SUBSTITUTION,
+)
+
+NO_ALT_ALLELE = "."  # kNoAltAllele
+GVCF_ALT_ALLELE = "<*>"
+SUPPORTING_UNCALLED_ALLELE = "UNCALLED_ALLELE"
+IMPOSSIBLE_PROBABILITY_LOG10 = 999.0
+CANONICAL_DNA_BASES = frozenset(b"ACGT")
+EXTENDED_IUPAC_CODES = frozenset(b"NRYSWKMBDHV")
+
+
+@dataclasses.dataclass
+class VariantCallerOptions:
+    """Defaults mirror make_examples_core.py:220-248 + flag defaults."""
+
+    min_count_snps: int = 2
+    min_count_indels: int = 2
+    min_fraction_snps: float = 0.12
+    min_fraction_indels: float = 0.06
+    min_fraction_multiplier: float = 1.0
+    fraction_reference_sites_to_emit: float = 0.0
+    random_seed: int = 1400605801
+    sample_name: str = "default"
+    p_error: float = 0.001
+    max_gq: int = 50
+    gq_resolution: int = 5
+    ploidy: int = 2
+    haploid_contigs: Tuple[str, ...] = ()
+    skip_uncalled_genotypes: bool = False
+    small_model_vaf_context_window_size: int = 0
+
+
+@dataclasses.dataclass
+class DeepVariantCall:
+    """A candidate: variant + supporting-read map (deepvariant.proto
+    DeepVariantCall semantics; read names replaced by batch read indices)."""
+
+    variant: Variant
+    allele_support: Dict[str, List[int]]  # alt string -> read indices
+    ref_support: List[int] = dataclasses.field(default_factory=list)
+    allele_frequencies: Dict[str, float] = dataclasses.field(
+        default_factory=dict
+    )
+
+
+def _quantize_gq(raw_gq: int, binsize: int) -> int:
+    """variant_caller.py:95-117."""
+    if raw_gq < 1:
+        return 0
+    return (raw_gq - 1) // binsize * binsize + 1
+
+
+class ReferenceConfidence:
+    """gVCF reference-confidence model with GQ cache (variant_caller.py:124)."""
+
+    def __init__(self, options: VariantCallerOptions,
+                 max_cache_coverage: int = 100):
+        self.options = options
+        self.max_cache_coverage = max_cache_coverage
+        self._cache: Dict[bool, list] = {}
+        for is_haploid in (False, True):
+            self._cache[is_haploid] = [
+                [
+                    self._calc(n_ref, n_total, is_haploid)
+                    for n_ref in range(n_total + 1)
+                ]
+                for n_total in range(max_cache_coverage + 1)
+            ]
+
+    def __call__(self, n_ref: int, n_total: int,
+                 is_haploid: bool = False) -> Tuple[int, np.ndarray]:
+        if n_total > self.max_cache_coverage:
+            # Rescale counts to the max coverage (reference
+            # _rescale_read_counts_if_necessary keeps the ratio).
+            ratio = n_ref / n_total
+            n_total = self.max_cache_coverage
+            n_ref = int(round(ratio * n_total))
+        return self._cache[is_haploid][n_total][n_ref]
+
+    def _calc(self, n_ref: int, n_total: int,
+              is_haploid: bool) -> Tuple[int, np.ndarray]:
+        opts = self.options
+        if n_total == 0:
+            if is_haploid:
+                log10_probs = genomics_math.normalize_log10_probs(
+                    [-1.0, -IMPOSSIBLE_PROBABILITY_LOG10, -1.0]
+                )
+            else:
+                log10_probs = genomics_math.normalize_log10_probs(
+                    [-1.0, -1.0, -1.0]
+                )
+        else:
+            n_alts = n_total - n_ref
+            log10 = math.log(10)
+            logp = math.log(opts.p_error) / log10
+            log1p = math.log1p(-opts.p_error) / log10
+            log10_p_ref = n_ref * log1p + n_alts * logp
+            log10_p_het = -n_total * math.log(opts.ploidy) / log10
+            if is_haploid:
+                log10_p_het = -IMPOSSIBLE_PROBABILITY_LOG10
+            log10_p_hom_alt = n_ref * logp + n_alts * log1p
+            log10_probs = genomics_math.normalize_log10_probs(
+                [log10_p_ref, log10_p_het, log10_p_hom_alt]
+            )
+        gq = genomics_math.log10_ptrue_to_phred(
+            log10_probs[0], opts.max_gq
+        )
+        gq = int(min(np.floor(gq), opts.max_gq))
+        return gq, log10_probs
+
+
+def _deletion_size(allele: Allele) -> int:
+    return len(allele.bases) if allele.type == DELETION else -1
+
+
+def calc_ref_bases(ref_base: str, alt_alleles: Sequence[Allele]) -> str:
+    """variant_calling_multisample.cc:119 CalcRefBases."""
+    if not alt_alleles:
+        return ref_base
+    max_del = max(alt_alleles, key=_deletion_size)
+    if max_del.type != DELETION:
+        return ref_base
+    return ref_base + max_del.bases[1:]
+
+
+def make_alt_allele(prefix: str, variant_ref: str, from_: int) -> str:
+    """variant_calling_multisample.cc:224 MakeAltAllele."""
+    postfix = "" if from_ >= len(variant_ref) else variant_ref[from_:]
+    return prefix + postfix
+
+
+def build_allele_map(
+    alt_alleles: Sequence[Allele], ref_bases: str
+) -> List[Tuple[Allele, str]]:
+    """variant_calling_multisample.cc:685 BuildAlleleMap. Returns pairs
+    (allele, vcf_alt_string); SOFT_CLIPs are excluded."""
+    out = []
+    for allele in alt_alleles:
+        if allele.type == SUBSTITUTION:
+            if len(allele.bases) > 1 and len(ref_bases) > 1:
+                alt = allele.bases
+            else:
+                alt = make_alt_allele(allele.bases, ref_bases, 1)
+        elif allele.type == INSERTION:
+            alt = make_alt_allele(allele.bases, ref_bases, 1)
+        elif allele.type == DELETION:
+            alt = make_alt_allele(allele.bases[:1], ref_bases,
+                                  len(allele.bases))
+        else:
+            continue
+        out.append((allele, alt))
+    return out
+
+
+class VerySensitiveCaller:
+    """Candidate proposal from an AlleleCounter interval."""
+
+    def __init__(self, options: Optional[VariantCallerOptions] = None):
+        self.options = options or VariantCallerOptions()
+        self.ref_confidence = ReferenceConfidence(self.options)
+        self._rng = np.random.Generator(
+            np.random.Philox(self.options.random_seed)
+        )
+
+    # -- allele selection ---------------------------------------------------------
+
+    def _min_count(self, allele: Allele) -> int:
+        if allele.type == SUBSTITUTION:
+            return self.options.min_count_snps
+        return self.options.min_count_indels
+
+    def _min_fraction(self, allele: Allele) -> float:
+        if allele.type == SUBSTITUTION:
+            return self.options.min_fraction_snps
+        return self.options.min_fraction_indels
+
+    def is_good_alt_allele(self, allele: Allele, total_count: int) -> bool:
+        """variant_calling_multisample.cc:235."""
+        if allele.type == REFERENCE:
+            return False
+        if allele.count < self._min_count(allele):
+            return False
+        if allele.type == SOFT_CLIP:
+            return False
+        if total_count == 0:
+            return False
+        return (
+            allele.count / total_count >= self._min_fraction(allele)
+        )
+
+    def select_alt_alleles(
+        self, alleles: Sequence[Allele], total_count: int
+    ) -> List[Allele]:
+        return [
+            a for a in alleles if self.is_good_alt_allele(a, total_count)
+        ]
+
+    def keep_reference_site(self) -> bool:
+        f = self.options.fraction_reference_sites_to_emit
+        return f > 0.0 and self._rng.random() < f
+
+    # -- candidate construction ----------------------------------------------------
+
+    def call_position(
+        self,
+        counter: AlleleCounter,
+        interval_pos: int,
+    ) -> Optional[DeepVariantCall]:
+        """CallVariant for one position (variant_calling_multisample.cc:972)."""
+        ref_byte = counter.ref[interval_pos]
+        if ref_byte not in CANONICAL_DNA_BASES:
+            return None
+        alleles = counter.sum_allele_counts(interval_pos)
+        total_count = counter.total_allele_count(interval_pos)
+        alt_alleles = self.select_alt_alleles(alleles, total_count)
+        if not alt_alleles and not self.keep_reference_site():
+            return None
+
+        ref_base = chr(ref_byte)
+        ref_bases = calc_ref_bases(ref_base, alt_alleles)
+        pos = counter.interval.start + interval_pos
+        variant = Variant(
+            reference_name=counter.interval.reference_name,
+            start=pos,
+            end=pos + len(ref_bases),
+            reference_bases=ref_bases,
+        )
+        call = VariantCall(
+            call_set_name=self.options.sample_name, genotype=[-1, -1]
+        )
+        variant.calls.append(call)
+
+        allele_map = build_allele_map(alt_alleles, ref_bases)
+        variant.alternate_bases = sorted(alt for _, alt in allele_map)
+        if not allele_map:
+            variant.alternate_bases = [NO_ALT_ALLELE]
+
+        # DP / AD / VAF (AddReadDepths, :727).
+        dp = total_count
+        call.info["DP"] = [dp]
+        if allele_map:
+            alt_to_allele = {alt: a for a, alt in allele_map}
+            ad = [int(counter.ref_count[interval_pos])]
+            vaf = []
+            for alt in variant.alternate_bases:
+                a = alt_to_allele[alt]
+                ad.append(a.count)
+                vaf.append(a.count / dp if dp else 0.0)
+            call.info["AD"] = ad
+            call.info["VAF"] = vaf
+
+        # Supporting reads per alt (AddSupportingReads, :1180): reads whose
+        # allele maps to a variant alt support it; other non-ref alleles
+        # support UNCALLED_ALLELE.
+        support: Dict[str, List[int]] = {}
+        mapped = {(a.bases, a.type): alt for a, alt in allele_map}
+        pc = counter.position_count(interval_pos)
+        if pc is not None:
+            for rid, rec in pc.read_alleles.items():
+                if rec.is_low_quality:
+                    continue
+                alt = mapped.get((rec.bases, rec.type))
+                key = alt if alt is not None else SUPPORTING_UNCALLED_ALLELE
+                support.setdefault(key, []).append(rid)
+        ref_ids = (
+            list(pc.ref_supporting_read_ids) if pc is not None else []
+        )
+        return DeepVariantCall(
+            variant=variant, allele_support=support, ref_support=ref_ids
+        )
+
+    def calls_in_region(
+        self, counter: AlleleCounter
+    ) -> List[DeepVariantCall]:
+        out = []
+        width = len(counter.interval)
+        candidates = set(counter.positions_with_alleles())
+        if self.options.fraction_reference_sites_to_emit > 0.0:
+            candidates = set(range(width))
+        for pos in sorted(candidates):
+            call = self.call_position(counter, pos)
+            if call is not None:
+                out.append(call)
+        return out
+
+    # -- gVCF ----------------------------------------------------------------------
+
+    def make_gvcfs(
+        self,
+        counter: AlleleCounter,
+        include_med_dp: bool = False,
+    ) -> Iterator[Variant]:
+        """Reference blocks for every interval position
+        (variant_caller.py:256-420 make_gvcfs)."""
+        interval = counter.interval
+        ref_count, total_count = counter.summary_counts()
+        is_haploid_contig = (
+            interval.reference_name in self.options.haploid_contigs
+        )
+        opts = self.options
+        width = len(interval)
+
+        # Compute per-position (quantized_gq, raw_gq, likelihood idx, valid).
+        records = []
+        for i in range(width):
+            ref_byte = counter.ref[i]
+            if ref_byte not in CANONICAL_DNA_BASES:
+                if ref_byte in EXTENDED_IUPAC_CODES:
+                    records.append(
+                        (None, None, None, True, int(total_count[i]), i)
+                    )
+                    continue
+                raise ValueError(
+                    f"invalid reference base {chr(ref_byte)} at "
+                    f"{interval.reference_name}:{interval.start + i}"
+                )
+            raw_gq, likelihoods = self.ref_confidence(
+                int(ref_count[i]), int(total_count[i]), is_haploid_contig
+            )
+            quantized = _quantize_gq(raw_gq, opts.gq_resolution)
+            has_valid_gl = bool(
+                np.max(likelihoods) == likelihoods[0]
+            )
+            records.append(
+                (quantized, raw_gq, likelihoods, has_valid_gl,
+                 int(total_count[i]), i)
+            )
+
+        # Group contiguous records by (quantized_gq, has_valid_gl).
+        import itertools
+
+        for (qgq, valid), group in itertools.groupby(
+            records, key=lambda r: (r[0], r[3])
+        ):
+            if qgq is None:
+                continue
+            group = list(group)
+            if valid:
+                min_idx, min_gq = min(
+                    enumerate(g[1] for g in group), key=lambda p: p[1]
+                )
+                min_dp = min(g[4] for g in group)
+                first, last = group[0], group[-1]
+                call = VariantCall(
+                    call_set_name=opts.sample_name,
+                    genotype=[0, 0],
+                    genotype_likelihood=list(group[min_idx][2]),
+                    info={"GQ": [min_gq], "MIN_DP": [min_dp]},
+                )
+                if include_med_dp:
+                    import statistics
+
+                    call.info["MED_DP"] = [
+                        int(statistics.median(g[4] for g in group))
+                    ]
+                yield Variant(
+                    reference_name=interval.reference_name,
+                    reference_bases=chr(counter.ref[first[5]]),
+                    alternate_bases=[GVCF_ALT_ALLELE],
+                    start=interval.start + first[5],
+                    end=interval.start + last[5] + 1,
+                    calls=[call],
+                )
+            else:
+                for g in group:
+                    call = VariantCall(
+                        call_set_name=opts.sample_name,
+                        genotype=[-1, -1],
+                        genotype_likelihood=list(g[2]),
+                        info={"GQ": [g[1]], "MIN_DP": [g[4]]},
+                    )
+                    if include_med_dp:
+                        call.info["MED_DP"] = [g[4]]
+                    yield Variant(
+                        reference_name=interval.reference_name,
+                        reference_bases=chr(counter.ref[g[5]]),
+                        alternate_bases=[GVCF_ALT_ALLELE],
+                        start=interval.start + g[5],
+                        end=interval.start + g[5] + 1,
+                        calls=[call],
+                    )
