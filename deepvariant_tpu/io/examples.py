@@ -138,11 +138,15 @@ VARIANT_TYPE_INDEL = 2
 
 
 def variant_type_of(variant: Variant) -> int:
-    if len(variant.reference_bases) == 1 and all(
-        len(a) == 1 for a in variant.alternate_bases
-    ):
-        return VARIANT_TYPE_SNP
-    return VARIANT_TYPE_INDEL
+    """make_examples_native.cc:301-320 EncodedVariantType."""
+    if len(variant.reference_bases) == 1 and variant.alternate_bases:
+        if all(len(a) == 1 for a in variant.alternate_bases):
+            return VARIANT_TYPE_SNP
+    if len(variant.reference_bases) > 1:
+        return VARIANT_TYPE_INDEL
+    if any(len(a) > 1 for a in variant.alternate_bases):
+        return VARIANT_TYPE_INDEL
+    return VARIANT_TYPE_UNKNOWN
 
 
 def make_example(

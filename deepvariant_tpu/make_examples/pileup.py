@@ -1,0 +1,427 @@
+"""Pileup image encoding: candidate -> (H, W, C) uint8 tensor.
+
+Bit-exact re-implementation of the reference's pileup encoder
+(pileup_image_native.cc BuildPileupForOneSample :296-447, EncodeRead :476,
+channel fills in deepvariant/channels/*.cc, CIGAR walk semantics in
+pileup_channel_lib.cc CalculateBaseLevelData :170-260) as a vectorized numpy
+program over the columnar ReadBatch. A batched JAX/Pallas device encoder with
+identical numerics lives in pileup_jax.py.
+
+Numerics contract (channels/channel.h:78 kMaxPixelValueAsFloat = 254):
+- read_base: A=40+70*3=250, G=40+70*2=180, T=30+70*1=100, C=30+70*0=30, else 0
+- base_quality: int(254 * min(q, 40)/40); ref rows use q=60 -> 254
+- mapping_quality: int(254 * min(mq, 60)/60); ref rows 254
+- strand: forward 70, reverse 240; ref rows 70
+- read_supports_variant: 254*alpha, alpha = 1.0 supports alt-in-image,
+  0.6 other-alt, 0.6 non-supporting; ref rows 0.6
+- base_differs_from_ref: match 0.2*254=50, mismatch 254; ref rows 50
+- insert_size: int(254 * min(|tlen|, 1000)/1000); ref rows 254
+- haplotype_tag: int(254 * hp/2), hp in {0,1,2}; ref rows 0
+CIGAR walk: M/=/X per-base; I/S single overwrite at anchor col (ref_i-1,
+only if ref_i > 0) with read_base '*'; D/N single overwrite at anchor
+(first-deleted-base - 1, only if read_i > 0) with read_base '*'.
+A read is dropped when mapq < 10 or when any event lands on the variant start
+with base quality < 10 (pileup_image.py:36-74 defaults).
+Rows: 5 reference rows, then reads stable-sorted by (hap_index,
+allele_support_group, position, fragment_name, read_number); random
+shuffle-downsample when over capacity (seed 2101079370).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from deepvariant_tpu.core.types import Range
+from deepvariant_tpu.io.bam import FLAG_FIRST, FLAG_PAIRED, FLAG_REVERSE, ReadBatch
+from deepvariant_tpu.make_examples.variant_caller import DeepVariantCall
+
+MAX_PIXEL_FLOAT = 254.0
+
+# Channel enum values (deepvariant.proto:1287-1342).
+CH_READ_BASE = 1
+CH_BASE_QUALITY = 2
+CH_MAPPING_QUALITY = 3
+CH_STRAND = 4
+CH_READ_SUPPORTS_VARIANT = 5
+CH_BASE_DIFFERS_FROM_REF = 6
+CH_HAPLOTYPE_TAG = 7
+CH_ALLELE_FREQUENCY = 8
+CH_INSERT_SIZE = 19
+CH_BLANK = 18
+
+CHANNEL_NAME_TO_ENUM = {
+    "read_base": CH_READ_BASE,
+    "base_quality": CH_BASE_QUALITY,
+    "mapping_quality": CH_MAPPING_QUALITY,
+    "strand": CH_STRAND,
+    "read_supports_variant": CH_READ_SUPPORTS_VARIANT,
+    "base_differs_from_ref": CH_BASE_DIFFERS_FROM_REF,
+    "haplotype": CH_HAPLOTYPE_TAG,
+    "allele_frequency": CH_ALLELE_FREQUENCY,
+    "insert_size": CH_INSERT_SIZE,
+    "blank": CH_BLANK,
+}
+
+DEFAULT_CHANNELS = [
+    CH_READ_BASE, CH_BASE_QUALITY, CH_MAPPING_QUALITY, CH_STRAND,
+    CH_READ_SUPPORTS_VARIANT, CH_BASE_DIFFERS_FROM_REF,
+]
+WGS_CHANNELS = DEFAULT_CHANNELS + [CH_INSERT_SIZE]
+
+
+@dataclasses.dataclass
+class PileupOptions:
+    """Defaults per pileup_image.py:36-74."""
+
+    width: int = 221
+    height: int = 100
+    reference_band_height: int = 5
+    min_base_quality: int = 10
+    min_mapping_quality: int = 10
+    base_color_offset_a_and_g: int = 40
+    base_color_offset_t_and_c: int = 30
+    base_color_stride: int = 70
+    allele_supporting_read_alpha: float = 1.0
+    allele_unsupporting_read_alpha: float = 0.6
+    other_allele_supporting_read_alpha: float = 0.6
+    reference_matching_read_alpha: float = 0.2
+    reference_mismatching_read_alpha: float = 1.0
+    indel_anchoring_base_char: str = "*"
+    reference_base_quality: int = 60
+    positive_strand_color: int = 70
+    negative_strand_color: int = 240
+    base_quality_cap: int = 40
+    mapping_quality_cap: int = 60
+    read_overlap_buffer_bp: int = 5
+    random_seed: int = 2101079370
+    sort_by_haplotypes: bool = False
+    sort_by_alt_allele_support: bool = False
+    hp_tag_for_assembly_polishing: int = 0
+    channels: Tuple[int, ...] = tuple(WGS_CHANNELS)
+
+    @property
+    def half_width(self) -> int:
+        return (self.width - 1) // 2
+
+    @property
+    def max_reads(self) -> int:
+        return self.height - self.reference_band_height
+
+
+# Precomputed LUTs --------------------------------------------------------------
+
+def _base_color_lut(opts: PileupOptions) -> np.ndarray:
+    lut = np.zeros(256, np.uint8)
+    lut[ord("A")] = opts.base_color_offset_a_and_g + opts.base_color_stride * 3
+    lut[ord("G")] = opts.base_color_offset_a_and_g + opts.base_color_stride * 2
+    lut[ord("T")] = opts.base_color_offset_t_and_c + opts.base_color_stride * 1
+    lut[ord("C")] = opts.base_color_offset_t_and_c + opts.base_color_stride * 0
+    return lut
+
+
+def _scale_color(values: np.ndarray, cap: float) -> np.ndarray:
+    v = np.minimum(values.astype(np.float32), cap)
+    return (MAX_PIXEL_FLOAT * (v / cap)).astype(np.uint8)
+
+
+_OP_M, _OP_I, _OP_D, _OP_N, _OP_S = 1, 2, 3, 4, 5
+_OP_EQ, _OP_X = 8, 9
+
+
+class PileupEncoder:
+    """Encodes pileup images for candidates in one region."""
+
+    def __init__(self, options: Optional[PileupOptions] = None):
+        self.options = options or PileupOptions()
+        self._base_lut = _base_color_lut(self.options)
+        o = self.options
+        self._strand_lut = np.array(
+            [o.positive_strand_color, o.negative_strand_color], np.uint8
+        )
+        self._support_lut = np.array(
+            [
+                int(MAX_PIXEL_FLOAT * o.allele_unsupporting_read_alpha),
+                int(MAX_PIXEL_FLOAT * o.allele_supporting_read_alpha),
+                int(MAX_PIXEL_FLOAT * o.other_allele_supporting_read_alpha),
+            ],
+            np.uint8,
+        )
+        self._match_color = int(
+            MAX_PIXEL_FLOAT * o.reference_matching_read_alpha
+        )
+        self._mismatch_color = int(
+            MAX_PIXEL_FLOAT * o.reference_mismatching_read_alpha
+        )
+
+    # -- reference rows ----------------------------------------------------------
+
+    def encode_reference_row(self, ref_window: np.ndarray) -> np.ndarray:
+        """One reference row: (W, C) uint8 (channels/*.cc FillRefBase)."""
+        o = self.options
+        width = len(ref_window)
+        row = np.zeros((width, len(o.channels)), np.uint8)
+        for ci, ch in enumerate(o.channels):
+            if ch == CH_READ_BASE:
+                row[:, ci] = self._base_lut[ref_window]
+            elif ch == CH_BASE_QUALITY:
+                row[:, ci] = _scale_color(
+                    np.full(width, o.reference_base_quality),
+                    o.base_quality_cap,
+                )
+            elif ch == CH_MAPPING_QUALITY:
+                # NB: reference rows use base_quality_cap
+                # (mapping_quality_channel.cc FillRefBase).
+                row[:, ci] = _scale_color(
+                    np.full(width, o.reference_base_quality),
+                    o.base_quality_cap,
+                )
+            elif ch == CH_STRAND:
+                row[:, ci] = o.positive_strand_color
+            elif ch == CH_READ_SUPPORTS_VARIANT:
+                row[:, ci] = self._support_lut[0]
+            elif ch == CH_BASE_DIFFERS_FROM_REF:
+                row[:, ci] = self._match_color
+            elif ch == CH_INSERT_SIZE:
+                row[:, ci] = int(MAX_PIXEL_FLOAT)
+            elif ch == CH_HAPLOTYPE_TAG:
+                row[:, ci] = 0
+            elif ch == CH_ALLELE_FREQUENCY:
+                row[:, ci] = 0
+        return row
+
+    # -- read rows ---------------------------------------------------------------
+
+    def _read_supports_alt(
+        self,
+        dv_call: DeepVariantCall,
+        read_idx: int,
+        alt_alleles: Sequence[str],
+    ) -> int:
+        """0 = non-supporting, 1 = supports alt-in-image, 2 = other alt
+        (read_supports_variant_channel.cc:73-100)."""
+        for alt in dv_call.variant.alternate_bases:
+            ids = dv_call.allele_support.get(alt)
+            if ids and read_idx in ids:
+                return 1 if alt in alt_alleles else 2
+        return 0
+
+    def _hap_index(self, hp: int) -> int:
+        """Sort key from HP tag (pileup_image_native.cc:449-475)."""
+        o = self.options
+        if not o.sort_by_haplotypes:
+            return 0
+        if (
+            o.hp_tag_for_assembly_polishing > 0
+            and hp == o.hp_tag_for_assembly_polishing
+        ):
+            return -1
+        return max(0, hp)
+
+    def _hp_channel_value(self, hp: int) -> int:
+        """haplotype_tag_channel.cc GetHPValueForHPChannel + ScaleColor."""
+        o = self.options
+        if o.hp_tag_for_assembly_polishing == 2:
+            if hp == 1:
+                hp = 2
+            elif hp == 2:
+                hp = 1
+        hp = min(max(hp, 0), 2)
+        return int(MAX_PIXEL_FLOAT * hp / 2.0)
+
+    def encode_read_row(
+        self,
+        batch: ReadBatch,
+        read_idx: int,
+        ref_window: np.ndarray,
+        image_start_pos: int,
+        variant_start: int,
+        support_code: int,
+    ) -> Optional[np.ndarray]:
+        """Encode one read into a (W, C) row, or None if the read bails
+        (EncodeRead + CalculateBaseLevelData semantics)."""
+        o = self.options
+        mapq = int(batch.mapq[read_idx])
+        if mapq < o.min_mapping_quality:
+            return None
+        width = len(ref_window)
+        cols, bases, quals = self._walk_events(
+            batch, read_idx, image_start_pos, width
+        )
+        if cols is None:
+            return None
+        # Low-quality base at the call site -> drop read.
+        at_call = cols == (variant_start - image_start_pos)
+        if np.any(quals[at_call] < o.min_base_quality):
+            return None
+
+        row = np.zeros((width, len(o.channels)), np.uint8)
+        ref_at = ref_window[cols]
+        for ci, ch in enumerate(o.channels):
+            if ch == CH_READ_BASE:
+                row[cols, ci] = self._base_lut[bases]
+            elif ch == CH_BASE_QUALITY:
+                row[cols, ci] = _scale_color(quals, o.base_quality_cap)
+            elif ch == CH_MAPPING_QUALITY:
+                row[cols, ci] = _scale_color(
+                    np.array([mapq]), o.mapping_quality_cap
+                )[0]
+            elif ch == CH_STRAND:
+                row[cols, ci] = self._strand_lut[
+                    int(bool(batch.flag[read_idx] & FLAG_REVERSE))
+                ]
+            elif ch == CH_READ_SUPPORTS_VARIANT:
+                row[cols, ci] = self._support_lut[support_code]
+            elif ch == CH_BASE_DIFFERS_FROM_REF:
+                row[cols, ci] = np.where(
+                    bases == ref_at, self._match_color, self._mismatch_color
+                )
+            elif ch == CH_INSERT_SIZE:
+                frag = min(abs(int(batch.tlen[read_idx])), 1000)
+                row[cols, ci] = int(MAX_PIXEL_FLOAT * frag / 1000.0)
+            elif ch == CH_HAPLOTYPE_TAG:
+                row[cols, ci] = self._hp_channel_value(
+                    int(batch.hp[read_idx])
+                )
+        return row
+
+    def _walk_events(self, batch, read_idx, image_start_pos, width):
+        """CIGAR walk -> (cols, read_base_bytes, quals) arrays in cigar order
+        (pileup_channel_lib.cc:170-260). Returns (None,)*3 on empty."""
+        co = batch.cigar_offsets
+        so = batch.seq_offsets
+        ops = batch.cigar_ops[co[read_idx] : co[read_idx + 1]]
+        lens = batch.cigar_lens[co[read_idx] : co[read_idx + 1]].astype(
+            np.int64
+        )
+        seq = batch.seq[so[read_idx] : so[read_idx + 1]]
+        qual = batch.qual[so[read_idx] : so[read_idx + 1]]
+        star = ord(self.options.indel_anchoring_base_char)
+
+        cols_l: List[np.ndarray] = []
+        bases_l: List[np.ndarray] = []
+        quals_l: List[np.ndarray] = []
+        ref_i = int(batch.pos[read_idx])
+        read_i = 0
+        for op, op_len in zip(ops, lens):
+            op_len = int(op_len)
+            if op in (_OP_M, _OP_EQ, _OP_X):
+                c = np.arange(ref_i, ref_i + op_len) - image_start_pos
+                ok = (c >= 0) & (c < width)
+                cols_l.append(c[ok])
+                bases_l.append(seq[read_i : read_i + op_len][ok])
+                quals_l.append(qual[read_i : read_i + op_len][ok])
+                ref_i += op_len
+                read_i += op_len
+            elif op in (_OP_I, _OP_S):
+                if ref_i > 0:
+                    c = ref_i - 1 - image_start_pos
+                    if 0 <= c < width:
+                        cols_l.append(np.array([c]))
+                        bases_l.append(np.array([star], np.uint8))
+                        quals_l.append(np.array([qual[read_i]]))
+                read_i += op_len
+            elif op in (_OP_D, _OP_N):
+                if read_i > 0:
+                    c = ref_i - 1 - image_start_pos
+                    if 0 <= c < width:
+                        cols_l.append(np.array([c]))
+                        bases_l.append(np.array([star], np.uint8))
+                        quals_l.append(
+                            np.array([qual[read_i - 1]])
+                        )
+                ref_i += op_len
+            # CLIP_HARD / PAD: ignored.
+        if not cols_l:
+            return None, None, None
+        cols = np.concatenate(cols_l).astype(np.int64)
+        if len(cols) == 0:
+            return None, None, None
+        return (
+            cols,
+            np.concatenate(bases_l),
+            np.concatenate(quals_l),
+        )
+
+    # -- full pileup ----------------------------------------------------------------
+
+    def build_pileup(
+        self,
+        dv_call: DeepVariantCall,
+        ref_window: np.ndarray,
+        batch: ReadBatch,
+        read_indices: Sequence[int],
+        alt_alleles: Sequence[str],
+    ) -> np.ndarray:
+        """(H, W, C) uint8 pileup (BuildPileupForOneSample)."""
+        o = self.options
+        variant = dv_call.variant
+        image_start_pos = variant.start - o.half_width
+        assert len(ref_window) == o.width
+        height = o.height
+        n_channels = len(o.channels)
+        image = np.zeros((height, o.width, n_channels), np.uint8)
+        ref_row = self.encode_reference_row(ref_window)
+        for i in range(o.reference_band_height):
+            image[i] = ref_row
+
+        max_reads = o.max_reads
+        indices = list(read_indices)
+        if len(indices) > max_reads:
+            rng = np.random.Generator(np.random.Philox(o.random_seed))
+            order = rng.permutation(len(indices))
+            indices = [indices[k] for k in order]
+
+        # Precompute allele-support groups for sorting.
+        alt_order = {
+            alt: i for i, alt in enumerate(variant.alternate_bases)
+        }
+        support_group: Dict[int, int] = {}
+        if o.sort_by_alt_allele_support:
+            for alt, ids in dv_call.allele_support.items():
+                gi = alt_order.get(alt)
+                if gi is not None:
+                    for rid in ids:
+                        support_group[rid] = gi
+
+        rows = []
+        for idx in indices:
+            if len(rows) >= max_reads:
+                break
+            support_code = self._read_supports_alt(dv_call, idx, alt_alleles)
+            row = self.encode_read_row(
+                batch, idx, ref_window, image_start_pos, variant.start,
+                support_code,
+            )
+            if row is None:
+                continue
+            hap_idx = self._hap_index(int(batch.hp[idx]))
+            group = support_group.get(idx, len(alt_order)) if (
+                o.sort_by_alt_allele_support
+            ) else 0
+            rows.append(
+                (
+                    hap_idx, group, int(batch.pos[idx]), batch.name[idx],
+                    0 if batch.flag[idx] & FLAG_FIRST or not (
+                        batch.flag[idx] & FLAG_PAIRED
+                    ) else 1,
+                    row,
+                )
+            )
+        rows.sort(key=lambda t: t[:5])
+        for i, (_, _, _, _, _, row) in enumerate(rows):
+            image[o.reference_band_height + i] = row
+        return image
+
+
+def reads_overlapping_variant(
+    batch: ReadBatch, variant, buffer_bp: int = 5
+) -> np.ndarray:
+    """Indices of reads overlapping [start - buffer, end + buffer)
+    (read selection in CreateAndWriteExamplesForCandidate :643-648)."""
+    lo = variant.start - buffer_bp
+    hi = variant.end + buffer_bp
+    ends = batch.reference_ends()
+    return np.nonzero((batch.pos < hi) & (ends > lo))[0]

@@ -1,0 +1,102 @@
+"""Integration: pileup tensors vs the reference's golden examples.
+
+Goldens were generated WITH the realigner; until ours lands, reads whose
+alignments the realigner shifts produce small pixel diffs. We assert strong
+thresholds that ratchet when the realigner is in.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from deepvariant_tpu.core.types import Range
+from deepvariant_tpu.io import examples as exio, tfrecord
+from deepvariant_tpu.io.bam import BamReader
+from deepvariant_tpu.io.fasta import FastaReader
+from deepvariant_tpu.make_examples.allele_counter import (
+    AlleleCounter,
+    AlleleCounterOptions,
+)
+from deepvariant_tpu.make_examples.examples_builder import ExamplesBuilder
+from deepvariant_tpu.make_examples.pileup import PileupOptions, WGS_CHANNELS
+from deepvariant_tpu.make_examples.variant_caller import VerySensitiveCaller
+
+
+@pytest.fixture(scope="module")
+def parity(testdata_dir):
+    fa = FastaReader(
+        os.path.join(testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz")
+    )
+    bam = BamReader(
+        os.path.join(testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam")
+    )
+    golden = {}
+    for rec in tfrecord.read_tfrecords(
+        os.path.join(testdata_dir, "golden.calling_examples.tfrecord.gz")
+    ):
+        ex = exio.parse_example(rec)
+        v = ex.variant
+        key = (
+            v.start, v.reference_bases, tuple(v.alternate_bases),
+            tuple(ex.alt_allele_indices),
+        )
+        golden[key] = ex.image
+
+    caller = VerySensitiveCaller()
+    builder = ExamplesBuilder(fa, PileupOptions(channels=tuple(WGS_CHANNELS)))
+    ours = {}
+    for rstart in range(10_000_000, 10_010_000, 1000):
+        region = Range("chr20", rstart, rstart + 1000)
+        batch = bam.query(region)
+        ac = AlleleCounter(
+            fa.bases(region), region, AlleleCounterOptions(),
+            ref_prev_base=fa.query(Range("chr20", rstart - 1, rstart)),
+        )
+        ac.add_batch(batch)
+        for c in caller.calls_in_region(ac):
+            for be in builder.build_examples_for_candidate(c, batch):
+                key = (
+                    be.variant.start, be.variant.reference_bases,
+                    tuple(be.variant.alternate_bases),
+                    tuple(be.alt_indices),
+                )
+                ours[key] = be.image
+    bam.close()
+    return golden, ours
+
+
+def test_example_schema_parity(parity):
+    golden, ours = parity
+    assert len(golden) == 84
+    common = set(golden) & set(ours)
+    assert len(common) >= 74
+
+
+def test_pixel_parity(parity):
+    golden, ours = parity
+    common = sorted(set(golden) & set(ours))
+    exact = 0
+    fracs = []
+    for key in common:
+        g, o = golden[key], ours[key]
+        assert g.shape == o.shape
+        frac_diff = float(np.mean(g != o))
+        fracs.append(frac_diff)
+        # Realigner-less bound: no example deviates more than 12% of pixels
+        # (worst case: homopolymer-indel candidates whose reads the
+        # reference's realigner shifts).
+        assert frac_diff < 0.12, f"{key[:3]}: {frac_diff:.4f} pixels differ"
+        if frac_diff == 0.0:
+            exact += 1
+    assert exact >= 5  # ratchet upward once the realigner lands
+    assert float(np.mean(fracs)) < 0.02
+
+
+def test_reference_band_always_exact(parity):
+    """Rows 0-4 (reference band) must be bit-exact everywhere."""
+    golden, ours = parity
+    for key in set(golden) & set(ours):
+        np.testing.assert_array_equal(
+            golden[key][:5], ours[key][:5], err_msg=str(key[:3])
+        )
