@@ -12,10 +12,19 @@ from typing import Sequence
 
 import numpy as np
 
-# Maximum confidence we will emit: caps phred scores (reference caps QUAL via
-# ptrue_to_bounded_phred's max_prob bound).
-_MAX_CONFIDENCE = 1.0 - 1e-15
+# Maximum confidence we will emit: caps phred scores at ~99 (reference
+# genomics_math.py:100 uses 1.0 - 1.25e-10).
+_MAX_CONFIDENCE = 1.0 - 1.25e-10
 LOG_10_OF_E = math.log10(math.e)
+
+
+def perror_to_bounded_log10_perror(
+    perror: float, min_prob: float = 1.0 - _MAX_CONFIDENCE
+) -> float:
+    """log10(p) bounded below by log10(min_prob) (genomics_math.py:106)."""
+    if perror > 1.0 or perror < 0.0:
+        raise ValueError(f"perror must be in [0,1]: {perror}")
+    return math.log10(max(perror, min_prob))
 
 
 def log10_ptrue_to_phred(log10_ptrue: float, value_if_not_finite: float) -> float:

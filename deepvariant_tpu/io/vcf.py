@@ -1,0 +1,369 @@
+"""VCF reader/writer with the DeepVariant header and record formatting.
+
+Pure-Python equivalent of the reference's htslib-backed nucleus VCF layer
+(`third_party/nucleus/io/vcf_writer.{h,cc}`, `vcf_conversion.cc`) plus the
+DeepVariant header recipe (`deepvariant/dv_vcf_constants.py:84-204`).
+Output is plain text or BGZF (so the result is tabix-indexable).
+
+Value formatting follows htslib conventions (`%g`-style floats) so records
+diff cleanly against reference-produced VCFs.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, TextIO, Tuple, Union
+
+from deepvariant_tpu.core.types import ContigInfo, Range, Variant, VariantCall
+from deepvariant_tpu.io.bgzf import BgzfReader, BgzfWriter, is_bgzf
+
+DEEP_VARIANT_VERSION = "1.10.0"  # data-contract version we match
+
+# FILTER field IDs (dv_vcf_constants.py:39-45).
+PASS_FILTER = "PASS"
+REF_FILTER = "RefCall"
+QUAL_FILTER = "LowQual"
+NO_CALL_FILTER = "NoCall"
+GERMLINE_FILTER = "GERMLINE"
+PON_FILTER = "PON"
+
+UNCALLED_GENOTYPE = -1
+
+_FILTER_LINES = [
+    ('PASS', 'All filters passed'),
+    (REF_FILTER, 'Genotyping model thinks this site is reference.'),
+    (QUAL_FILTER,
+     'Confidence in this variant being real is below calling threshold.'),
+    (NO_CALL_FILTER, 'Site has depth=0 resulting in no call.'),
+]
+
+_INFO_LINES = [
+    ('END', '1', 'Integer', 'Stop position of the interval'),
+]
+
+_FORMAT_LINES = [
+    ('GT', '1', 'String', 'Genotype'),
+    ('GQ', '1', 'Integer', 'Conditional genotype quality'),
+    ('DP', '1', 'Integer', 'Read depth'),
+    ('MIN_DP', '1', 'Integer', 'Minimum DP observed within the GVCF block.'),
+    ('AD', 'R', 'Integer',
+     'Read depth for each allele'),
+    ('VAF', 'A', 'Float',
+     'Variant allele fractions.'),
+    ('GL', 'G', 'Float', 'Genotype likelihoods, log10 encoded'),
+    ('PL', 'G', 'Integer', 'Phred-scaled genotype likelihoods rounded to the '
+     'closest integer'),
+    ('MED_DP', '1', 'Integer',
+     'Median DP observed within the GVCF block rounded to the nearest '
+     'integer.'),
+    ('PS', '1', 'Integer', 'Phase set'),
+]
+
+
+def format_float(value: float) -> str:
+    """htslib-style %g float formatting (vcf.c uses %g for QUAL/floats)."""
+    if value is None or (isinstance(value, float) and math.isnan(value)):
+        return "."
+    if value == int(value) and abs(value) < 1e15:
+        return str(int(value))
+    return repr(round(value, 6)) if abs(value) >= 1e-4 else f"{value:g}"
+
+
+def _format_qual(q: float) -> str:
+    if q is None:
+        return "."
+    # htslib prints QUAL with %g (7 sig figs by default in bcftools text).
+    return f"{q:g}"
+
+
+class VcfHeader:
+    """Structured VCF header (nucleus VcfHeader proto equivalent)."""
+
+    def __init__(
+        self,
+        contigs: Sequence[ContigInfo],
+        sample_names: Sequence[str],
+        extras: Optional[Sequence[Tuple[str, str]]] = None,
+        extra_format_lines: Optional[Sequence[Tuple[str, str, str, str]]] = None,
+    ):
+        self.contigs = list(contigs)
+        self.sample_names = list(sample_names)
+        self.extras = list(extras or [])
+        self.extra_format_lines = list(extra_format_lines or [])
+
+    def lines(self) -> List[str]:
+        out = ["##fileformat=VCFv4.2"]
+        for fid, desc in _FILTER_LINES:
+            out.append(f'##FILTER=<ID={fid},Description="{desc}">')
+        for iid, num, typ, desc in _INFO_LINES:
+            out.append(
+                f'##INFO=<ID={iid},Number={num},Type={typ},'
+                f'Description="{desc}">'
+            )
+        for fid, num, typ, desc in list(_FORMAT_LINES) + self.extra_format_lines:
+            out.append(
+                f'##FORMAT=<ID={fid},Number={num},Type={typ},'
+                f'Description="{desc}">'
+            )
+        for key, value in [("DeepVariant_version", DEEP_VARIANT_VERSION)] + \
+                self.extras:
+            out.append(f"##{key}={value}")
+        for c in self.contigs:
+            out.append(f"##contig=<ID={c.name},length={c.n_bases}>")
+        cols = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+                "FORMAT"] + self.sample_names
+        out.append("\t".join(cols))
+        return out
+
+
+def deepvariant_header(
+    contigs: Sequence[ContigInfo], sample_names: Sequence[str]
+) -> VcfHeader:
+    """The standard DeepVariant output header (dv_vcf_constants.py:84)."""
+    return VcfHeader(contigs, sample_names)
+
+
+def _format_info(info: Dict[str, List]) -> str:
+    if not info:
+        return "."
+    parts = []
+    for key, values in info.items():
+        if values is True or values == [True]:
+            parts.append(key)
+            continue
+        if not isinstance(values, (list, tuple)):
+            values = [values]
+        formatted = ",".join(
+            format_float(v) if isinstance(v, float) else str(v)
+            for v in values
+        )
+        parts.append(f"{key}={formatted}")
+    return ";".join(parts) if parts else "."
+
+
+def _format_gt(call: VariantCall) -> str:
+    if not call.genotype:
+        return "."
+    sep = "|" if call.is_phased else "/"
+    return sep.join(
+        "." if g == UNCALLED_GENOTYPE else str(g) for g in call.genotype
+    )
+
+
+# FORMAT keys we know how to emit, in canonical order
+# (matches reference VCF output column ordering).
+_FORMAT_ORDER = ["GT", "GQ", "DP", "MIN_DP", "AD", "VAF", "GL", "PL",
+                 "MED_DP", "PS"]
+
+
+def format_variant_line(variant: Variant) -> str:
+    """Render one Variant proto as a VCF data line."""
+    chrom = variant.reference_name
+    pos = variant.start + 1
+    vid = ";".join(variant.names) if variant.names else "."
+    ref = variant.reference_bases or "."
+    alt = ",".join(variant.alternate_bases) if variant.alternate_bases \
+        else "."
+    qual = _format_qual(variant.quality) if variant.quality else "0"
+    filt = ";".join(variant.filter) if variant.filter else "."
+    info = dict(variant.info)
+    # gVCF ref blocks carry END.
+    if "END" in info:
+        info = {"END": info["END"]}
+    line = [chrom, str(pos), vid, ref, alt, qual, filt, _format_info(info)]
+
+    if variant.calls:
+        call = variant.calls[0]
+        fields: Dict[str, str] = {"GT": _format_gt(call)}
+        ci = call.info
+        if "GQ" in ci:
+            fields["GQ"] = str(int(ci["GQ"][0]))
+        if "DP" in ci:
+            fields["DP"] = str(int(ci["DP"][0]))
+        if "MIN_DP" in ci:
+            fields["MIN_DP"] = str(int(ci["MIN_DP"][0]))
+        if "AD" in ci:
+            fields["AD"] = ",".join(str(int(v)) for v in ci["AD"])
+        if "VAF" in ci:
+            fields["VAF"] = ",".join(format_float(float(v))
+                                     for v in ci["VAF"])
+        if call.genotype_likelihood:
+            fields["GL"] = ",".join(
+                format_float(round(gl, 6))
+                for gl in call.genotype_likelihood
+            )
+            # PL = -10*GL, renormalized so min is 0, rounded.
+            pls = [-10.0 * gl for gl in call.genotype_likelihood]
+            m = min(pls)
+            fields["PL"] = ",".join(str(int(round(p - m))) for p in pls)
+        if "MED_DP" in ci:
+            fields["MED_DP"] = str(int(ci["MED_DP"][0]))
+        if "PS" in ci:
+            fields["PS"] = str(int(ci["PS"][0]))
+        keys = [k for k in _FORMAT_ORDER if k in fields]
+        line.append(":".join(keys))
+        line.append(":".join(fields[k] for k in keys))
+    return "\t".join(line)
+
+
+class VcfWriter:
+    """Writes Variants to a (b)gzipped or plain VCF file."""
+
+    def __init__(self, path: str, header: VcfHeader, round_qualities=True):
+        self.path = path
+        self.header = header
+        if path.endswith(".gz"):
+            self._fh = BgzfWriter(path)
+            self._write = lambda s: self._fh.write(s.encode())
+        else:
+            self._raw = open(path, "w")
+            self._write = self._raw.write
+        for line in header.lines():
+            self._write(line + "\n")
+
+    def write(self, variant: Variant):
+        self._write(format_variant_line(variant) + "\n")
+
+    def close(self):
+        if hasattr(self, "_fh"):
+            self._fh.close()
+        else:
+            self._raw.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+_NUMERIC_RE = re.compile(r"^-?\d+$")
+_FLOAT_RE = re.compile(r"^-?\d*\.?\d+([eE][-+]?\d+)?$")
+
+
+def _parse_value(text: str):
+    if _NUMERIC_RE.match(text):
+        return int(text)
+    if _FLOAT_RE.match(text):
+        return float(text)
+    return text
+
+
+def parse_vcf_line(line: str, sample_names: Sequence[str]) -> Variant:
+    cols = line.rstrip("\n").split("\t")
+    v = Variant(
+        reference_name=cols[0],
+        start=int(cols[1]) - 1,
+        reference_bases=cols[3],
+        alternate_bases=[] if cols[4] == "." else cols[4].split(","),
+    )
+    if cols[2] != ".":
+        v.names = cols[2].split(";")
+    v.quality = float(cols[5]) if cols[5] != "." else 0.0
+    if cols[6] != ".":
+        v.filter = cols[6].split(";")
+    v.end = v.start + len(v.reference_bases)
+    if cols[7] != ".":
+        for item in cols[7].split(";"):
+            if "=" in item:
+                key, val = item.split("=", 1)
+                v.info[key] = [_parse_value(x) for x in val.split(",")]
+            else:
+                v.info[item] = [True]
+        if "END" in v.info:
+            v.end = int(v.info["END"][0])
+    if len(cols) > 9:
+        keys = cols[8].split(":")
+        for si, sample_col in enumerate(cols[9:]):
+            call = VariantCall(
+                call_set_name=sample_names[si]
+                if si < len(sample_names) else f"sample{si}"
+            )
+            for key, val in zip(keys, sample_col.split(":")):
+                if key == "GT":
+                    call.is_phased = "|" in val
+                    call.genotype = [
+                        UNCALLED_GENOTYPE if g == "." else int(g)
+                        for g in re.split(r"[/|]", val)
+                    ] if val != "." else [UNCALLED_GENOTYPE,
+                                          UNCALLED_GENOTYPE]
+                elif key == "GL":
+                    call.genotype_likelihood = [
+                        float(x) for x in val.split(",") if x != "."
+                    ]
+                elif key == "PS":
+                    call.phaseset = val
+                    if val not in (".", ""):
+                        call.info["PS"] = [int(val)]
+                elif val != ".":
+                    call.info[key] = [_parse_value(x)
+                                      for x in val.split(",")]
+            v.calls.append(call)
+    return v
+
+
+class VcfReader:
+    """Iterates Variants from a VCF(.gz) file; supports simple queries."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.header_lines: List[str] = []
+        self.sample_names: List[str] = []
+        self.contigs: List[ContigInfo] = []
+        self._open()
+
+    def _open(self):
+        if self.path.endswith(".gz") and is_bgzf(self.path):
+            data = BgzfReader(self.path).read_all().decode()
+            self._lines = data.splitlines()
+        elif self.path.endswith(".gz"):
+            import gzip
+
+            with gzip.open(self.path, "rt") as f:
+                self._lines = f.read().splitlines()
+        else:
+            with open(self.path) as f:
+                self._lines = f.read().splitlines()
+        self._body_start = 0
+        for i, line in enumerate(self._lines):
+            if line.startswith("##"):
+                self.header_lines.append(line)
+                m = re.match(r"##contig=<ID=([^,>]+)(?:,length=(\d+))?", line)
+                if m:
+                    self.contigs.append(
+                        ContigInfo(
+                            name=m.group(1),
+                            n_bases=int(m.group(2) or 0),
+                            pos_in_fasta=len(self.contigs),
+                        )
+                    )
+            elif line.startswith("#CHROM"):
+                self.sample_names = line.split("\t")[9:]
+                self._body_start = i + 1
+                break
+
+    def __iter__(self) -> Iterator[Variant]:
+        for line in self._lines[self._body_start:]:
+            if line:
+                yield parse_vcf_line(line, self.sample_names)
+
+    def query(self, region: Range) -> Iterator[Variant]:
+        for v in self:
+            if (v.reference_name == region.reference_name
+                    and v.start < region.end and v.end > region.start):
+                yield v
+
+    def close(self):
+        self._lines = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

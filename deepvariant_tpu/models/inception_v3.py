@@ -1,0 +1,289 @@
+"""Inception-v3 genotype classifier — pure JAX/flax, TPU-first.
+
+Re-implements the reference's CNN (keras_modeling.py:246-307: a
+`tf.keras.applications.InceptionV3` backbone with pooling='avg', a 0.2
+dropout, and a 3-class softmax head `build_classification_head`
+keras_modeling.py:46-68) as a flax.linen module.
+
+TPU-first design choices (not a keras translation):
+  * NHWC layout end-to-end — XLA/Mosaic tiles the C=128 lane dimension.
+  * bfloat16 activations + conv weights on the MXU; batch-norm statistics
+    and the classifier head stay float32 (matches the reference's
+    `dtype=tf.float32` head, keras_modeling.py:63).
+  * No data-dependent control flow; the whole forward is one jittable
+    function suitable for `pjit` over a data-sharded batch.
+  * Exact keras architecture (same branch widths, `scale=False`
+    batch-norm, epsilon 1e-3) so released checkpoints can be ported
+    tensor-by-tensor.
+
+Pileup input is (batch, 100, 221, C) uint8 normalized to (x-128)/128
+upstream (reference dv_utils.py:356-380).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NUM_CLASSES = 3  # {hom-ref, het, hom-alt} (reference dv_constants.py:77)
+DEFAULT_BACKBONE_DROPOUT_RATE = 0.2  # keras_modeling.py:43
+DEFAULT_WEIGHT_DECAY = 0.00004  # keras_modeling.py:42
+
+
+class ConvBN(nn.Module):
+    """Conv2D(use_bias=False) + BatchNorm(scale=False, eps=1e-3) + ReLU.
+
+    Mirrors keras applications' `conv2d_bn` helper; batch-norm runs in
+    float32 regardless of compute dtype to keep running statistics stable.
+    """
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: str = "SAME"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding=self.padding,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            use_scale=False,  # keras InceptionV3 uses scale=False
+            epsilon=1e-3,
+            momentum=0.9997,
+            dtype=jnp.float32,
+            name="bn",
+        )(x.astype(jnp.float32))
+        return nn.relu(x).astype(self.dtype)
+
+
+def _avg_pool_same(x):
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+
+
+def _max_pool_v(x):
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+
+class InceptionA(nn.Module):
+    """35x35-grid block (keras mixed0/1/2): 1x1, 5x5, double-3x3, pool."""
+
+    pool_features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cb = functools.partial(ConvBN, dtype=self.dtype)
+        b1 = cb(64, (1, 1), name="b1x1")(x, train)
+        b5 = cb(48, (1, 1), name="b5x5_1")(x, train)
+        b5 = cb(64, (5, 5), name="b5x5_2")(b5, train)
+        b3 = cb(64, (1, 1), name="b3x3dbl_1")(x, train)
+        b3 = cb(96, (3, 3), name="b3x3dbl_2")(b3, train)
+        b3 = cb(96, (3, 3), name="b3x3dbl_3")(b3, train)
+        bp = cb(self.pool_features, (1, 1), name="bpool")(
+            _avg_pool_same(x), train
+        )
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class ReductionA(nn.Module):
+    """Grid reduction 35->17 (keras mixed3)."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cb = functools.partial(ConvBN, dtype=self.dtype)
+        b3 = cb(384, (3, 3), strides=(2, 2), padding="VALID", name="b3x3")(
+            x, train
+        )
+        bd = cb(64, (1, 1), name="b3x3dbl_1")(x, train)
+        bd = cb(96, (3, 3), name="b3x3dbl_2")(bd, train)
+        bd = cb(96, (3, 3), strides=(2, 2), padding="VALID",
+                name="b3x3dbl_3")(bd, train)
+        return jnp.concatenate([b3, bd, _max_pool_v(x)], axis=-1)
+
+
+class InceptionB(nn.Module):
+    """17x17-grid block with factorized 7x7 convs (keras mixed4-7)."""
+
+    c7: int  # 128 / 160 / 160 / 192
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cb = functools.partial(ConvBN, dtype=self.dtype)
+        b1 = cb(192, (1, 1), name="b1x1")(x, train)
+        b7 = cb(self.c7, (1, 1), name="b7x7_1")(x, train)
+        b7 = cb(self.c7, (1, 7), name="b7x7_2")(b7, train)
+        b7 = cb(192, (7, 1), name="b7x7_3")(b7, train)
+        bd = cb(self.c7, (1, 1), name="b7x7dbl_1")(x, train)
+        bd = cb(self.c7, (7, 1), name="b7x7dbl_2")(bd, train)
+        bd = cb(self.c7, (1, 7), name="b7x7dbl_3")(bd, train)
+        bd = cb(self.c7, (7, 1), name="b7x7dbl_4")(bd, train)
+        bd = cb(192, (1, 7), name="b7x7dbl_5")(bd, train)
+        bp = cb(192, (1, 1), name="bpool")(_avg_pool_same(x), train)
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class ReductionB(nn.Module):
+    """Grid reduction 17->8 (keras mixed8)."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cb = functools.partial(ConvBN, dtype=self.dtype)
+        b3 = cb(192, (1, 1), name="b3x3_1")(x, train)
+        b3 = cb(320, (3, 3), strides=(2, 2), padding="VALID", name="b3x3_2")(
+            b3, train
+        )
+        b7 = cb(192, (1, 1), name="b7x7x3_1")(x, train)
+        b7 = cb(192, (1, 7), name="b7x7x3_2")(b7, train)
+        b7 = cb(192, (7, 1), name="b7x7x3_3")(b7, train)
+        b7 = cb(192, (3, 3), strides=(2, 2), padding="VALID",
+                name="b7x7x3_4")(b7, train)
+        return jnp.concatenate([b3, b7, _max_pool_v(x)], axis=-1)
+
+
+class InceptionC(nn.Module):
+    """8x8-grid block with expanded filter banks (keras mixed9/10)."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cb = functools.partial(ConvBN, dtype=self.dtype)
+        b1 = cb(320, (1, 1), name="b1x1")(x, train)
+        b3 = cb(384, (1, 1), name="b3x3_1")(x, train)
+        b3a = cb(384, (1, 3), name="b3x3_2a")(b3, train)
+        b3b = cb(384, (3, 1), name="b3x3_2b")(b3, train)
+        b3 = jnp.concatenate([b3a, b3b], axis=-1)
+        bd = cb(448, (1, 1), name="b3x3dbl_1")(x, train)
+        bd = cb(384, (3, 3), name="b3x3dbl_2")(bd, train)
+        bda = cb(384, (1, 3), name="b3x3dbl_3a")(bd, train)
+        bdb = cb(384, (3, 1), name="b3x3dbl_3b")(bd, train)
+        bd = jnp.concatenate([bda, bdb], axis=-1)
+        bp = cb(192, (1, 1), name="bpool")(_avg_pool_same(x), train)
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3(nn.Module):
+    """InceptionV3 backbone + avg-pool + dropout + 3-class head.
+
+    `__call__` returns class probabilities (float32) to match the
+    reference head's softmax activation (keras_modeling.py:60-68); use
+    `apply(..., method=InceptionV3.logits)` when a loss wants logits.
+    """
+
+    num_classes: int = NUM_CLASSES
+    dropout_rate: float = DEFAULT_BACKBONE_DROPOUT_RATE
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def backbone(self, x, train: bool = False):
+        cb = functools.partial(ConvBN, dtype=self.dtype)
+        x = x.astype(self.dtype)
+        # Stem (keras InceptionV3 lines before mixed0).
+        x = cb(32, (3, 3), strides=(2, 2), padding="VALID", name="stem1")(
+            x, train
+        )
+        x = cb(32, (3, 3), padding="VALID", name="stem2")(x, train)
+        x = cb(64, (3, 3), name="stem3")(x, train)
+        x = _max_pool_v(x)
+        x = cb(80, (1, 1), padding="VALID", name="stem4")(x, train)
+        x = cb(192, (3, 3), padding="VALID", name="stem5")(x, train)
+        x = _max_pool_v(x)
+        x = InceptionA(32, dtype=self.dtype, name="mixed0")(x, train)
+        x = InceptionA(64, dtype=self.dtype, name="mixed1")(x, train)
+        x = InceptionA(64, dtype=self.dtype, name="mixed2")(x, train)
+        x = ReductionA(dtype=self.dtype, name="mixed3")(x, train)
+        x = InceptionB(128, dtype=self.dtype, name="mixed4")(x, train)
+        x = InceptionB(160, dtype=self.dtype, name="mixed5")(x, train)
+        x = InceptionB(160, dtype=self.dtype, name="mixed6")(x, train)
+        x = InceptionB(192, dtype=self.dtype, name="mixed7")(x, train)
+        x = ReductionB(dtype=self.dtype, name="mixed8")(x, train)
+        x = InceptionC(dtype=self.dtype, name="mixed9")(x, train)
+        x = InceptionC(dtype=self.dtype, name="mixed10")(x, train)
+        # pooling='avg' backbone output (keras_modeling.py:252-257).
+        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+
+    def logits(self, x, train: bool = False):
+        h = self.backbone(x, train)
+        h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+        # fp32 head, L2-regularized in the training loss
+        # (keras_modeling.py:46-68).
+        return nn.Dense(self.num_classes, dtype=jnp.float32,
+                        name="classification")(h)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return jax.nn.softmax(self.logits(x, train), axis=-1)
+
+
+def normalize_pileup(images_uint8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 pileup -> model input: (x - 128) / 128, as bfloat16.
+
+    Matches reference dv_utils.py:356-380 (preprocess_images).
+    """
+    return (images_uint8.astype(jnp.bfloat16) - 128.0) / 128.0
+
+
+def create_model(
+    num_channels: int,
+    height: int = 100,
+    width: int = 221,
+    dtype: Any = jnp.bfloat16,
+    rng: Optional[jax.Array] = None,
+):
+    """Build the model and init variables for a (H, W, C) pileup input.
+
+    Returns (module, variables) where variables = {params, batch_stats}.
+    """
+    model = InceptionV3(dtype=dtype)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, height, width, num_channels), jnp.bfloat16)
+    variables = model.init(rng, dummy, train=False)
+    return model, variables
+
+
+def adapt_input_channels(params, new_num_channels: int, rng=None):
+    """Re-shape the stem conv for a different channel count.
+
+    Port of `load_weights_to_model_with_different_channels`
+    (keras_modeling.py:113-169): shared leading channels are copied,
+    extra channels are freshly initialized (variance-scaled).
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    key = ("stem1", "conv", "kernel")
+    kernel = flat[key]
+    kh, kw, c_in, c_out = kernel.shape
+    if c_in == new_num_channels:
+        return params
+    if new_num_channels < c_in:
+        new_kernel = kernel[:, :, :new_num_channels, :]
+    else:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        fan_in = kh * kw * new_num_channels
+        extra = jax.random.normal(
+            rng, (kh, kw, new_num_channels - c_in, c_out), kernel.dtype
+        ) * jnp.sqrt(2.0 / fan_in)
+        new_kernel = jnp.concatenate([kernel, extra], axis=2)
+    flat[key] = new_kernel
+    return flax.traverse_util.unflatten_dict(flat)

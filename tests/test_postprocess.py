@@ -1,0 +1,295 @@
+"""Postprocess-stage tests: genotype resolution, multiallelic merge,
+haplotype conflict resolution, gVCF merge, VCF writing.
+
+Scenarios mirror reference postprocess_variants_test.py / haplotypes_test.py
+numerics.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from deepvariant_tpu.core.types import (
+    CallVariantsOutput,
+    ContigInfo,
+    Variant,
+    VariantCall,
+)
+from deepvariant_tpu.io.vcf import (
+    VcfReader,
+    VcfWriter,
+    deepvariant_header,
+    format_variant_line,
+)
+from deepvariant_tpu.postprocess import genotype as gt
+from deepvariant_tpu.postprocess import haplotypes
+from deepvariant_tpu.postprocess.merge import (
+    expected_alt_allele_indices,
+    get_alt_alleles_to_remove,
+    merge_predictions,
+    prune_alleles,
+)
+from deepvariant_tpu.postprocess.pipeline import (
+    cvos_to_variants,
+    merge_variants_and_nonvariants,
+    postprocess_variants,
+    transform_to_gvcf,
+    zero_scale_gl,
+)
+
+
+def make_variant(start=10, ref="A", alts=("T",), ad=(5, 5), chrom="chr1"):
+    return Variant(
+        reference_name=chrom,
+        start=start,
+        end=start + len(ref),
+        reference_bases=ref,
+        alternate_bases=list(alts),
+        calls=[VariantCall(call_set_name="s1",
+                           info={"AD": list(ad), "DP": [sum(ad)]})],
+    )
+
+
+class TestMostLikelyGenotype:
+    def test_biallelic(self):
+        idx, alleles = gt.most_likely_genotype([0.01, 0.9, 0.09])
+        assert idx == 1 and alleles == [0, 1]
+        idx, alleles = gt.most_likely_genotype([0.01, 0.09, 0.9])
+        assert idx == 2 and alleles == [1, 1]
+        idx, alleles = gt.most_likely_genotype([0.9, 0.05, 0.05])
+        assert idx == 0 and alleles == [0, 0]
+
+    def test_multiallelic_ordering(self):
+        # P=2, N=2: ordering 0/0, 0/1, 1/1, 0/2, 1/2, 2/2
+        probs = [0, 0, 0, 0, 1.0, 0]
+        idx, alleles = gt.most_likely_genotype(probs, n_alleles=3)
+        assert idx == 4 and alleles == [1, 2]
+
+
+class TestComputeQuals:
+    def test_qual_is_phred_of_nonref(self):
+        gq, qual = gt.compute_quals([0.01, 0.9, 0.09], 1)
+        assert gq == 10  # -10*log10(1-0.9) = 10
+        assert qual == pytest.approx(
+            -10 * math.log10(0.01), abs=1e-6
+        )
+
+    def test_max_confidence_cap(self):
+        gq, qual = gt.compute_quals([0.0, 1.0, 0.0], 1)
+        # capped at ~99 by _MAX_CONFIDENCE = 1 - 1.25e-10
+        assert 98 <= gq <= 100
+        assert 98 <= qual <= 100
+
+
+class TestSimplifyAlleles:
+    def test_common_postfix(self):
+        assert gt.simplify_alleles("AC", "GC") == ("A", "G")
+        assert gt.simplify_alleles("AC", "GT") == ("AC", "GT")
+        assert gt.simplify_alleles("CACA", "CA") == ("CAC", "C")
+
+
+class TestAddCallToVariant:
+    def test_het_call(self):
+        v = make_variant()
+        out = gt.add_call_to_variant(v, [0.01, 0.9, 0.09],
+                                     qual_filter=1.0, sample_name="s1")
+        call = out.calls[0]
+        assert call.genotype == [0, 1]
+        assert call.info["GQ"] == [10]
+        assert out.filter == ["PASS"]
+        assert len(call.genotype_likelihood) == 3
+
+    def test_homref_lowgq_becomes_nocall(self):
+        v = make_variant()
+        out = gt.add_call_to_variant(v, [0.6, 0.3, 0.1],
+                                     qual_filter=1.0, sample_name="s1")
+        # GQ of 0.6 ~ 4 < 20 -> ./. NoCall
+        assert out.calls[0].genotype == [-1, -1]
+        assert out.filter == ["NoCall"]
+
+    def test_no_ad_uncalled(self):
+        v = make_variant(ad=(0, 0))
+        out = gt.add_call_to_variant(v, [0.01, 0.9, 0.09],
+                                     qual_filter=1.0, sample_name="s1")
+        assert out.calls[0].genotype == [-1, -1]
+
+
+class TestMergePredictions:
+    def _cvo(self, variant, indices, probs):
+        return CallVariantsOutput(
+            variant=variant, alt_allele_indices=list(indices),
+            genotype_probabilities=list(probs),
+        )
+
+    def test_biallelic_passthrough(self):
+        v = make_variant()
+        merged, probs = merge_predictions([self._cvo(v, [0], [0.1, 0.8, 0.1])])
+        assert probs == [0.1, 0.8, 0.1]
+
+    def test_triallelic_min_merge(self):
+        v = make_variant(alts=("T", "G"), ad=(4, 3, 3))
+        cvos = [
+            self._cvo(v, [0], [0.1, 0.8, 0.1]),
+            self._cvo(v, [1], [0.2, 0.7, 0.1]),
+            self._cvo(v, [0, 1], [0.05, 0.05, 0.9]),
+        ]
+        merged, probs = merge_predictions(cvos)
+        assert len(probs) == 6  # 0/0 0/1 1/1 0/2 1/2 2/2
+        assert abs(sum(probs) - 1.0) < 1e-9
+
+    def test_expected_alt_allele_indices(self):
+        assert expected_alt_allele_indices(2) == [[0], [0, 1], [1]]
+
+    def test_allele_pruning(self):
+        v = make_variant(alts=("T", "G"), ad=(4, 5, 0))
+        cvos = [
+            self._cvo(v, [0], [0.1, 0.8, 0.1]),     # T looks real
+            self._cvo(v, [1], [0.999999, 1e-6, 0]),  # G looks fake
+            self._cvo(v, [0, 1], [0.1, 0.8, 0.1]),
+        ]
+        removed = get_alt_alleles_to_remove(cvos, qual_filter=1.0)
+        assert removed == {"G"}
+        merged, probs = merge_predictions(cvos, qual_filter=1.0)
+        assert merged.alternate_bases == ["T"]
+        assert len(probs) == 3
+
+    def test_product_mode(self):
+        v = make_variant(alts=("T", "G"), ad=(4, 3, 3))
+        cvos = [
+            self._cvo(v, [0], [0.1, 0.8, 0.1]),
+            self._cvo(v, [1], [0.2, 0.7, 0.1]),
+            self._cvo(v, [0, 1], [0.05, 0.05, 0.9]),
+        ]
+        merged, probs = merge_predictions(
+            cvos, multiallelic_mode="product"
+        )
+        assert len(probs) == 6
+        assert abs(sum(probs) - 1.0) < 1e-9
+
+    def test_haploid_contig_correction(self):
+        v = make_variant(chrom="chrY")
+        _, probs = merge_predictions(
+            [self._cvo(v, [0], [0.3, 0.4, 0.3])],
+            haploid_contigs={"chrY"},
+        )
+        # het zeroed, renormalized
+        assert probs[1] == 0
+        assert abs(sum(probs) - 1.0) < 1e-9
+
+
+class TestHaplotypeResolution:
+    def _variant_with_gl(self, start, end, probs, genotype):
+        v = make_variant(start=start, ref="A" * (end - start))
+        call = v.calls[0]
+        call.genotype = list(genotype)
+        call.genotype_likelihood = [
+            math.log10(max(p, 1e-10)) for p in probs
+        ]
+        v.quality = 30
+        return v
+
+    def test_docstring_example(self):
+        # Het deletion + hom-alt SNP inside it -> both become het.
+        indel = self._variant_with_gl(10, 15, [0.01, 0.9, 0.09], [0, 1])
+        snp = self._variant_with_gl(12, 13, [0.02, 0.48, 0.5], [1, 1])
+        resolved = list(
+            haplotypes.maybe_resolve_conflicting_variants([indel, snp])
+        )
+        assert [v.calls[0].genotype for v in resolved] == [[0, 1], [0, 1]]
+
+    def test_compatible_untouched(self):
+        a = self._variant_with_gl(10, 11, [0.01, 0.9, 0.09], [0, 1])
+        b = self._variant_with_gl(30, 31, [0.01, 0.09, 0.9], [1, 1])
+        resolved = list(
+            haplotypes.maybe_resolve_conflicting_variants([a, b])
+        )
+        assert [v.calls[0].genotype for v in resolved] == [[0, 1], [1, 1]]
+
+
+class TestGvcfMerge:
+    def _refblock(self, start, end):
+        v = Variant(
+            reference_name="chr1", start=start, end=end,
+            reference_bases="A", alternate_bases=["<*>"],
+            info={"END": [end]},
+            calls=[VariantCall(call_set_name="s1", genotype=[0, 0])],
+        )
+        return v
+
+    def test_transform_to_gvcf_adds_star_allele(self):
+        v = make_variant()
+        v.calls[0].genotype_likelihood = [-1.0, -0.1, -2.0]
+        out = transform_to_gvcf(v)
+        assert out.alternate_bases[-1] == "<*>"
+        assert len(out.calls[0].genotype_likelihood) == 6
+        assert out.calls[0].info["AD"][-1] == 0
+
+    def test_zero_scale(self):
+        v = make_variant()
+        v.calls[0].genotype_likelihood = [-3.0, -0.5, -2.0]
+        out = zero_scale_gl(v)
+        assert max(out.calls[0].genotype_likelihood) == 0.0
+
+    def test_split_ref_block_around_variant(self):
+        variant = make_variant(start=15)
+        variant.filter = ["PASS"]
+        variant.calls[0].genotype_likelihood = [-2, -0.1, -1]
+        block = self._refblock(10, 25)
+        events = list(
+            merge_variants_and_nonvariants(
+                [variant], [block], ref_lookup=lambda c, p: "G"
+            )
+        )
+        kinds = [k for k, _ in events]
+        assert kinds == ["gvcf", "vcf", "gvcf", "gvcf"]
+        first_block = events[0][1]
+        assert (first_block.start, first_block.end) == (10, 15)
+        tail_block = events[3][1]
+        assert (tail_block.start, tail_block.end) == (16, 25)
+        assert tail_block.reference_bases == "G"
+
+
+class TestEndToEndPostprocess:
+    def test_cvo_to_vcf(self, tmp_path):
+        from deepvariant_tpu.io.tfrecord import TFRecordWriter
+
+        contigs = [ContigInfo(name="chr1", n_bases=1000, pos_in_fasta=0)]
+        cvo_path = str(tmp_path / "cvo.tfrecord")
+        cvos = []
+        for start, probs in [(10, [0.01, 0.9, 0.09]),
+                             (50, [0.02, 0.08, 0.9]),
+                             (80, [0.999, 0.0005, 0.0005])]:
+            v = make_variant(start=start)
+            cvos.append(CallVariantsOutput(
+                variant=v, alt_allele_indices=[0],
+                genotype_probabilities=probs))
+        with TFRecordWriter(cvo_path) as w:
+            for c in cvos:
+                w.write(c.encode())
+        out_vcf = str(tmp_path / "out.vcf")
+        stats = postprocess_variants(
+            cvo_path, out_vcf, contigs, sample_name="s1"
+        )
+        assert stats["vcf_records"] == 3
+        with VcfReader(out_vcf) as reader:
+            records = list(reader)
+        assert len(records) == 3
+        assert records[0].calls[0].genotype == [0, 1]
+        assert records[1].calls[0].genotype == [1, 1]
+        assert records[0].filter == ["PASS"]
+        # hom-ref with high confidence -> RefCall filter
+        assert records[2].filter == ["RefCall"]
+        assert reader.sample_names == ["s1"]
+
+    def test_vcf_line_format(self):
+        v = make_variant(start=9)
+        out = gt.add_call_to_variant(v, [0.01, 0.9, 0.09],
+                                     qual_filter=1.0, sample_name="s1")
+        line = format_variant_line(out)
+        cols = line.split("\t")
+        assert cols[0] == "chr1" and cols[1] == "10"
+        assert cols[3] == "A" and cols[4] == "T"
+        assert cols[6] == "PASS"
+        assert cols[8].startswith("GT:GQ:DP")
+        assert cols[9].startswith("0/1:10:10")
