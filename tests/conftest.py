@@ -5,12 +5,20 @@ Real-TPU benchmarking happens in bench.py (driver-run), not under pytest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment selects the tunneled TPU
+# ('axon'): unit tests must run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (
         prev + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# Belt-and-braces: jax may already be imported by a pytest plugin with the
+# ambient JAX_PLATFORMS=axon; the config update wins if no backend is live.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
