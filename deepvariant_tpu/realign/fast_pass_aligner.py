@@ -1,0 +1,508 @@
+"""Fast read-to-haplotype realignment.
+
+Behavior parity with reference fast_pass_aligner.{h,cc}:
+  1. k-mer index over the window's reads (BuildIndex, :611-617);
+  2. exact/fast pass: for each haplotype position whose k-mer hits the
+     index, whole-read comparison with <= max_num_of_mismatches
+     mismatches; best score kept per read; haplotypes with an uncovered
+     non-flank position get score 0 and are discarded
+     (FastAlignReadsToHaplotype, :227-301);
+  3. haplotypes align to the window reference with SSW
+     (AlignHaplotypesToReference, :364-409); per-haplotype
+     hap->ref position-shift maps (SetPositionsMap, :619-666);
+  4. reads with no fast-pass alignment SSW-align to each supported
+     haplotype (SswAlignReadsToHaplotypes, :411-457);
+  5. each read adopts its best haplotype alignment (non-ref preferred on
+     ties, GetBestReadAlignment, :673-697), with the read->ref CIGAR
+     produced by merging read->hap with hap->ref ops
+     (CalculateReadToRefAlignment, :861-993 + MergeCigarOp) and dropped
+     if the result is not left-normalized (IsAlignmentNormalized).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from deepvariant_tpu.core.cigar import CHAR_TO_PROTO_OP, PROTO_OP_TO_CHAR
+from deepvariant_tpu.core.types import Read
+from deepvariant_tpu.realign.config import AlignerOptions
+from deepvariant_tpu.realign.ssw import SswAligner
+
+# proto op codes (reads.proto CigarUnit)
+OP_M = CHAR_TO_PROTO_OP["M"]
+OP_I = CHAR_TO_PROTO_OP["I"]
+OP_D = CHAR_TO_PROTO_OP["D"]
+OP_S = CHAR_TO_PROTO_OP["S"]
+
+_CIGAR_RE = re.compile(r"(\d+)([XIDS=M])")
+
+NOT_ALIGNED = -1
+
+
+def cigar_string_to_ops(cigar: str) -> List[List[int]]:
+    """'10=2I3X' -> [[op, len], ...] with =/X/M -> OP_M."""
+    ops = []
+    for length, op_char in _CIGAR_RE.findall(cigar):
+        if op_char in "=XM":
+            op = OP_M
+        elif op_char == "I":
+            op = OP_I
+        elif op_char == "D":
+            op = OP_D
+        else:
+            op = OP_S
+        ops.append([op, int(length)])
+    return ops
+
+
+@dataclasses.dataclass
+class ReadAlignment:
+    score: int = 0
+    position: int = NOT_ALIGNED
+    cigar: str = ""
+
+
+class HaplotypeReadsAlignment:
+    def __init__(self, haplotype_index: int, haplotype_score: int,
+                 read_alignments: List[ReadAlignment]):
+        self.haplotype_index = haplotype_index
+        self.haplotype_score = haplotype_score
+        self.read_alignments = read_alignments
+        self.is_reference = False
+        self.cigar = ""
+        self.cigar_ops: List[List[int]] = []
+        self.ref_pos = 0
+        self.hap_to_ref_positions_map: List[int] = []
+
+
+def set_positions_map(haplotype_size: int,
+                      hap_alignment: HaplotypeReadsAlignment):
+    """hap position -> ref-shift map (fast_pass_aligner.cc:619-666)."""
+    positions_map = [0] * haplotype_size
+    cur_shift = 0
+    hap_pos = 0
+    for length, op in _CIGAR_RE.findall(hap_alignment.cigar):
+        length = int(length)
+        if op in "=XM":
+            for _ in range(length):
+                positions_map[hap_pos] = cur_shift
+                hap_pos += 1
+        elif op == "S":
+            cur_shift -= length
+            for _ in range(length):
+                positions_map[hap_pos] = cur_shift
+                hap_pos += 1
+        elif op == "D":
+            cur_shift += length
+        elif op == "I":
+            for _ in range(length):
+                positions_map[hap_pos] = cur_shift
+                cur_shift -= 1
+                hap_pos += 1
+    hap_alignment.hap_to_ref_positions_map = positions_map
+
+
+def aligned_length(cigar: List[List[int]]) -> int:
+    return sum(l for op, l in cigar if op != OP_D)
+
+
+def merge_cigar_op(op: List[int], read_len: int, cigar: List[List[int]]):
+    """MergeCigarOp (fast_pass_aligner.cc:712-776): merge a (possibly
+    one-base) op into the output cigar, with INS/DEL annihilation."""
+    last_op = cigar[-1][0] if cigar else None
+    aligned_before = aligned_length(cigar)
+    if op[0] != OP_D:
+        new_len = min(op[1], read_len - aligned_before)
+    else:
+        new_len = op[1]
+    if new_len <= 0 or aligned_before == read_len:
+        return
+    if (op[0] == OP_I and last_op == OP_D) or \
+            (op[0] == OP_D and last_op == OP_I):
+        # INS and DEL cancel one base; insert/extend a MATCH before the
+        # trailing indel.
+        if len(cigar) > 1 and cigar[-2][0] == OP_M:
+            cigar[-2][1] += 1
+        else:
+            cigar.insert(len(cigar) - 1, [OP_M, 1])
+        if cigar[-1][1] == 1:
+            cigar.pop()
+        else:
+            cigar[-1][1] -= 1
+    elif op[0] == last_op:
+        cigar[-1][1] += new_len
+    else:
+        cigar.append([op[0], new_len])
+
+
+def left_trim_hap_to_ref(
+    hap_to_ref: List[List[int]], read_to_hap_pos: int
+) -> List[List[int]]:
+    """LeftTrimHaplotypeToRefAlignment (fast_pass_aligner.cc:783-822)."""
+    ops = [list(x) for x in hap_to_ref]
+    cur_pos = 0
+    while cur_pos != read_to_hap_pos:
+        assert ops, "ran out of cigar while trimming"
+        cur = ops.pop(0)
+        if cur[0] in (OP_M, OP_S, OP_I):
+            if cur[1] + cur_pos > read_to_hap_pos:
+                ops.insert(0, [cur[0],
+                               cur[1] - (read_to_hap_pos - cur_pos)])
+            cur_pos = min(cur[1] + cur_pos, read_to_hap_pos)
+    if ops and ops[0][0] == OP_D:
+        ops.pop(0)
+    return ops
+
+
+def _merge_one_base(cur_read_to_hap: List[int], cur_hap_to_ref: List[int],
+                    read_len: int, out: List[List[int]]):
+    """MergeOneBaseOperations: priority S > D > I > M."""
+    for op in (OP_S, OP_D, OP_I, OP_M):
+        if cur_read_to_hap[0] == op or cur_hap_to_ref[0] == op:
+            merge_cigar_op([op, 1], read_len, out)
+            return
+
+
+def calculate_read_to_ref_alignment(
+    read_seq: str,
+    read_alignment: ReadAlignment,
+    hap_to_ref_ops: List[List[int]],
+) -> List[List[int]]:
+    """Merge read->hap and hap->ref cigars
+    (CalculateReadToRefAlignment, fast_pass_aligner.cc:861-993)."""
+    read_len = len(read_seq)
+    read_to_hap = cigar_string_to_ops(read_alignment.cigar)
+    hap_to_ref = left_trim_hap_to_ref(hap_to_ref_ops,
+                                      read_alignment.position)
+    assert hap_to_ref, "read must overlap haplotype"
+    out: List[List[int]] = []
+
+    if read_to_hap and read_to_hap[0][0] == OP_S:
+        merge_cigar_op([OP_S, read_to_hap[0][1]], read_len, out)
+        read_to_hap.pop(0)
+
+    cur_rh = [0, 0]  # [op, remaining]
+    cur_hr = [0, 0]
+    while (read_to_hap or hap_to_ref) and aligned_length(out) < read_len:
+        if read_to_hap and not hap_to_ref and cur_hr[1] == 0:
+            merge_cigar_op(read_to_hap.pop(0), read_len, out)
+            continue
+        if not read_to_hap and cur_rh[1] == 0 and hap_to_ref:
+            break
+        if cur_rh[1] == 0:
+            cur_rh = list(read_to_hap.pop(0))
+        if cur_hr[1] == 0:
+            cur_hr = list(hap_to_ref.pop(0))
+        while cur_rh[1] > 0 and cur_hr[1] > 0:
+            if (cur_rh[0] == OP_D and cur_hr[0] == OP_I) or \
+                    (cur_rh[0] == OP_I and cur_hr[0] == OP_D):
+                cur_hr[1] -= 1
+                cur_rh[1] -= 1
+                if cur_hr[0] == OP_D:
+                    hap_to_ref.insert(0, [OP_M, 1])
+                    read_to_hap.insert(0, [OP_M, 1])
+                continue
+            _merge_one_base(cur_rh, cur_hr, read_len, out)
+            if cur_rh[0] == OP_I:
+                cur_rh[1] -= 1
+            elif cur_hr[0] == OP_D:
+                cur_hr[1] -= 1
+            else:
+                cur_hr[1] -= 1
+                cur_rh[1] -= 1
+
+    if cur_rh[1] > 0 and cur_rh[0] == OP_S:
+        while cur_rh[1] > 0:
+            _merge_one_base(cur_rh, cur_hr, read_len, out)
+            cur_rh[1] -= 1
+
+    if read_to_hap or cur_rh[1] > 0:
+        return []
+    return out
+
+
+class FastPassAligner:
+    """Realigns one window's reads against its candidate haplotypes."""
+
+    def __init__(self, options: Optional[AlignerOptions] = None):
+        self.options = options or AlignerOptions()
+        self.reference = ""
+        self.haplotypes: List[str] = []
+        self.region_chromosome = ""
+        self.region_position_in_chr = 0
+        self.ref_prefix_len = 0
+        self.ref_suffix_len = 0
+        self.normalize_reads = False
+        self._reads: List[str] = []
+        self._kmer_index: Dict[str, List[Tuple[int, int]]] = {}
+        self._hap_alignments: List[HaplotypeReadsAlignment] = []
+
+    # -- setup --------------------------------------------------------------
+
+    def set_reference(self, reference: str):
+        self.reference = reference
+
+    def set_ref_start(self, chromosome: str, position: int):
+        self.region_chromosome = chromosome
+        self.region_position_in_chr = position
+
+    def set_haplotypes(self, haplotypes: Sequence[str]):
+        self.haplotypes = list(haplotypes)
+
+    def set_ref_prefix_len(self, n: int):
+        self.ref_prefix_len = n
+
+    def set_ref_suffix_len(self, n: int):
+        self.ref_suffix_len = n
+
+    def _ssw_score_threshold(self) -> int:
+        o = self.options
+        t = o.match * o.read_size * o.realignment_similarity_threshold \
+            - o.mismatch * o.read_size * \
+            (1 - o.realignment_similarity_threshold)
+        return 1 if t < 0 else int(t)
+
+    # -- indexing -----------------------------------------------------------
+
+    def _build_index(self):
+        k = self.options.kmer_size
+        self._kmer_index = {}
+        for read_id, read in enumerate(self._reads):
+            if len(read) <= k:
+                continue
+            for i in range(len(read) - k + 1):
+                self._kmer_index.setdefault(read[i:i + k], []).append(
+                    (read_id, i)
+                )
+
+    # -- fast pass ----------------------------------------------------------
+
+    def _fast_align_strings(self, s1: str, s2: str,
+                            max_mismatches: int) -> Tuple[int, int]:
+        """(score, num_mismatches); score 0 if cap hit
+        (FastAlignStrings, :304-327)."""
+        num_mismatches = 0
+        num_matches = 0
+        for c1, c2 in zip(s1, s2):
+            if c1 != c2 and c1 != "N" and c2 != "N":
+                num_mismatches += 1
+                if num_mismatches == max_mismatches:
+                    return 0, num_mismatches
+            else:
+                num_matches += 1
+        return (num_matches * self.options.match
+                - num_mismatches * self.options.mismatch), num_mismatches
+
+    def _fast_align_reads_to_haplotype(
+        self, haplotype: str, read_alignments: List[ReadAlignment]
+    ) -> int:
+        k = self.options.kmer_size
+        is_ref = haplotype == self.reference
+        coverage = np.zeros(len(haplotype), np.int32)
+        haplotype_score = 0
+        last_pos = len(haplotype) - k
+        for i in range(last_pos + 1):
+            hits = self._kmer_index.get(haplotype[i:i + k])
+            if hits:
+                for read_id, read_pos in hits:
+                    target_start = max(0, i - read_pos)
+                    read = self._reads[read_id]
+                    span = len(read)
+                    if target_start + span > len(haplotype):
+                        continue
+                    ra = read_alignments[read_id]
+                    if ra.position != NOT_ALIGNED and \
+                            ra.position == target_start:
+                        continue
+                    score, mismatches = self._fast_align_strings(
+                        haplotype[target_start:target_start + span], read,
+                        self.options.max_num_of_mismatches + 1,
+                    )
+                    if mismatches <= self.options.max_num_of_mismatches:
+                        coverage[target_start:target_start + span] += 1
+                        if ra.score < score:
+                            haplotype_score += score - ra.score
+                            ra.score = score
+                            ra.position = target_start
+                            ra.cigar = f"{span}="
+            if (coverage[i] == 0 and i >= self.ref_prefix_len
+                    and i < len(haplotype) - self.ref_suffix_len
+                    and not is_ref):
+                return 0
+        return haplotype_score
+
+    # -- main ---------------------------------------------------------------
+
+    def realign_reads(self, reads: Sequence[Read]) -> List[Read]:
+        """AlignReads (fast_pass_aligner.cc:131-175)."""
+        self._reads = [r.aligned_sequence.upper() for r in reads]
+        if self._reads:
+            self.options.read_size = len(self._reads[0])
+        score_threshold = self._ssw_score_threshold()
+        self._build_index()
+
+        # Fast pass per haplotype.
+        self._hap_alignments = []
+        for hap_index, haplotype in enumerate(self.haplotypes):
+            read_alignments = [ReadAlignment() for _ in self._reads]
+            hap_score = self._fast_align_reads_to_haplotype(
+                haplotype, read_alignments
+            )
+            if hap_score == 0:
+                read_alignments = [ReadAlignment() for _ in self._reads]
+            self._hap_alignments.append(
+                HaplotypeReadsAlignment(hap_index, hap_score,
+                                        read_alignments)
+            )
+
+        # Align haplotypes to the reference.
+        ssw = SswAligner(self.options.match, self.options.mismatch,
+                         self.options.gap_open, self.options.gap_extend)
+        ssw.set_reference_sequence(self.reference)
+        for ha in self._hap_alignments:
+            hap = self.haplotypes[ha.haplotype_index]
+            if hap == self.reference:
+                ha.is_reference = True
+                ha.cigar = f"{len(hap)}="
+                ha.ref_pos = 0
+            else:
+                alignment = ssw.align(hap)
+                if alignment.sw_score > 0:
+                    ha.is_reference = \
+                        alignment.cigar_string == f"{len(hap)}="
+                    ha.cigar = alignment.cigar_string
+                    ha.ref_pos = alignment.ref_begin
+            ha.cigar_ops = cigar_string_to_ops(ha.cigar)
+            set_positions_map(len(hap), ha)
+
+        # SSW fallback for unaligned reads.
+        hap_ssw: Dict[int, SswAligner] = {}
+        for read_id, read_seq in enumerate(self._reads):
+            if any(ha.read_alignments[read_id].score > 0
+                   for ha in self._hap_alignments):
+                continue
+            for ha in self._hap_alignments:
+                if ha.haplotype_score == 0 and not (
+                    self.options.force_alignment and ha.is_reference
+                ):
+                    continue
+                aligner = hap_ssw.get(ha.haplotype_index)
+                if aligner is None:
+                    aligner = SswAligner(
+                        self.options.match, self.options.mismatch,
+                        self.options.gap_open, self.options.gap_extend,
+                    )
+                    aligner.set_reference_sequence(
+                        self.haplotypes[ha.haplotype_index]
+                    )
+                    hap_ssw[ha.haplotype_index] = aligner
+                alignment = aligner.align(read_seq)
+                if alignment.sw_score > 0 and (
+                    alignment.sw_score >= score_threshold
+                    or (self.options.force_alignment and ha.is_reference)
+                ):
+                    ra = ha.read_alignments[read_id]
+                    ra.score = alignment.sw_score
+                    ra.cigar = alignment.cigar_string
+                    ra.position = alignment.ref_begin
+
+        # Sort by haplotype support (ascending, like the reference's
+        # operator< on haplotype_score).
+        self._hap_alignments.sort(key=lambda h: h.haplotype_score)
+
+        return self._realign_reads_to_reference(reads)
+
+    def _best_read_alignment(self, read_id: int) -> Optional[int]:
+        best_score = 0
+        best_index = None
+        for idx, ha in enumerate(self._hap_alignments):
+            score = ha.read_alignments[read_id].score
+            if score > best_score or (
+                best_score > 0 and score == best_score
+                and not ha.is_reference
+            ):
+                best_score = score
+                best_index = idx
+        return best_index
+
+    def _is_alignment_normalized(
+        self, cigar: List[List[int]], ref_offset: int, read_seq: str
+    ) -> bool:
+        """IsAlignmentNormalized (fast_pass_aligner.cc:459-520)."""
+        if ref_offset < 0:
+            return True
+        cur_ref = ref_offset
+        cur_read = 0
+        for op, length in cigar:
+            if op == OP_S:
+                cur_read += length
+                continue
+            if op != OP_M:
+                if op == OP_D:
+                    if cur_ref + length > len(self.reference):
+                        return False
+                    op_seq = self.reference[cur_ref:cur_ref + length]
+                else:
+                    op_seq = read_seq[cur_read:cur_read + length]
+                if not op_seq:
+                    return False
+                if (cur_ref > 0 and op == OP_I
+                        and op_seq[-1] == self.reference[cur_ref - 1]) or \
+                   (cur_read > 0 and op == OP_D
+                        and op_seq[-1] == read_seq[cur_read - 1]):
+                    return False
+            if op != OP_I:
+                cur_ref += length
+            if op != OP_D:
+                cur_read += length
+        return True
+
+    def _realign_reads_to_reference(
+        self, reads: Sequence[Read]
+    ) -> List[Read]:
+        out: List[Read] = []
+        for read_id, read in enumerate(reads):
+            best = self._best_read_alignment(read_id)
+            if best is None:
+                out.append(read)
+                continue
+            ha = self._hap_alignments[best]
+            ra = ha.read_alignments[read_id]
+            read_to_hap_pos = ra.position
+            if not (0 <= read_to_hap_pos <
+                    len(ha.hap_to_ref_positions_map)):
+                out.append(read)
+                continue
+            hap_to_ref_shift = \
+                ha.hap_to_ref_positions_map[read_to_hap_pos]
+            new_position = (
+                self.region_position_in_chr + ha.ref_pos
+                + read_to_hap_pos + hap_to_ref_shift
+            )
+            try:
+                new_cigar = calculate_read_to_ref_alignment(
+                    self._reads[read_id], ra, ha.cigar_ops
+                )
+            except AssertionError:
+                new_cigar = []
+            if new_cigar and not self.normalize_reads:
+                if not self._is_alignment_normalized(
+                    new_cigar,
+                    ha.ref_pos + read_to_hap_pos + hap_to_ref_shift,
+                    self._reads[read_id],
+                ):
+                    new_cigar = []
+            if new_cigar:
+                new_read = dataclasses.replace(
+                    read,
+                    position=new_position,
+                    cigar=[tuple(c) for c in new_cigar],
+                )
+                out.append(new_read)
+            else:
+                out.append(read)
+        return out

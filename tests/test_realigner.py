@@ -1,0 +1,295 @@
+"""Realigner tests: window selection, De Bruijn assembly, SSW,
+fast-pass alignment, and end-to-end read realignment around an indel.
+
+Scenarios modeled on reference debruijn_graph_test.cc /
+window_selector_test.py / realigner_test.py behavior.
+"""
+
+import numpy as np
+import pytest
+
+from deepvariant_tpu.core.cigar import format_cigar, parse_cigar_string
+from deepvariant_tpu.core.types import Range, Read
+from deepvariant_tpu.io.bam import ReadBatch
+from deepvariant_tpu.io.fasta import InMemoryFasta
+from deepvariant_tpu.realign import debruijn_graph
+from deepvariant_tpu.realign.config import (
+    AlignerOptions,
+    DeBruijnGraphOptions,
+    RealignerOptions,
+    WindowSelectorOptions,
+)
+from deepvariant_tpu.realign.fast_pass_aligner import (
+    FastPassAligner,
+    cigar_string_to_ops,
+    set_positions_map,
+    HaplotypeReadsAlignment,
+)
+from deepvariant_tpu.realign.realigner import (
+    AssemblyRegion,
+    CandidateHaplotypes,
+    Realigner,
+    assign_reads_to_assembled_regions,
+    split_reads,
+)
+from deepvariant_tpu.realign.ssw import SswAligner
+from deepvariant_tpu.realign.window_selector import (
+    candidates_to_windows,
+    select_windows,
+)
+
+CHROM = "chr1"
+
+# 120bp reference with distinct 10-mers (no repeats).
+REF = (
+    "GATTACAGGCTTGCAAGTCCGTAACGGCATTCGGAATGCCTTGAGCGATCC"
+    "TAGCCTAAGGTCAACTGTCCGATTGCACTGGACCTTAGCAATCGGTATCCG"
+    "AGGCTCAATCGGTACCTG"
+)
+
+
+def make_read(start, bases, cigar, name="r", qual=35, mapq=60):
+    return Read(
+        fragment_name=name,
+        aligned_sequence=bases,
+        aligned_quality=bytes([qual] * len(bases)),
+        reference_name=CHROM,
+        position=start,
+        mapping_quality=mapq,
+        cigar=parse_cigar_string(cigar),
+    )
+
+
+def reads_tiling(seq, start0, read_len=30, step=3, prefix="t", mapq=60):
+    """Perfectly matching reads tiling `seq` anchored at ref pos start0."""
+    reads = []
+    for i in range(0, len(seq) - read_len + 1, step):
+        reads.append(make_read(
+            start0 + i, seq[i:i + read_len], f"{read_len}M",
+            name=f"{prefix}{i}", mapq=mapq,
+        ))
+    return reads
+
+
+class TestWindowSelector:
+    def _windows(self, reads, region, **opts):
+        fasta = InMemoryFasta({CHROM: REF})
+        cfg = WindowSelectorOptions(**opts)
+        batch = ReadBatch.from_reads(reads, [CHROM])
+        return select_windows(
+            cfg, fasta.query, batch, region,
+            contig_length=len(REF),
+        )
+
+    def test_no_variation_no_windows(self):
+        reads = reads_tiling(REF[20:80], 20)
+        assert self._windows(reads, Range(CHROM, 20, 80)) == []
+
+    def test_snp_creates_window(self):
+        # Plant a SNP at ref pos 50 in every read.
+        alt = REF[:50] + ("A" if REF[50] != "A" else "C") + REF[51:]
+        reads = reads_tiling(alt[30:75], 30)
+        wins = self._windows(reads, Range(CHROM, 30, 75))
+        assert len(wins) == 1
+        w = wins[0]
+        assert w.start <= 50 < w.end
+        # radius = min_windows_distance (80)
+        assert w.start == 50 - 80 and w.end == 50 + 80
+
+    def test_single_read_below_support_threshold(self):
+        alt = REF[:50] + ("A" if REF[50] != "A" else "C") + REF[51:]
+        reads = [make_read(40, alt[40:70], "30M")]
+        assert self._windows(reads, Range(CHROM, 30, 75)) == []
+
+    def test_candidates_to_windows_merging(self):
+        cfg = WindowSelectorOptions(min_windows_distance=10)
+        wins = candidates_to_windows(cfg, [100, 105, 300], CHROM)
+        assert len(wins) == 2
+        assert (wins[0].start, wins[0].end) == (90, 115)
+        assert (wins[1].start, wins[1].end) == (290, 310)
+
+
+class TestDeBruijnGraph:
+    def test_ref_only_single_haplotype(self):
+        options = DeBruijnGraphOptions(min_k=10)
+        graph = debruijn_graph.build(REF[:60], [], options)
+        assert graph is not None
+        assert graph.candidate_haplotypes() == [REF[:60]]
+
+    def test_snp_yields_two_haplotypes(self):
+        ref = REF[:60]
+        alt = ref[:30] + ("T" if ref[30] != "T" else "G") + ref[31:]
+        reads = reads_tiling(alt, 0, read_len=25, step=2)
+        graph = debruijn_graph.build(ref, reads, DeBruijnGraphOptions())
+        haps = graph.candidate_haplotypes()
+        assert ref in haps and alt in haps and len(haps) == 2
+
+    def test_low_weight_edges_pruned(self):
+        ref = REF[:60]
+        alt = ref[:30] + ("T" if ref[30] != "T" else "G") + ref[31:]
+        # Single read of support < min_edge_weight (2): alt pruned away.
+        reads = [make_read(10, alt[10:45], "35M")]
+        graph = debruijn_graph.build(ref, reads, DeBruijnGraphOptions())
+        assert graph.candidate_haplotypes() == [ref]
+
+    def test_low_quality_bases_excluded(self):
+        ref = REF[:60]
+        alt = ref[:30] + ("T" if ref[30] != "T" else "G") + ref[31:]
+        reads = reads_tiling(alt, 0, read_len=25, step=2)
+        for r in reads:
+            r.aligned_quality = bytes([5] * len(r.aligned_sequence))
+        graph = debruijn_graph.build(ref, reads, DeBruijnGraphOptions())
+        assert graph.candidate_haplotypes() == [ref]
+
+    def test_cycle_forces_larger_k(self):
+        # Repeat of length 12 => k=10 has repeated ref kmers, k must grow.
+        ref = REF[:20] + REF[:20] + REF[40:80]
+        graph = debruijn_graph.build(ref, [], DeBruijnGraphOptions())
+        assert graph is not None
+        assert graph.k > 10
+        assert graph.candidate_haplotypes() == [ref]
+
+
+class TestPositionsMap:
+    def test_shift_map(self):
+        ha = HaplotypeReadsAlignment(0, 1, [])
+        ha.cigar = "3=2D4=2I3="
+        set_positions_map(12, ha)
+        # 3 match: shift 0; deletion adds +2 to following; insertion
+        # of 2 subtracts for following positions.
+        assert ha.hap_to_ref_positions_map[:3] == [0, 0, 0]
+        assert ha.hap_to_ref_positions_map[3:7] == [2, 2, 2, 2]
+        assert ha.hap_to_ref_positions_map[7:9] == [2, 1]
+        assert ha.hap_to_ref_positions_map[9:12] == [0, 0, 0]
+
+
+class TestFastPassAligner:
+    def _aligner(self, ref_seq, haplotypes, ref_start=0):
+        fpa = FastPassAligner(AlignerOptions(kmer_size=15))
+        fpa.set_reference(ref_seq)
+        fpa.set_ref_start(CHROM, ref_start)
+        fpa.set_ref_prefix_len(0)
+        fpa.set_ref_suffix_len(0)
+        fpa.set_haplotypes(haplotypes)
+        return fpa
+
+    def test_perfect_reads_keep_alignment(self):
+        ref = REF[:80]
+        reads = reads_tiling(ref, 0, read_len=30, step=5)
+        fpa = self._aligner(ref, [ref])
+        out = fpa.realign_reads(reads)
+        assert len(out) == len(reads)
+        for orig, new in zip(reads, out):
+            assert new.position == orig.position
+            assert format_cigar(new.cigar) == "30M"
+
+    def test_deletion_reads_get_del_cigar(self):
+        ref = REF[:80]
+        # 6bp deletion at position 40.
+        hap = ref[:40] + ref[46:]
+        reads = reads_tiling(hap, 0, read_len=30, step=4, prefix="d")
+        # Original alignments are all-M (wrong); realigner should
+        # produce 'xM6DyM' for reads spanning the deletion.
+        fpa = self._aligner(ref, [ref, hap])
+        out = fpa.realign_reads(reads)
+        spanning = [
+            r for r in out
+            if r.position < 35 and any(op_l[0] == 3 for op_l in
+                                       [list(c) for c in r.cigar])
+        ]
+        assert spanning, "no realigned read carries the deletion"
+        for r in spanning:
+            cig = format_cigar(r.cigar)
+            assert "6D" in cig, cig
+
+    def test_read_to_ref_position_shift(self):
+        ref = REF[:80]
+        hap = ref[:40] + ref[46:]  # ref[40:46] deleted; hap pos 40 == ref 46
+        spanning = make_read(30, hap[38:68], "30M", name="spanning")
+        after = make_read(30, hap[40:70], "30M", name="after")
+        reads = reads_tiling(hap, 0, read_len=30, step=4)
+        fpa = self._aligner(ref, [ref, hap])
+        out = fpa.realign_reads(reads + [spanning, after])
+        by_name = {r.fragment_name: r for r in out}
+        # Spanning read: starts at hap 38 (= ref 38), carries the deletion
+        # (left-normalized: ref[39]==ref[45] makes 1M6D29M == 2M6D28M).
+        assert by_name["spanning"].position == 38
+        assert format_cigar(by_name["spanning"].cigar) in (
+            "1M6D29M", "2M6D28M"
+        )
+        # After-deletion read: hap 40 maps to ref 46, plain match.
+        assert by_name["after"].position == 46
+        assert format_cigar(by_name["after"].cigar) == "30M"
+
+
+class TestSplitReads:
+    def test_split_at_skip(self):
+        read = make_read(10, "A" * 40, "20M100N20M")
+        parts = split_reads([read])
+        assert len(parts) == 2
+        assert parts[0].position == 10
+        assert format_cigar(parts[0].cigar) == "20M"
+        assert parts[1].position == 130
+        assert format_cigar(parts[1].cigar) == "20M"
+        assert parts[0].aligned_sequence == "A" * 20
+
+    def test_short_parts_dropped(self):
+        read = make_read(10, "A" * 24, "10M100N14M")
+        parts = split_reads([read])
+        # 10bp part < MIN_SPLIT_LEN dropped; 14bp part < 15 dropped too.
+        assert parts == []
+
+    def test_no_skip_passthrough(self):
+        read = make_read(10, "A" * 30, "30M")
+        assert split_reads([read]) == [read]
+
+
+class TestAssignment:
+    def test_max_overlap_assignment(self):
+        regions = [
+            AssemblyRegion(CandidateHaplotypes(Range(CHROM, 0, 50), ["x"])),
+            AssemblyRegion(CandidateHaplotypes(Range(CHROM, 40, 100),
+                                               ["y"])),
+        ]
+        r1 = make_read(10, "A" * 20, "20M")   # only region 0
+        r2 = make_read(45, "A" * 40, "40M")   # overlaps both, more in 1
+        r3 = make_read(200, "A" * 20, "20M")  # neither
+        unassigned = assign_reads_to_assembled_regions(
+            regions, [r1, r2, r3]
+        )
+        assert [r.fragment_name for r in regions[0].reads] == ["r"]
+        assert len(regions[1].reads) == 1
+        assert unassigned == [r3]
+
+
+class TestRealignerEndToEnd:
+    def test_deletion_region(self):
+        # Long contig so the +/-80bp assembly window fits on-reference
+        # (the reference realigner also drops off-contig windows,
+        # realigner.py:715-717).
+        rng = np.random.RandomState(7)
+        long_ref = "".join("ACGT"[i] for i in rng.randint(0, 4, 500))
+        fasta = InMemoryFasta({CHROM: long_ref})
+        # 6bp deletion at 250.
+        hap = long_ref[:250] + long_ref[256:]
+        reads = reads_tiling(
+            hap[150:350], 150, read_len=35, step=2, prefix="e2e"
+        )
+        realigner = Realigner(RealignerOptions(), fasta)
+        windows_haps, realigned = realigner.realign_reads(
+            reads, Range(CHROM, 0, len(long_ref))
+        )
+        assert windows_haps, "expected an assembly window"
+        # At least one non-reference haplotype assembled.
+        assert any(len(wh.haplotypes) >= 2 for wh in windows_haps)
+        assert len(realigned) == len(reads)
+        deletion_reads = [
+            r for r in realigned
+            if "6D" in format_cigar(r.cigar)
+        ]
+        assert deletion_reads, "no read realigned with the 6bp deletion"
+
+    def test_empty_reads(self):
+        fasta = InMemoryFasta({CHROM: REF})
+        realigner = Realigner(RealignerOptions(), fasta)
+        assert realigner.realign_reads([], Range(CHROM, 0, 100)) == ([], [])
