@@ -1,0 +1,192 @@
+"""Training labelers: assign {0,1,2} labels to candidates from truth.
+
+Implements the base VariantLabeler / VariantLabel API
+(reference labeler/variant_labeler.py:44-160) and the positional
+labeler (labeler/positional_labeler.py:39-250): match candidates to
+truth variants by start position, map true genotype alleles onto the
+candidate's alts by simplified-allele comparison, and produce the
+per-example class = number of copies of the example's alt alleles in
+the true genotype (label_for_alt_alleles, variant_labeler.py:68-92).
+
+The haplotype labeler (exhaustive diploid haplotype matching) is the
+reference's default; until it lands here, the positional labeler is
+used for both algorithm names.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+from deepvariant_tpu.core.ranges import RangeSet
+from deepvariant_tpu.core.types import Range, Variant, VariantCall
+from deepvariant_tpu.postprocess.genotype import (
+    simplify_alleles,
+    simplify_variant_alleles,
+)
+
+
+@dataclasses.dataclass
+class VariantLabel:
+    """Label assignment for one candidate (variant_labeler.py:44)."""
+
+    is_confident: bool
+    variant: Variant
+    genotype: Optional[Tuple[int, ...]] = None
+
+    def label_for_alt_alleles(self, alt_alleles_indices: Sequence[int]) -> int:
+        """Copies of the example's alts in the true genotype
+        (variant_labeler.py:68-92)."""
+        return sum(
+            gt - 1 in alt_alleles_indices
+            for gt in (self.genotype or ())
+            if gt != 0
+        )
+
+
+class PositionalVariantLabeler:
+    """Position-match labeler (positional_labeler.py:39)."""
+
+    def __init__(self, truth_vcf_reader, confident_regions: Optional[RangeSet]):
+        if truth_vcf_reader is None:
+            raise ValueError("truth_vcf_reader cannot be None")
+        self._truth = truth_vcf_reader
+        self._confident_regions = confident_regions
+
+    def label_variants(
+        self, variants: Sequence[Variant], region: Optional[Range] = None
+    ) -> Iterator[VariantLabel]:
+        for variant in variants:
+            is_confident, truth_variant = self._match(variant)
+            genotype = None
+            if truth_variant is not None:
+                genotype = _genotype_from_matched_truth(
+                    variant, truth_variant
+                )
+            yield VariantLabel(
+                is_confident=is_confident,
+                variant=variant,
+                genotype=genotype,
+            )
+
+    def _match(self, variant: Variant):
+        variant = simplify_variant_alleles(_copy(variant))
+        matched = self._find_matching_variant(variant)
+        confident = (
+            self._confident_regions is None
+            or self._confident_regions.variant_overlaps(variant)
+        )
+        if matched is None and confident:
+            matched = Variant(
+                reference_name=variant.reference_name,
+                start=variant.start,
+                end=variant.end,
+                reference_bases=variant.reference_bases,
+                alternate_bases=list(variant.alternate_bases),
+                calls=[VariantCall(genotype=[0, 0])],
+            )
+        return confident, matched
+
+    def _find_matching_variant(self, variant: Variant):
+        region = Range(
+            variant.reference_name, variant.start, variant.start + 1
+        )
+        matches = [
+            simplify_variant_alleles(_copy(tv))
+            for tv in self._truth.query(region)
+            if variant.start == tv.start and tv.calls
+        ]
+        if not matches:
+            return None
+        for match in matches:
+            if (match.alternate_bases == variant.alternate_bases
+                    and match.reference_bases == variant.reference_bases):
+                return match
+        return matches[0]
+
+
+# The haplotype labeler's exhaustive diploid matching is a planned
+# upgrade; both algorithm names currently resolve to the positional
+# labeler (reference default is haplotype_labeler,
+# make_examples_options.py labeler_algorithm flag).
+HaplotypeVariantLabeler = PositionalVariantLabeler
+
+
+def _copy(variant: Variant) -> Variant:
+    import copy
+
+    return copy.deepcopy(variant)
+
+
+def _genotype_from_matched_truth(
+    candidate_variant: Variant, truth_variant: Variant
+) -> Tuple[int, ...]:
+    """(positional_labeler.py:182-250)."""
+    if not truth_variant.calls or not truth_variant.calls[0].genotype:
+        raise ValueError(
+            "truth_variant needs genotypes to be used for labeling"
+        )
+
+    def match_one_allele(true_allele: str) -> int:
+        if true_allele == truth_variant.reference_bases:
+            return 0
+        simplified_true = simplify_alleles(
+            truth_variant.reference_bases, true_allele
+        )
+        for alt_index, alt_allele in enumerate(
+            candidate_variant.alternate_bases
+        ):
+            simplified_alt = simplify_alleles(
+                candidate_variant.reference_bases, alt_allele
+            )
+            if simplified_true == simplified_alt:
+                return alt_index + 1
+        return 0
+
+    if not candidate_variant.alternate_bases or \
+            candidate_variant.alternate_bases == ["."]:
+        return (0, 0)
+    truth_alleles = [truth_variant.reference_bases] + list(
+        truth_variant.alternate_bases
+    )
+    gt = truth_variant.calls[0].genotype
+    return tuple(
+        match_one_allele(truth_alleles[g]) if 0 <= g < len(truth_alleles)
+        else 0
+        for g in gt
+    )
+
+
+def make_labeler(options, ref_reader):
+    """Build the labeler configured in MakeExamplesOptions."""
+    from deepvariant_tpu.io.vcf import VcfReader
+
+    truth = VcfReader(options.truth_variants_filename)
+    confident = None
+    if options.confident_regions_filename:
+        from deepvariant_tpu.core.ranges import read_bed
+
+        confident = RangeSet(
+            read_bed(options.confident_regions_filename)
+        )
+    if options.labeler_algorithm in (
+        "positional_labeler", "haplotype_labeler"
+    ):
+        return PositionalVariantLabeler(truth, confident)
+    raise ValueError(
+        f"unknown labeler_algorithm: {options.labeler_algorithm}"
+    )
+
+
+def make_label_fn(options, ref_reader):
+    """fn(variant, alt_allele_indices) -> Optional[int] used by the
+    ExamplesBuilder in training mode; None = not confident (skip)."""
+    labeler = make_labeler(options, ref_reader)
+
+    def label_fn(variant: Variant, alt_allele_indices: List[int]):
+        label = next(iter(labeler.label_variants([variant])))
+        if not label.is_confident:
+            return None
+        return label.label_for_alt_alleles(alt_allele_indices)
+
+    return label_fn

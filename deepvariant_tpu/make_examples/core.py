@@ -1,0 +1,386 @@
+"""Stage 1 orchestration: regions -> reads -> candidates -> examples.
+
+Re-implements the reference's make_examples_core.py driver for one
+sample:
+  * region partitioning + round-robin task sharding
+    (regions_to_process, make_examples_core.py:799-889);
+  * per-region pipeline: BAM query with reservoir downsampling
+    (region_reads_norealign, :2408-2449) -> optional local-assembly
+    realignment (:2479) -> allele counting + very-sensitive calling +
+    gVCF (candidates_in_region, :2832-2990) -> pileup examples
+    (writes_examples_in_region, :1893);
+  * OutputsWriter multiplexing examples/candidates/gvcf TFRecords
+    (:1182) and the example_info.json data contract (:3755-3774);
+  * make_examples_runner main loop (:3481) with per-region runtime
+    accounting (runtime_by_region TSV, :2248-2399).
+
+Host-side pipeline (dynamic shapes); the TPU consumes the fixed-shape
+example tensors this stage emits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from deepvariant_tpu.core.ranges import RangeSet
+from deepvariant_tpu.core.sharded_files import maybe_sharded_output_path
+from deepvariant_tpu.core.types import ContigInfo, Range, Read, Variant
+from deepvariant_tpu.io import examples as example_codec
+from deepvariant_tpu.io.bam import BamReader, ReadBatch
+from deepvariant_tpu.io.fasta import FastaReader
+from deepvariant_tpu.io.tfrecord import TFRecordWriter
+from deepvariant_tpu.make_examples.allele_counter import (
+    AlleleCounter,
+    AlleleCounterOptions,
+)
+from deepvariant_tpu.make_examples.examples_builder import ExamplesBuilder
+from deepvariant_tpu.make_examples.pileup import PileupOptions
+from deepvariant_tpu.make_examples.variant_caller import (
+    DeepVariantCall,
+    VariantCallerOptions,
+    VerySensitiveCaller,
+)
+from deepvariant_tpu.realign.config import RealignerOptions
+from deepvariant_tpu.realign.realigner import Realigner
+
+# Defaults from make_examples_options.py:200-215 and Appendix A.
+DEFAULT_PARTITION_SIZE = 1000
+DEFAULT_MAX_READS_PER_PARTITION = 1500
+DEFAULT_RANDOM_SEED = 2101079370
+
+
+@dataclasses.dataclass
+class MakeExamplesOptions:
+    """Single-sample MakeExamplesOptions equivalent
+    (deepvariant.proto:737-1076 essentials)."""
+
+    reads_filename: str = ""
+    ref_filename: str = ""
+    examples_filename: str = ""
+    candidates_filename: str = ""
+    gvcf_filename: str = ""
+    mode: str = "calling"  # calling | training | candidate_sweep
+    regions: Optional[List[str]] = None  # region literals / BED paths
+    exclude_regions: Optional[List[str]] = None
+    sample_name: str = "default"
+    task_id: int = 0
+    num_shards: int = 0
+    partition_size: int = DEFAULT_PARTITION_SIZE
+    max_reads_per_partition: int = DEFAULT_MAX_READS_PER_PARTITION
+    max_reads_for_dynamic_bases_per_region: int = 0
+    random_seed: int = DEFAULT_RANDOM_SEED
+    realigner_enabled: bool = True
+    min_mapping_quality: int = 5
+    min_base_quality: int = 10
+    sequencing_type: int = 0
+    include_med_dp: bool = False
+    variant_caller_options: VariantCallerOptions = dataclasses.field(
+        default_factory=VariantCallerOptions
+    )
+    pileup_options: PileupOptions = dataclasses.field(
+        default_factory=PileupOptions
+    )
+    realigner_options: RealignerOptions = dataclasses.field(
+        default_factory=RealignerOptions
+    )
+    # Training mode.
+    truth_variants_filename: str = ""
+    confident_regions_filename: str = ""
+    labeler_algorithm: str = "haplotype_labeler"
+
+
+def regions_to_process(
+    contigs: Sequence[ContigInfo],
+    partition_size: int,
+    calling_regions: Optional[RangeSet] = None,
+    task_id: Optional[int] = None,
+    num_shards: Optional[int] = None,
+) -> List[Range]:
+    """Partition + round-robin shard (make_examples_core.py:799-889)."""
+    if (task_id is None) != (num_shards is None):
+        raise ValueError(
+            "Both task_id and num_shards must be present if either is"
+        )
+    if num_shards:
+        if num_shards < 0:
+            raise ValueError(f"num_shards={num_shards} must be >= 0")
+        if task_id < 0 or task_id >= num_shards:
+            raise ValueError(
+                f"task_id={task_id} should be >= 0 and < {num_shards}"
+            )
+    regions = RangeSet.from_contigs(contigs)
+    if calling_regions:
+        regions = regions.intersection(calling_regions)
+    partitioned = list(regions.partition(partition_size))
+    if num_shards:
+        return [
+            r for i, r in enumerate(partitioned)
+            if i % num_shards == task_id
+        ]
+    return partitioned
+
+
+def reservoir_sample_indices(
+    n: int, k: int, rng: np.random.RandomState
+) -> np.ndarray:
+    """Classic reservoir sampling of k of n indices, preserving order."""
+    if n <= k:
+        return np.arange(n)
+    reservoir = list(range(k))
+    for i in range(k, n):
+        j = rng.randint(0, i + 1)
+        if j < k:
+            reservoir[j] = i
+    return np.array(sorted(reservoir))
+
+
+@dataclasses.dataclass
+class RegionOutputs:
+    region: Range
+    candidates: List[DeepVariantCall]
+    examples: List[bytes]
+    gvcfs: List[Variant]
+    runtimes: Dict[str, float]
+
+
+class RegionProcessor:
+    """Per-region pipeline (make_examples_core.py:1418)."""
+
+    def __init__(self, options: MakeExamplesOptions):
+        self.options = options
+        self.ref_reader = FastaReader(options.ref_filename)
+        from deepvariant_tpu.io.bam import ReadRequirements
+
+        self.bam_reader = BamReader(
+            options.reads_filename,
+            requirements=ReadRequirements(
+                min_mapping_quality=options.min_mapping_quality,
+            ),
+        ) if options.reads_filename else None
+        self.caller = VerySensitiveCaller(options.variant_caller_options)
+        self.examples_builder = ExamplesBuilder(
+            self.ref_reader,
+            options.pileup_options,
+            sequencing_type=options.sequencing_type,
+        )
+        self.realigner = Realigner(
+            options.realigner_options, self.ref_reader
+        ) if options.realigner_enabled else None
+        self.label_fn = None  # set in training mode by the runner
+
+    # -- reads --------------------------------------------------------------
+
+    def region_reads(self, region: Range) -> ReadBatch:
+        """Query + reservoir downsample (:2408-2449)."""
+        batch = self.bam_reader.query(region)
+        n = len(batch)
+        if self.options.max_reads_per_partition > 0 and \
+                n > self.options.max_reads_per_partition:
+            rng = np.random.RandomState(self.options.random_seed)
+            keep = reservoir_sample_indices(
+                n, self.options.max_reads_per_partition, rng
+            )
+            batch = batch.subset(keep)
+        return batch
+
+    def realign_region_reads(
+        self, batch: ReadBatch, region: Range
+    ) -> ReadBatch:
+        if self.realigner is None or len(batch) == 0:
+            return batch
+        reads = batch.to_reads()
+        _, realigned = self.realigner.realign_reads(reads, region)
+        return ReadBatch.from_reads(
+            realigned, [region.reference_name]
+        )
+
+    # -- candidates ---------------------------------------------------------
+
+    def _allele_counter(self, region: Range) -> AlleleCounter:
+        ref_bases = self.ref_reader.bases(region)
+        prev = "N"
+        if region.start > 0:
+            prev = self.ref_reader.query(
+                Range(region.reference_name, region.start - 1, region.start)
+            )
+        return AlleleCounter(
+            ref_bases,
+            region,
+            AlleleCounterOptions(
+                min_base_quality=self.options.min_base_quality,
+                min_mapping_quality=self.options.min_mapping_quality,
+            ),
+            ref_prev_base=prev,
+        )
+
+    def candidates_in_region(
+        self, region: Range, batch: ReadBatch, include_gvcfs: bool
+    ) -> Tuple[List[DeepVariantCall], List[Variant], AlleleCounter]:
+        counter = self._allele_counter(region)
+        counter.add_batch(batch)
+        candidates = self.caller.calls_in_region(counter)
+        gvcfs = list(self.caller.make_gvcfs(
+            counter, include_med_dp=self.options.include_med_dp
+        )) if include_gvcfs else []
+        return candidates, gvcfs, counter
+
+    # -- main ---------------------------------------------------------------
+
+    def process(self, region: Range) -> RegionOutputs:
+        runtimes: Dict[str, float] = {}
+        t0 = time.perf_counter()
+        batch = self.region_reads(region)
+        runtimes["get reads"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        batch = self.realign_region_reads(batch, region)
+        runtimes["realignment"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        include_gvcfs = bool(self.options.gvcf_filename)
+        candidates, gvcfs, _ = self.candidates_in_region(
+            region, batch, include_gvcfs
+        )
+        runtimes["find candidates"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        examples: List[bytes] = []
+        for dv_call in candidates:
+            for built in self.examples_builder.build_examples_for_candidate(
+                dv_call, batch, label_fn=self.label_fn
+            ):
+                if self.options.mode == "training" and built.label is None:
+                    continue
+                examples.append(built.encoded)
+        runtimes["make pileup images"] = time.perf_counter() - t0
+        return RegionOutputs(region, candidates, examples, gvcfs, runtimes)
+
+
+class OutputsWriter:
+    """Multiplexed TFRecord writers (make_examples_core.py:1182)."""
+
+    def __init__(self, options: MakeExamplesOptions):
+        task = options.task_id
+        self._writers: Dict[str, TFRecordWriter] = {}
+        if options.examples_filename:
+            self.examples_path = maybe_sharded_output_path(
+                options.examples_filename, task
+            )
+            self._writers["examples"] = TFRecordWriter(self.examples_path)
+        if options.candidates_filename:
+            self._writers["candidates"] = TFRecordWriter(
+                maybe_sharded_output_path(options.candidates_filename, task)
+            )
+        if options.gvcf_filename:
+            self._writers["gvcfs"] = TFRecordWriter(
+                maybe_sharded_output_path(options.gvcf_filename, task)
+            )
+        self.counts = {name: 0 for name in
+                       ("examples", "candidates", "gvcfs")}
+
+    def write_examples(self, *encoded: bytes):
+        writer = self._writers.get("examples")
+        if writer:
+            for buf in encoded:
+                writer.write(buf)
+                self.counts["examples"] += 1
+
+    def write_candidates(self, *candidates: DeepVariantCall):
+        writer = self._writers.get("candidates")
+        if writer:
+            for c in candidates:
+                writer.write(c.variant.encode())
+                self.counts["candidates"] += 1
+
+    def write_gvcfs(self, *gvcfs: Variant):
+        writer = self._writers.get("gvcfs")
+        if writer:
+            for v in gvcfs:
+                writer.write(v.encode())
+                self.counts["gvcfs"] += 1
+
+    def close(self):
+        for writer in self._writers.values():
+            writer.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def calling_regions_from_options(
+    options: MakeExamplesOptions, contigs: Sequence[ContigInfo]
+) -> Optional[RangeSet]:
+    regions = None
+    if options.regions:
+        regions = RangeSet.from_regions(options.regions)
+    if options.exclude_regions:
+        base = regions or RangeSet.from_contigs(contigs)
+        regions = base.exclude_regions(
+            RangeSet.from_regions(options.exclude_regions)
+        )
+    return regions
+
+
+def make_examples_runner(
+    options: MakeExamplesOptions,
+    runtime_by_region_path: Optional[str] = None,
+) -> Dict[str, int]:
+    """Main per-shard loop (make_examples_core.py:3481). Returns counts."""
+    processor = RegionProcessor(options)
+    if options.mode == "training":
+        from deepvariant_tpu.labeler.variant_labeler import make_label_fn
+
+        processor.label_fn = make_label_fn(options, processor.ref_reader)
+    contigs = processor.ref_reader.contigs
+    calling_regions = calling_regions_from_options(options, contigs)
+    regions = regions_to_process(
+        contigs,
+        options.partition_size,
+        calling_regions,
+        options.task_id if options.num_shards else None,
+        options.num_shards if options.num_shards else None,
+    )
+    runtime_rows = []
+    with OutputsWriter(options) as writer:
+        for region in regions:
+            outputs = processor.process(region)
+            writer.write_examples(*outputs.examples)
+            writer.write_candidates(*outputs.candidates)
+            writer.write_gvcfs(*outputs.gvcfs)
+            if runtime_by_region_path:
+                runtime_rows.append((outputs.region, outputs.runtimes))
+        counts = dict(writer.counts)
+    if options.examples_filename:
+        shape = processor.examples_builder.example_shape()
+        example_codec.write_example_info(
+            writer.examples_path, shape,
+            processor.examples_builder.channel_enums(),
+        )
+    if runtime_by_region_path:
+        _write_runtime_tsv(runtime_by_region_path, runtime_rows)
+    return counts
+
+
+def _write_runtime_tsv(path: str, rows) -> None:
+    """runtime_by_region TSV (make_examples_core.py:1348 semantics)."""
+    columns = ["get reads", "realignment", "find candidates",
+               "make pileup images"]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write("region\t" + "\t".join(columns) + "\ttotal\n")
+        for region, runtimes in rows:
+            vals = [runtimes.get(c, 0.0) for c in columns]
+            f.write(
+                region.to_region_string() + "\t"
+                + "\t".join(f"{v:.6f}" for v in vals)
+                + f"\t{sum(vals):.6f}\n"
+            )

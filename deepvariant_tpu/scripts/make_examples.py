@@ -1,0 +1,102 @@
+"""make_examples CLI (stage 1).
+
+Mirrors the reference's make_examples.py flag surface (the subset
+implemented so far); flags funnel into MakeExamplesOptions
+(make_examples.py:141-239, make_examples_options.py defaults).
+
+Usage:
+  python -m deepvariant_tpu.scripts.make_examples \
+    --mode calling --ref ref.fa --reads reads.bam \
+    --examples out.tfrecord@4 --task 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from deepvariant_tpu.make_examples.core import (
+    DEFAULT_MAX_READS_PER_PARTITION,
+    DEFAULT_PARTITION_SIZE,
+    DEFAULT_RANDOM_SEED,
+    MakeExamplesOptions,
+    make_examples_runner,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("make_examples")
+    p.add_argument("--mode", choices=["calling", "training"],
+                   required=True)
+    p.add_argument("--ref", required=True)
+    p.add_argument("--reads", required=True)
+    p.add_argument("--examples", required=True)
+    p.add_argument("--candidates", default="")
+    p.add_argument("--gvcf", default="")
+    p.add_argument("--regions", default=None,
+                   help="space-separated region literals or BED paths")
+    p.add_argument("--exclude_regions", default=None)
+    p.add_argument("--sample_name", default="default")
+    p.add_argument("--task", type=int, default=0)
+    p.add_argument("--num_shards", type=int, default=0,
+                   help="0 = unsharded")
+    p.add_argument("--partition_size", type=int,
+                   default=DEFAULT_PARTITION_SIZE)
+    p.add_argument("--max_reads_per_partition", type=int,
+                   default=DEFAULT_MAX_READS_PER_PARTITION)
+    p.add_argument("--random_seed", type=int, default=DEFAULT_RANDOM_SEED)
+    p.add_argument("--realign_reads", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--min_mapping_quality", type=int, default=5)
+    p.add_argument("--min_base_quality", type=int, default=10)
+    p.add_argument("--truth_variants", default="")
+    p.add_argument("--confident_regions", default="")
+    p.add_argument("--labeler_algorithm", default="haplotype_labeler")
+    p.add_argument("--runtime_by_region", default="")
+    return p
+
+
+def options_from_args(args) -> MakeExamplesOptions:
+    return MakeExamplesOptions(
+        reads_filename=args.reads,
+        ref_filename=args.ref,
+        examples_filename=args.examples,
+        candidates_filename=args.candidates,
+        gvcf_filename=args.gvcf,
+        mode=args.mode,
+        regions=args.regions.split() if args.regions else None,
+        exclude_regions=(
+            args.exclude_regions.split() if args.exclude_regions else None
+        ),
+        sample_name=args.sample_name,
+        task_id=args.task,
+        num_shards=args.num_shards,
+        partition_size=args.partition_size,
+        max_reads_per_partition=args.max_reads_per_partition,
+        random_seed=args.random_seed,
+        realigner_enabled=args.realign_reads,
+        min_mapping_quality=args.min_mapping_quality,
+        min_base_quality=args.min_base_quality,
+        truth_variants_filename=args.truth_variants,
+        confident_regions_filename=args.confident_regions,
+        labeler_algorithm=args.labeler_algorithm,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    options = options_from_args(args)
+    counts = make_examples_runner(
+        options,
+        runtime_by_region_path=args.runtime_by_region or None,
+    )
+    print(
+        f"make_examples done: {counts['examples']} examples, "
+        f"{counts['candidates']} candidates, {counts['gvcfs']} gvcf "
+        f"records (task {args.task})"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,116 @@
+"""make_examples runner integration tests against reference goldens.
+
+The reference's acceptance harness (make_examples_test.py:467-498)
+compares runner output to golden.calling_examples over
+chr20:10,000,000-10,010,000 of the NA12878 chr20 BAM. We assert
+candidate-set parity: every golden example's
+(position, ref, alts, alt_allele_indices) must be reproduced.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from deepvariant_tpu.core.types import Range
+from deepvariant_tpu.io import examples as example_codec
+from deepvariant_tpu.io.tfrecord import TFRecordReader
+from deepvariant_tpu.make_examples.core import (
+    MakeExamplesOptions,
+    RegionProcessor,
+    make_examples_runner,
+    regions_to_process,
+    reservoir_sample_indices,
+)
+from deepvariant_tpu.core.types import ContigInfo
+
+GOLDEN_REGION = "chr20:10,000,000-10,010,000"
+
+
+def _variant_keys(path):
+    out = []
+    with TFRecordReader(path) as reader:
+        for buf in reader:
+            ex = example_codec.parse_example(buf)
+            v = ex.variant
+            out.append((
+                v.start, v.reference_bases, tuple(v.alternate_bases),
+                tuple(ex.alt_allele_indices),
+            ))
+    return out
+
+
+class TestRegionsToProcess:
+    CONTIGS = [
+        ContigInfo(name="chr1", n_bases=2500, pos_in_fasta=0),
+        ContigInfo(name="chr2", n_bases=1000, pos_in_fasta=1),
+    ]
+
+    def test_partitioning(self):
+        regions = regions_to_process(self.CONTIGS, 1000)
+        assert [
+            (r.reference_name, r.start, r.end) for r in regions
+        ] == [
+            ("chr1", 0, 1000), ("chr1", 1000, 2000), ("chr1", 2000, 2500),
+            ("chr2", 0, 1000),
+        ]
+
+    def test_sharding_covers_everything(self):
+        all_regions = regions_to_process(self.CONTIGS, 300)
+        sharded = []
+        for task in range(3):
+            sharded.extend(
+                regions_to_process(self.CONTIGS, 300, None, task, 3)
+            )
+        keyfn = lambda r: (r.reference_name, r.start)
+        assert sorted(sharded, key=keyfn) == sorted(all_regions, key=keyfn)
+
+    def test_bad_shards(self):
+        with pytest.raises(ValueError):
+            regions_to_process(self.CONTIGS, 300, None, 5, 3)
+        with pytest.raises(ValueError):
+            regions_to_process(self.CONTIGS, 300, None, 1, None)
+
+
+def test_reservoir_sampling():
+    rng = np.random.RandomState(0)
+    idx = reservoir_sample_indices(10, 20, rng)
+    np.testing.assert_array_equal(idx, np.arange(10))
+    idx = reservoir_sample_indices(1000, 100, rng)
+    assert len(idx) == 100
+    assert len(set(idx.tolist())) == 100
+    assert np.all(np.diff(idx) > 0)  # order preserved
+
+
+@pytest.mark.integration
+class TestGoldenParity:
+    def test_calling_examples_candidate_parity(self, testdata_dir, tmp_path):
+        options = MakeExamplesOptions(
+            reads_filename=os.path.join(
+                testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+            ),
+            ref_filename=os.path.join(
+                testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+            ),
+            examples_filename=str(tmp_path / "examples.tfrecord"),
+            gvcf_filename=str(tmp_path / "gvcf.tfrecord"),
+            mode="calling",
+            regions=[GOLDEN_REGION],
+        )
+        counts = make_examples_runner(options)
+        golden = set(_variant_keys(os.path.join(
+            testdata_dir, "golden.calling_examples.tfrecord.gz"
+        )))
+        mine = set(_variant_keys(str(tmp_path / "examples.tfrecord")))
+        missing = golden - mine
+        assert not missing, f"golden examples not reproduced: {missing}"
+        extra = mine - golden
+        # Realigner heuristic differences may add a few extra candidates,
+        # but never more than a couple per 10kb.
+        assert len(extra) <= 2, f"too many extra candidates: {extra}"
+        assert counts["gvcfs"] > 0
+        # example_info.json sidecar written with the 6-channel default.
+        info = example_codec.read_example_info(
+            str(tmp_path / "examples.tfrecord")
+        )
+        assert info["shape"][:2] == [100, 221]
