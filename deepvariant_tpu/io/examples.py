@@ -235,7 +235,13 @@ def write_example_info(
 
 
 def read_example_info(path: str) -> dict:
-    candidates = [path + ".example_info.json"]
+    from deepvariant_tpu.core.sharded_files import glob_sharded_inputs
+
+    # Resolve '@N' specs / globs to the first shard's sidecar.
+    resolved = glob_sharded_inputs(path)
+    first = resolved[0] if resolved else path
+    candidates = [first + ".example_info.json",
+                  path + ".example_info.json"]
     if not path.endswith(".json"):
         candidates.append(path)
     for cand in candidates:

@@ -74,7 +74,9 @@ def format_float(value: float) -> str:
 def _format_qual(q: float) -> str:
     if q is None:
         return "."
-    # htslib prints QUAL with %g (7 sig figs by default in bcftools text).
+    # Reference rounds QUAL to one decimal before write
+    # (vcf_writer.cc:187-192: floor(q*10 + 0.5) / 10), then %g.
+    q = math.floor(q * 10 + 0.5) / 10
     return f"{q:g}"
 
 
@@ -152,9 +154,10 @@ def _format_gt(call: VariantCall) -> str:
     )
 
 
-# FORMAT keys we know how to emit, in canonical order
-# (matches reference VCF output column ordering).
-_FORMAT_ORDER = ["GT", "GQ", "DP", "MIN_DP", "AD", "VAF", "GL", "PL",
+# FORMAT keys we know how to emit, in canonical order. The reference
+# writer emits PL (phred-scaled) and never GL (see
+# golden.postprocess_single_site_output.vcf: GT:GQ:DP:AD:VAF:PL).
+_FORMAT_ORDER = ["GT", "GQ", "DP", "MIN_DP", "AD", "VAF", "PL",
                  "MED_DP", "PS"]
 
 
@@ -169,9 +172,15 @@ def format_variant_line(variant: Variant) -> str:
     qual = _format_qual(variant.quality) if variant.quality else "0"
     filt = ";".join(variant.filter) if variant.filter else "."
     info = dict(variant.info)
-    # gVCF ref blocks carry END.
+    # gVCF ref blocks carry END; derive it from variant.end when the
+    # record spans beyond its reference bases (nucleus writes END for
+    # any record whose end != start + len(ref)).
     if "END" in info:
         info = {"END": info["END"]}
+    elif variant.alternate_bases == ["<*>"]:
+        # Pure gVCF ref blocks always carry END, even 1bp ones
+        # (golden.postprocess_gvcf_output.g.vcf).
+        info = {"END": [variant.end]}
     line = [chrom, str(pos), vid, ref, alt, qual, filt, _format_info(info)]
 
     if variant.calls:
@@ -190,14 +199,13 @@ def format_variant_line(variant: Variant) -> str:
             fields["VAF"] = ",".join(format_float(float(v))
                                      for v in ci["VAF"])
         if call.genotype_likelihood:
-            fields["GL"] = ",".join(
-                format_float(round(gl, 6))
+            # PL = int(-10*(GL - max GL)); the int cast truncates, exactly
+            # like vcf_conversion.cc:1225-1229 (double->int std::transform).
+            m = max(call.genotype_likelihood)
+            fields["PL"] = ",".join(
+                str(int(-10.0 * (gl - m)))
                 for gl in call.genotype_likelihood
             )
-            # PL = -10*GL, renormalized so min is 0, rounded.
-            pls = [-10.0 * gl for gl in call.genotype_likelihood]
-            m = min(pls)
-            fields["PL"] = ",".join(str(int(round(p - m))) for p in pls)
         if "MED_DP" in ci:
             fields["MED_DP"] = str(int(ci["MED_DP"][0]))
         if "PS" in ci:

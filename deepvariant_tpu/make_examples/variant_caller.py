@@ -396,6 +396,7 @@ class VerySensitiveCaller:
                     alternate_bases=[GVCF_ALT_ALLELE],
                     start=interval.start + first[5],
                     end=interval.start + last[5] + 1,
+                    info={"END": [interval.start + last[5] + 1]},
                     calls=[call],
                 )
             else:
@@ -414,5 +415,6 @@ class VerySensitiveCaller:
                         alternate_bases=[GVCF_ALT_ALLELE],
                         start=interval.start + g[5],
                         end=interval.start + g[5] + 1,
+                        info={"END": [interval.start + g[5] + 1]},
                         calls=[call],
                     )

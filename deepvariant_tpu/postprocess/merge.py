@@ -208,7 +208,7 @@ def _merge_product_mode(
 def merge_predictions(
     cvos: Sequence[CallVariantsOutput],
     qual_filter: Optional[float] = None,
-    multiallelic_mode: str = "default",
+    multiallelic_mode: str = "product",
     haploid_contigs: Optional[Set[str]] = None,
     par_regions=None,
 ) -> Tuple[Variant, List[float]]:

@@ -78,12 +78,15 @@ def cvos_to_variants(
     qual_filter: float = 1.0,
     multi_allelic_qual_filter: float = 1.0,
     cnn_homref_call_min_gq: float = gt.CNN_HOMREF_CALL_MIN_GQ,
-    multiallelic_mode: str = "default",
+    multiallelic_mode: str = "product",
     haploid_contigs: Optional[Set[str]] = None,
     par_regions=None,
     group_variants: bool = True,
 ) -> Iterator[Variant]:
-    """CVO stream (sorted) -> resolved Variant stream."""
+    """CVO stream (sorted) -> resolved Variant stream.
+
+    multiallelic_mode default is 'product' (reference flag default,
+    postprocess_variants.py:206-210)."""
     for group in group_cvos(cvos, group_variants):
         outputs = _sort_group(group)
         canonical_variant, predictions = merge_predictions(
@@ -135,6 +138,8 @@ def _record_from_template(
     v = copy.deepcopy(template)
     v.start = start
     v.end = end
+    if "END" in v.info:
+        v.info["END"] = [end]
     if start != template.start and ref_lookup is not None:
         v.reference_bases = ref_lookup(v.reference_name, start)
     return v
@@ -203,7 +208,7 @@ def postprocess_variants(
     qual_filter: float = 1.0,
     multi_allelic_qual_filter: float = 1.0,
     cnn_homref_call_min_gq: float = gt.CNN_HOMREF_CALL_MIN_GQ,
-    multiallelic_mode: str = "default",
+    multiallelic_mode: str = "product",
     haploid_contigs: Optional[Set[str]] = None,
     par_regions=None,
     nonvariant_site_path: Optional[str] = None,

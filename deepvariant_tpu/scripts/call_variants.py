@@ -1,0 +1,76 @@
+"""call_variants CLI (stage 2): examples TFRecord -> CVO TFRecord.
+
+Mirrors the reference call_variants.py main (:1056) flag surface for the
+implemented subset. The checkpoint is a flax msgpack state saved by
+deepvariant_tpu.training (or a fresh-init model for smoke runs with
+--allow_uninitialized_model).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax.numpy as jnp
+
+from deepvariant_tpu.calling.call_variants import call_variants
+from deepvariant_tpu.io import examples as example_codec
+from deepvariant_tpu.models.inception_v3 import create_model
+
+
+def load_variables_for_examples(checkpoint: str, examples_path: str,
+                                use_ema: bool = True):
+    """Build the model for the examples' shape; load checkpoint params."""
+    info = example_codec.read_example_info(examples_path)
+    h, w, c = info["shape"]
+    model, variables = create_model(c, height=h, width=w)
+    if checkpoint:
+        from deepvariant_tpu.training import train as train_lib
+        from deepvariant_tpu.training.config import TrainConfig
+
+        tx, _ = train_lib.make_optimizer(TrainConfig(), 100)
+        state = train_lib.init_state(model, variables, tx)
+        state = train_lib.load_checkpoint(checkpoint, state)
+        params = state["ema_params"] if use_ema else state["params"]
+        variables = {
+            "params": params, "batch_stats": state["batch_stats"],
+        }
+    return model, variables, info
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("call_variants")
+    p.add_argument("--examples", required=True)
+    p.add_argument("--outfile", required=True)
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--use_ema", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--allow_uninitialized_model", action="store_true",
+                   help="run with fresh-init weights (smoke testing only)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.checkpoint and not args.allow_uninitialized_model:
+        print("error: --checkpoint is required (or pass "
+              "--allow_uninitialized_model for smoke runs)",
+              file=sys.stderr)
+        return 2
+    model, variables, info = load_variables_for_examples(
+        args.checkpoint, args.examples, use_ema=args.use_ema
+    )
+    stats = call_variants(
+        args.examples, args.outfile, variables,
+        batch_size=args.batch_size, model=model,
+    )
+    print(
+        f"call_variants done: {stats['num_examples']} examples at "
+        f"{stats['examples_per_sec']:.1f} examples/s"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

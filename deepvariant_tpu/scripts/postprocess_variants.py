@@ -1,0 +1,102 @@
+"""postprocess_variants CLI (stage 3): CVO TFRecord -> VCF / gVCF.
+
+Mirrors the reference postprocess_variants.py main (:2232) flag surface
+for the implemented subset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from deepvariant_tpu.core.ranges import RangeSet, read_bed
+from deepvariant_tpu.core.types import Range
+from deepvariant_tpu.io.fasta import FastaReader
+from deepvariant_tpu.postprocess.pipeline import postprocess_variants
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("postprocess_variants")
+    p.add_argument("--ref", required=True)
+    p.add_argument("--infile", required=True, help="CVO tfrecord(s)")
+    p.add_argument("--outfile", required=True, help="output VCF(.gz)")
+    p.add_argument("--nonvariant_site_tfrecord_path", default="")
+    p.add_argument("--gvcf_outfile", default="")
+    p.add_argument("--sample_name", default="")
+    p.add_argument("--qual_filter", type=float, default=1.0)
+    p.add_argument("--multi_allelic_qual_filter", type=float, default=1.0)
+    p.add_argument("--cnn_homref_call_min_gq", type=float, default=20.0)
+    p.add_argument("--multiallelic_mode", default="product",
+                   choices=["min", "product"])
+    p.add_argument("--haploid_contigs", default="")
+    p.add_argument("--par_regions_bed", default="")
+    p.add_argument("--only_keep_pass", action="store_true")
+    p.add_argument("--group_variants",
+                   action=argparse.BooleanOptionalAction, default=True)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    ref = FastaReader(args.ref)
+    haploid = None
+    if args.haploid_contigs:
+        haploid = {
+            c for part in args.haploid_contigs.split(",")
+            for c in part.split()
+        }
+    par_regions = None
+    if args.par_regions_bed:
+        par_regions = RangeSet(read_bed(args.par_regions_bed))
+
+    def ref_lookup(contig: str, pos: int) -> str:
+        return ref.query(Range(contig, pos, pos + 1))
+
+    sample_name = args.sample_name or _sample_name_from_cvos(args.infile) \
+        or "default"
+    stats = postprocess_variants(
+        args.infile,
+        args.outfile,
+        ref.contigs,
+        sample_name=sample_name,
+        qual_filter=args.qual_filter,
+        multi_allelic_qual_filter=args.multi_allelic_qual_filter,
+        cnn_homref_call_min_gq=args.cnn_homref_call_min_gq,
+        multiallelic_mode=args.multiallelic_mode,
+        haploid_contigs=haploid,
+        par_regions=par_regions,
+        nonvariant_site_path=args.nonvariant_site_tfrecord_path or None,
+        output_gvcf=args.gvcf_outfile or None,
+        ref_lookup=ref_lookup,
+        only_keep_pass=args.only_keep_pass,
+        group_variants=args.group_variants,
+    )
+    print(
+        f"postprocess_variants done: {stats['vcf_records']} VCF records"
+        + (f", {stats['gvcf_records']} gVCF records"
+           if args.gvcf_outfile else "")
+    )
+    return 0
+
+
+def _sample_name_from_cvos(path: str):
+    """Sample name from the first CVO (postprocess_variants.py:1633)."""
+    from deepvariant_tpu.core.sharded_files import glob_sharded_inputs
+    from deepvariant_tpu.core.types import CallVariantsOutput
+    from deepvariant_tpu.io.tfrecord import TFRecordReader
+
+    for p in glob_sharded_inputs(path):
+        try:
+            with TFRecordReader(p) as reader:
+                for buf in reader:
+                    cvo = CallVariantsOutput.decode(buf)
+                    if cvo.variant.calls:
+                        return cvo.variant.calls[0].call_set_name
+                    return None
+        except FileNotFoundError:
+            continue
+    return None
+
+
+if __name__ == "__main__":
+    sys.exit(main())

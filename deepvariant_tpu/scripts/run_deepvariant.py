@@ -1,0 +1,150 @@
+"""One-step pipeline driver (reference scripts/run_deepvariant.py:863).
+
+Runs the three stages in sequence:
+  make_examples (N parallel shard processes, replacing GNU parallel,
+  run_deepvariant.py:457-462) -> call_variants (single process, batched
+  device inference) -> postprocess_variants.
+
+Model-type presets select pileup channels per product
+(run_deepvariant.py:483-491); WGS/WES use the 7-channel default
+(6 base channels + insert_size).
+"""
+
+from __future__ import annotations
+
+import argparse
+import multiprocessing
+import os
+import sys
+import time
+
+MODEL_TYPES = ("WGS", "WES", "PACBIO", "ONT_R104", "HYBRID_PACBIO_ILLUMINA")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("run_deepvariant")
+    p.add_argument("--model_type", choices=MODEL_TYPES, default="WGS")
+    p.add_argument("--ref", required=True)
+    p.add_argument("--reads", required=True)
+    p.add_argument("--output_vcf", required=True)
+    p.add_argument("--output_gvcf", default="")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--regions", default=None)
+    p.add_argument("--sample_name", default="default")
+    p.add_argument("--intermediate_results_dir", default="")
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--allow_uninitialized_model", action="store_true")
+    p.add_argument("--realign_reads",
+                   action=argparse.BooleanOptionalAction, default=True)
+    return p
+
+
+def _run_make_examples_shard(args_tuple):
+    import io
+    from contextlib import redirect_stdout
+
+    from deepvariant_tpu.scripts.make_examples import main as me_main
+
+    argv, task = args_tuple
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = me_main(argv + ["--task", str(task)])
+    return rc, buf.getvalue()
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    t_start = time.time()
+    outdir = args.intermediate_results_dir or os.path.join(
+        os.path.dirname(os.path.abspath(args.output_vcf)),
+        "intermediate_results_dir",
+    )
+    os.makedirs(outdir, exist_ok=True)
+    n = max(args.num_shards, 1)
+    examples_spec = os.path.join(
+        outdir, f"make_examples.tfrecord@{n}.gz"
+    )
+    gvcf_spec = os.path.join(
+        outdir, f"gvcf.tfrecord@{n}.gz"
+    ) if args.output_gvcf else ""
+    cvo_path = os.path.join(outdir, "call_variants_output.tfrecord.gz")
+
+    # Stage 1: make_examples, sharded across processes.
+    me_argv = [
+        "--mode", "calling",
+        "--ref", args.ref,
+        "--reads", args.reads,
+        "--examples", examples_spec,
+        "--num_shards", str(n),
+        "--sample_name", args.sample_name,
+    ]
+    if gvcf_spec:
+        me_argv += ["--gvcf", gvcf_spec]
+    if args.regions:
+        me_argv += ["--regions", args.regions]
+    if not args.realign_reads:
+        me_argv += ["--no-realign_reads"]
+    t0 = time.time()
+    if n == 1:
+        rc, out = _run_make_examples_shard((me_argv, 0))
+        print(out, end="")
+        if rc != 0:
+            return rc
+    else:
+        with multiprocessing.Pool(n) as pool:
+            results = pool.map(
+                _run_make_examples_shard,
+                [(me_argv, task) for task in range(n)],
+            )
+        for rc, out in results:
+            print(out, end="")
+            if rc != 0:
+                return rc
+    print(f"stage 1 (make_examples x{n}): {time.time() - t0:.1f}s")
+
+    # Stage 2: call_variants.
+    from deepvariant_tpu.scripts.call_variants import main as cv_main
+
+    cv_argv = [
+        "--examples", examples_spec,
+        "--outfile", cvo_path,
+        "--batch_size", str(args.batch_size),
+    ]
+    if args.checkpoint:
+        cv_argv += ["--checkpoint", args.checkpoint]
+    elif args.allow_uninitialized_model:
+        cv_argv += ["--allow_uninitialized_model"]
+    t0 = time.time()
+    rc = cv_main(cv_argv)
+    if rc != 0:
+        return rc
+    print(f"stage 2 (call_variants): {time.time() - t0:.1f}s")
+
+    # Stage 3: postprocess_variants.
+    from deepvariant_tpu.scripts.postprocess_variants import (
+        main as pp_main,
+    )
+
+    pp_argv = [
+        "--ref", args.ref,
+        "--infile", cvo_path,
+        "--outfile", args.output_vcf,
+        "--sample_name", args.sample_name,
+    ]
+    if args.output_gvcf:
+        pp_argv += [
+            "--nonvariant_site_tfrecord_path", gvcf_spec,
+            "--gvcf_outfile", args.output_gvcf,
+        ]
+    t0 = time.time()
+    rc = pp_main(pp_argv)
+    if rc != 0:
+        return rc
+    print(f"stage 3 (postprocess_variants): {time.time() - t0:.1f}s")
+    print(f"total: {time.time() - t_start:.1f}s -> {args.output_vcf}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,54 @@
+"""Stage-3 golden parity: postprocess on the reference's golden CVO
+input must reproduce its golden VCF and gVCF byte-for-byte
+(postprocess_variants_test.py:320-335 equivalent acceptance)."""
+
+import os
+
+import pytest
+
+from deepvariant_tpu.core.types import Range
+from deepvariant_tpu.io.fasta import FastaReader
+from deepvariant_tpu.postprocess.pipeline import postprocess_variants
+
+
+def _body(path):
+    return [l for l in open(path) if not l.startswith("#")]
+
+
+@pytest.mark.integration
+def test_golden_vcf_and_gvcf_byte_parity(testdata_dir, tmp_path):
+    ref = FastaReader(
+        os.path.join(testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz")
+    )
+
+    def ref_lookup(contig, pos):
+        return ref.query(Range(contig, pos, pos + 1))
+
+    out_vcf = str(tmp_path / "out.vcf")
+    out_gvcf = str(tmp_path / "out.g.vcf")
+    stats = postprocess_variants(
+        os.path.join(
+            testdata_dir,
+            "golden.postprocess_single_site_input-00000-of-00001"
+            ".tfrecord.gz",
+        ),
+        out_vcf,
+        ref.contigs,
+        sample_name="NA12878",
+        nonvariant_site_path=os.path.join(
+            testdata_dir, "golden.postprocess_gvcf_input.tfrecord.gz"
+        ),
+        output_gvcf=out_gvcf,
+        ref_lookup=ref_lookup,
+    )
+    assert stats["vcf_records"] == 78
+
+    golden_vcf = _body(os.path.join(
+        testdata_dir, "golden.postprocess_single_site_output.vcf"
+    ))
+    assert _body(out_vcf) == golden_vcf
+
+    golden_gvcf = _body(os.path.join(
+        testdata_dir, "golden.postprocess_gvcf_output.g.vcf"
+    ))
+    assert _body(out_gvcf) == golden_gvcf
