@@ -76,6 +76,9 @@ class MakeExamplesOptions:
     max_reads_for_dynamic_bases_per_region: int = 0
     random_seed: int = DEFAULT_RANDOM_SEED
     realigner_enabled: bool = True
+    # Direct phasing (PacBio/ONT presets; make_examples_core.py:3042).
+    phase_reads: bool = False
+    sort_by_haplotypes: bool = False
     min_mapping_quality: int = 5
     min_base_quality: int = 10
     sequencing_type: int = 0
@@ -163,6 +166,8 @@ class RegionProcessor:
                 min_mapping_quality=options.min_mapping_quality,
             ),
         ) if options.reads_filename else None
+        if options.sort_by_haplotypes:
+            options.pileup_options.sort_by_haplotypes = True
         self.caller = VerySensitiveCaller(options.variant_caller_options)
         self.examples_builder = ExamplesBuilder(
             self.ref_reader,
@@ -248,6 +253,14 @@ class RegionProcessor:
             region, batch, include_gvcfs
         )
         runtimes["find candidates"] = time.perf_counter() - t0
+
+        if self.options.phase_reads and candidates:
+            t0 = time.perf_counter()
+            from deepvariant_tpu.phasing.direct_phasing import DirectPhasing
+
+            phases = DirectPhasing().phase_reads(candidates, len(batch))
+            batch.hp = np.asarray(phases, np.int8)
+            runtimes["phase reads"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         examples: List[bytes] = []
