@@ -169,10 +169,19 @@ def make_labeler(options, ref_reader):
         confident = RangeSet(
             read_bed(options.confident_regions_filename)
         )
-    if options.labeler_algorithm in (
-        "positional_labeler", "haplotype_labeler"
-    ):
+    if options.labeler_algorithm == "positional_labeler":
         return PositionalVariantLabeler(truth, confident)
+    if options.labeler_algorithm == "haplotype_labeler":
+        from deepvariant_tpu.labeler.haplotype_labeler import (
+            HaplotypeLabeler,
+        )
+
+        if confident is None:
+            # Haplotype labeling requires confident regions; fall back to
+            # positional matching without them (reference requires the
+            # flag in this mode).
+            return PositionalVariantLabeler(truth, confident)
+        return HaplotypeLabeler(truth, ref_reader, confident)
     raise ValueError(
         f"unknown labeler_algorithm: {options.labeler_algorithm}"
     )

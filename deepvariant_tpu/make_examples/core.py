@@ -177,7 +177,7 @@ class RegionProcessor:
         self.realigner = Realigner(
             options.realigner_options, self.ref_reader
         ) if options.realigner_enabled else None
-        self.label_fn = None  # set in training mode by the runner
+        self.labeler = None  # set in training mode by the runner
 
     # -- reads --------------------------------------------------------------
 
@@ -262,14 +262,33 @@ class RegionProcessor:
             batch.hp = np.asarray(phases, np.int8)
             runtimes["phase reads"] = time.perf_counter() - t0
 
+        # Training mode: label all candidates of the region at once (the
+        # haplotype labeler works on variant groups, reference
+        # make_examples_core.py label_variants flow).
+        labels_by_index: Dict[int, object] = {}
+        if self.labeler is not None and candidates:
+            labels = list(self.labeler.label_variants(
+                [c.variant for c in candidates], region
+            ))
+            labels_by_index = dict(enumerate(labels))
+
         t0 = time.perf_counter()
         examples: List[bytes] = []
-        for dv_call in candidates:
-            for built in self.examples_builder.build_examples_for_candidate(
-                dv_call, batch, label_fn=self.label_fn
+        for idx, dv_call in enumerate(candidates):
+            label = labels_by_index.get(idx)
+            if self.options.mode == "training" and (
+                label is None or not label.is_confident
             ):
-                if self.options.mode == "training" and built.label is None:
-                    continue
+                continue
+            label_fn = None
+            if label is not None:
+                label_fn = (
+                    lambda variant, alt_indices, _label=label:
+                    _label.label_for_alt_alleles(alt_indices)
+                )
+            for built in self.examples_builder.build_examples_for_candidate(
+                dv_call, batch, label_fn=label_fn
+            ):
                 examples.append(built.encoded)
         runtimes["make pileup images"] = time.perf_counter() - t0
         return RegionOutputs(region, candidates, examples, gvcfs, runtimes)
@@ -350,9 +369,9 @@ def make_examples_runner(
     """Main per-shard loop (make_examples_core.py:3481). Returns counts."""
     processor = RegionProcessor(options)
     if options.mode == "training":
-        from deepvariant_tpu.labeler.variant_labeler import make_label_fn
+        from deepvariant_tpu.labeler.variant_labeler import make_labeler
 
-        processor.label_fn = make_label_fn(options, processor.ref_reader)
+        processor.labeler = make_labeler(options, processor.ref_reader)
     contigs = processor.ref_reader.contigs
     calling_regions = calling_regions_from_options(options, contigs)
     regions = regions_to_process(

@@ -1,0 +1,140 @@
+"""Small-model MLP classifier + variant-calling gate.
+
+Reference parity: keras Sequential MLP with hidden layers (750, 750),
+relu, 3-way softmax (small_model/keras_config.py:133-147,
+small_model_config.py:83-99) re-implemented in flax; the inference gate
+(`SmallModelVariantCaller`, small_model/inference.py:75-200) accepts a
+candidate when the phred-scaled max class probability clears the
+per-type GQ threshold, writing a CVO directly and skipping the CNN.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deepvariant_tpu.core import genomics_math
+from deepvariant_tpu.core.types import CallVariantsOutput, Variant
+from deepvariant_tpu.make_examples.variant_caller import DeepVariantCall
+
+NUM_CLASSES = 3
+DEFAULT_HIDDEN = (750, 750)
+
+
+class SmallModelMLP(nn.Module):
+    hidden_layer_sizes: Tuple[int, ...] = DEFAULT_HIDDEN
+
+    @nn.compact
+    def __call__(self, x):
+        for size in self.hidden_layer_sizes:
+            x = nn.relu(nn.Dense(size)(x))
+        return jax.nn.softmax(nn.Dense(NUM_CLASSES)(x), axis=-1)
+
+
+def create_small_model(
+    num_features: int,
+    hidden_layer_sizes: Tuple[int, ...] = DEFAULT_HIDDEN,
+    rng: Optional[jax.Array] = None,
+):
+    model = SmallModelMLP(hidden_layer_sizes)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, num_features)))
+    return model, variables
+
+
+def passes_confidence_threshold(
+    class_probabilities: Sequence[float], threshold: float
+) -> bool:
+    """small_model/inference.py:55-65."""
+    return genomics_math.ptrue_to_bounded_phred(
+        max(class_probabilities)
+    ) >= threshold
+
+
+def _is_snp(variant: Variant) -> bool:
+    return (len(variant.reference_bases) == 1
+            and bool(variant.alternate_bases)
+            and all(len(a) == 1 for a in variant.alternate_bases))
+
+
+@dataclasses.dataclass
+class SmallModelCallResult:
+    cvos: List[CallVariantsOutput]
+    filtered_indices: List[int]  # candidate indices accepted (skip CNN)
+
+
+class SmallModelVariantCaller:
+    """Accept/forward gate over small-model probabilities
+    (small_model/inference.py:75)."""
+
+    def __init__(
+        self,
+        model: SmallModelMLP,
+        variables,
+        snp_gq_threshold: float = 25.0,
+        indel_gq_threshold: float = 30.0,
+        batch_size: int = 4096,
+        emit_all_candidates: bool = False,
+    ):
+        self.model = model
+        self.variables = variables
+        self.snp_gq_threshold = snp_gq_threshold
+        self.indel_gq_threshold = indel_gq_threshold
+        self.batch_size = batch_size
+        self.emit_all_candidates = emit_all_candidates
+        self._predict = jax.jit(
+            lambda v, x: self.model.apply(v, x)
+        )
+
+    def classify(self, examples: np.ndarray) -> np.ndarray:
+        out = []
+        for i in range(0, len(examples), self.batch_size):
+            out.append(np.asarray(self._predict(
+                self.variables, examples[i:i + self.batch_size]
+            )))
+        return np.concatenate(out) if out else np.zeros((0, NUM_CLASSES))
+
+    def _accept(self, candidate: DeepVariantCall,
+                probabilities: Sequence[float]) -> bool:
+        threshold = (self.snp_gq_threshold
+                     if _is_snp(candidate.variant)
+                     else self.indel_gq_threshold)
+        return passes_confidence_threshold(probabilities, threshold)
+
+    def call_variants(
+        self,
+        candidates_with_alt_indices: Sequence[
+            Tuple[int, DeepVariantCall, Tuple[int, ...]]
+        ],
+        examples: np.ndarray,
+    ) -> SmallModelCallResult:
+        """Classify feature rows; accepted candidates become CVOs.
+
+        `candidates_with_alt_indices`: (candidate_index, candidate,
+        alt_allele_indices) aligned with `examples` rows.
+        """
+        if len(examples) == 0:
+            return SmallModelCallResult([], [])
+        probs = self.classify(examples.astype(np.float32))
+        cvos: List[CallVariantsOutput] = []
+        accepted: List[int] = []
+        for (cand_idx, candidate, alt_indices), p in zip(
+            candidates_with_alt_indices, probs
+        ):
+            p = [float(x) for x in p]
+            total = sum(p) or 1.0
+            p = [x / total for x in p]
+            if self.emit_all_candidates or self._accept(candidate, p):
+                cvos.append(CallVariantsOutput(
+                    variant=candidate.variant,
+                    alt_allele_indices=list(alt_indices),
+                    genotype_probabilities=genomics_math.round_gls(p),
+                ))
+                accepted.append(cand_idx)
+        return SmallModelCallResult(cvos, accepted)

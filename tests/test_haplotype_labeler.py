@@ -1,0 +1,198 @@
+"""Haplotype labeler tests (scenarios from haplotype_labeler_test.py) +
+training-mode integration on real chr20 data."""
+
+import os
+
+import pytest
+
+from deepvariant_tpu.core.ranges import RangeSet, read_bed
+from deepvariant_tpu.core.types import Range, Variant, VariantCall
+from deepvariant_tpu.labeler import haplotype_labeler as hl
+
+CHROM = "chr20"
+
+
+def variant(start, ref, alts, gt=None):
+    v = Variant(
+        reference_name=CHROM, start=start, end=start + len(ref),
+        reference_bases=ref, alternate_bases=list(alts),
+    )
+    if gt is not None:
+        v.calls.append(VariantCall(genotype=list(gt)))
+    return v
+
+
+class FakeRef:
+    def __init__(self, bases, start):
+        self.region = hl.ReferenceRegion(bases, start)
+
+    def query(self, r):
+        return self.region.bases(r.start, r.end)
+
+    def contig_length(self, name):
+        return self.region.end
+
+
+class FakeTruth:
+    def __init__(self, variants):
+        self.variants = variants
+
+    def query(self, region):
+        return [v for v in self.variants
+                if v.start < region.end and v.end > region.start]
+
+
+def make_labeler(truths, ref_bases="ACGTACGTACGTACGTACGT", ref_start=0,
+                 confident=None):
+    ref = FakeRef(ref_bases, ref_start)
+    confident = confident or RangeSet(
+        [Range(CHROM, ref_start, ref_start + len(ref_bases))]
+    )
+    return hl.HaplotypeLabeler(FakeTruth(truths), ref, confident)
+
+
+class TestBuildHaplotype:
+    REF = hl.ReferenceRegion("CAGC", 10)
+
+    def test_snp_haplotypes(self):
+        v1 = variant(10, "C", ["A"])
+        v2 = variant(11, "A", ["T"])
+        hap = hl.build_haplotype([v1, v2], [0, 1], self.REF, 10, 14)
+        assert hap == "CTGC"
+        hap = hl.build_haplotype([v1, v2], [1, 0], self.REF, 10, 14)
+        assert hap == "AAGC"
+
+    def test_deletion(self):
+        v = variant(10, "CAG", ["C"])
+        assert hl.build_haplotype([v], [1], self.REF, 10, 14) == "CC"
+        assert hl.build_haplotype([v], [0], self.REF, 10, 14) == "CAGC"
+
+    def test_insertion(self):
+        v = variant(10, "C", ["CTT"])
+        assert hl.build_haplotype([v], [1], self.REF, 10, 14) == "CTTAGC"
+
+
+class TestFalseNegativeGenotypes:
+    def test_expansion(self):
+        assert hl.with_false_negative_genotypes((0, 0)) == [(0, 0)]
+        assert hl.with_false_negative_genotypes((0, 1)) == [(0, 0), (0, 1)]
+        assert hl.with_false_negative_genotypes((1, 1)) == [
+            (0, 0), (0, 1), (1, 1)
+        ]
+        assert hl.with_false_negative_genotypes((1, 2)) == [
+            (0, 0), (0, 1), (0, 2), (1, 2)
+        ]
+
+
+class TestLabeling:
+    def test_exact_match_het(self):
+        truth = variant(5, "C", ["A"], gt=(0, 1))
+        labeler = make_labeler([truth])
+        cand = variant(5, "C", ["A"])
+        labels = list(labeler.label_variants([cand], Range(CHROM, 0, 20)))
+        assert len(labels) == 1
+        assert labels[0].is_confident
+        assert tuple(labels[0].genotype) == (0, 1)
+        assert labels[0].label_for_alt_alleles([0]) == 1
+
+    def test_exact_match_homalt(self):
+        truth = variant(5, "C", ["A"], gt=(1, 1))
+        labeler = make_labeler([truth])
+        cand = variant(5, "C", ["A"])
+        labels = list(labeler.label_variants([cand], Range(CHROM, 0, 20)))
+        assert labels[0].label_for_alt_alleles([0]) == 2
+
+    def test_false_positive_gets_homref(self):
+        labeler = make_labeler([])
+        cand = variant(5, "C", ["A"])
+        labels = list(labeler.label_variants([cand], Range(CHROM, 0, 20)))
+        assert tuple(labels[0].genotype) == (0, 0)
+        assert labels[0].label_for_alt_alleles([0]) == 0
+
+    def test_representation_difference(self):
+        # ref is a period-4 repeat (ACGT)*5: deleting any aligned 4-mer
+        # inside the repeat yields the same sequence, so truth del at 0
+        # and candidate del at 1 are equivalent representations.
+        truth = variant(0, "ACGTA", ["A"], gt=(0, 1))
+        labeler = make_labeler([truth])
+        cand = variant(1, "CGTAC", ["C"])
+        labels = list(labeler.label_variants([cand], Range(CHROM, 0, 20)))
+        assert tuple(labels[0].genotype) == (0, 1)
+
+    def test_nearby_variants_grouped(self):
+        truths = [
+            variant(4, "A", ["T"], gt=(0, 1)),
+            variant(8, "A", ["G"], gt=(1, 1)),
+        ]
+        labeler = make_labeler(truths)
+        cands = [variant(4, "A", ["T"]), variant(8, "A", ["G"])]
+        labels = list(labeler.label_variants(cands, Range(CHROM, 0, 20)))
+        assert [tuple(l.genotype) for l in labels] == [(0, 1), (1, 1)]
+
+    def test_multiallelic(self):
+        truth = variant(5, "C", ["A", "G"], gt=(1, 2))
+        labeler = make_labeler([truth])
+        cand = variant(5, "C", ["A", "G"])
+        labels = list(labeler.label_variants([cand], Range(CHROM, 0, 20)))
+        assert sorted(labels[0].genotype) == [1, 2]
+        assert labels[0].label_for_alt_alleles([0]) == 1
+        assert labels[0].label_for_alt_alleles([0, 1]) == 2
+
+
+class TestGrouping:
+    def test_distant_variants_in_separate_groups(self):
+        cands = [variant(10, "A", ["T"]), variant(500, "A", ["G"])]
+        groups = hl.group_variants(cands, [])
+        assert len(groups) == 2
+
+    def test_close_variants_in_one_group(self):
+        cands = [variant(10, "A", ["T"]), variant(20, "A", ["G"])]
+        groups = hl.group_variants(cands, [])
+        assert len(groups) == 1
+
+    def test_max_group_size(self):
+        cands = [variant(10 + 2 * i, "A", ["T"]) for i in range(12)]
+        groups = hl.group_variants(cands, [], max_group_size=8)
+        assert len(groups) == 2
+        assert len(groups[0][0]) == 8
+
+
+@pytest.mark.integration
+def test_training_mode_with_haplotype_labeler(testdata_dir, tmp_path):
+    """Training-mode make_examples on real chr20 data with NIST truth."""
+    from deepvariant_tpu.io import examples as example_codec
+    from deepvariant_tpu.io.tfrecord import TFRecordReader
+    from deepvariant_tpu.make_examples.core import (
+        MakeExamplesOptions,
+        make_examples_runner,
+    )
+
+    options = MakeExamplesOptions(
+        reads_filename=os.path.join(
+            testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+        ),
+        ref_filename=os.path.join(
+            testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+        ),
+        examples_filename=str(tmp_path / "training.tfrecord"),
+        mode="training",
+        regions=["chr20:10,000,000-10,004,000"],
+        truth_variants_filename=os.path.join(
+            testdata_dir, "input/test_nist.b37_chr20_100kbp_at_10mb.vcf.gz"
+        ),
+        confident_regions_filename=os.path.join(
+            testdata_dir, "input/test_nist.b37_chr20_100kbp_at_10mb.bed"
+        ),
+        labeler_algorithm="haplotype_labeler",
+    )
+    counts = make_examples_runner(options)
+    assert counts["examples"] > 10
+    labels = []
+    with TFRecordReader(str(tmp_path / "training.tfrecord")) as reader:
+        for buf in reader:
+            ex = example_codec.parse_example(buf)
+            assert ex.label is not None
+            labels.append(ex.label)
+    # Real data: a mix of hom-ref/het/hom-alt labels.
+    assert set(labels) <= {0, 1, 2}
+    assert len(set(labels)) >= 2

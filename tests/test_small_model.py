@@ -1,0 +1,124 @@
+"""Small-model tests: feature encoding + MLP gate."""
+
+import numpy as np
+import pytest
+
+from deepvariant_tpu.core.cigar import parse_cigar_string
+from deepvariant_tpu.core.types import Read, Variant
+from deepvariant_tpu.io.bam import ReadBatch
+from deepvariant_tpu.make_examples.variant_caller import DeepVariantCall
+from deepvariant_tpu.small_model.features import (
+    BASE_FEATURES,
+    SmallModelExampleFactory,
+    VARIANT_FEATURES,
+)
+from deepvariant_tpu.small_model.model import (
+    SmallModelVariantCaller,
+    create_small_model,
+    passes_confidence_threshold,
+)
+
+CHROM = "chr1"
+
+
+def _batch(n_reads=8):
+    reads = []
+    for i in range(n_reads):
+        reads.append(Read(
+            fragment_name=f"r{i}",
+            aligned_sequence="ACGT" * 10,
+            aligned_quality=bytes([30 + (i % 3)] * 40),
+            reference_name=CHROM,
+            position=100,
+            mapping_quality=60 if i % 2 == 0 else 20,
+            cigar=parse_cigar_string("40M"),
+            reverse_strand=(i % 2 == 1),
+        ))
+    return ReadBatch.from_reads(reads, [CHROM])
+
+
+def _candidate(alts=("T",), alt_reads=((0, 1, 2),), ref_reads=(3, 4, 5)):
+    return DeepVariantCall(
+        variant=Variant(
+            reference_name=CHROM, start=110, end=111,
+            reference_bases="A", alternate_bases=list(alts),
+        ),
+        allele_support={
+            a: list(r) for a, r in zip(alts, alt_reads)
+        },
+        ref_support=list(ref_reads),
+    )
+
+
+class TestFeatures:
+    def test_feature_vector_values(self):
+        factory = SmallModelExampleFactory()
+        cand = _candidate()
+        vec = factory.encode(cand, (0,), _batch())
+        names = factory.model_feature_names()
+        assert len(vec) == len(names) == len(BASE_FEATURES) + len(
+            VARIANT_FEATURES
+        )
+        f = dict(zip(names, vec))
+        assert f["num_reads_supports_ref"] == 3
+        assert f["num_reads_supports_alt"] == 3
+        assert f["total_depth"] == 6
+        assert f["variant_allele_frequency"] == 50
+        assert f["is_snp"] == 1
+        assert f["is_insertion"] == 0
+        # reads 0,1,2: mapq 60,20,60 -> mean 46 (floor)
+        assert f["alt_mapping_quality"] == 46
+        # reverse strand: reads 1 of 0,1,2 -> 33
+        assert f["alt_reverse_strand_ratio"] == 33
+
+    def test_indel_features(self):
+        factory = SmallModelExampleFactory()
+        cand = _candidate(alts=("ATT",))
+        vec = factory.encode(cand, (0,), _batch())
+        f = dict(zip(factory.model_feature_names(), vec))
+        assert f["is_snp"] == 0
+        assert f["is_insertion"] == 1
+        assert f["insertion_length"] == 2
+
+    def test_multiallelic_index_sets(self):
+        factory = SmallModelExampleFactory()
+        cand = _candidate(alts=("T", "G"), alt_reads=((0, 1), (2,)))
+        assert factory.alt_index_sets(cand) == [(0,), (1,), (0, 1)]
+
+    def test_haplotype_expansion(self):
+        factory = SmallModelExampleFactory(expand_by_haplotype=True)
+        cand = _candidate()
+        phases = [1, 1, 2, 0, 1, 2, 0, 0]
+        vec = factory.encode(cand, (0,), _batch(), read_phases=phases)
+        assert len(vec) == len(BASE_FEATURES) + len(VARIANT_FEATURES) + \
+            3 * len(BASE_FEATURES)
+
+
+class TestGate:
+    def test_confidence_threshold(self):
+        assert passes_confidence_threshold([0.01, 0.98, 0.01], 15)
+        assert not passes_confidence_threshold([0.4, 0.3, 0.3], 15)
+
+    def test_call_variants_gate(self):
+        factory = SmallModelExampleFactory()
+        model, variables = create_small_model(
+            len(factory.model_feature_names()), hidden_layer_sizes=(16,)
+        )
+        caller = SmallModelVariantCaller(
+            model, variables, snp_gq_threshold=25, indel_gq_threshold=30
+        )
+        batch = _batch()
+        cand = _candidate()
+        # Zero features -> exactly uniform softmax -> below threshold.
+        zero_rows = np.zeros(
+            (1, len(factory.model_feature_names())), np.float32
+        )
+        result = caller.call_variants([(0, cand, (0,))], zero_rows)
+        assert result.cvos == [] and result.filtered_indices == []
+        # emit_all_candidates writes everything.
+        caller.emit_all_candidates = True
+        rows = np.stack([factory.encode(cand, (0,), batch)])
+        result = caller.call_variants([(0, cand, (0,))], rows)
+        assert len(result.cvos) == 1
+        assert result.filtered_indices == [0]
+        assert abs(sum(result.cvos[0].genotype_probabilities) - 1) < 1e-9
