@@ -79,6 +79,7 @@ class MakeExamplesOptions:
     # Direct phasing (PacBio/ONT presets; make_examples_core.py:3042).
     phase_reads: bool = False
     sort_by_haplotypes: bool = False
+    track_ref_reads: bool = False
     min_mapping_quality: int = 5
     min_base_quality: int = 10
     sequencing_type: int = 0
@@ -220,6 +221,7 @@ class RegionProcessor:
             AlleleCounterOptions(
                 min_base_quality=self.options.min_base_quality,
                 min_mapping_quality=self.options.min_mapping_quality,
+                track_ref_reads=self.options.track_ref_reads,
             ),
             ref_prev_base=prev,
         )

@@ -101,12 +101,85 @@ class ExamplesBuilder:
             return out
         return bases
 
+    def need_alt_alignment(self, variant: Variant) -> bool:
+        """NeedAltAlignment (make_examples_native.cc:500-512)."""
+        o = self.pileup_options
+        if o.alt_aligned_pileup == "none" or not o.alt_aligned_pileup:
+            return False
+        if o.types_to_alt_align == "all":
+            return True
+        if o.types_to_alt_align == "indels":
+            return len(variant.reference_bases) > 1 or any(
+                len(a) > 1 for a in variant.alternate_bases
+            )
+        return False
+
+    def _build_alt_images(
+        self,
+        dv_call: DeepVariantCall,
+        batch: ReadBatch,
+        combo: Sequence[str],
+    ) -> List[Optional[np.ndarray]]:
+        """One pileup per alt in combo, reads realigned to the alt
+        haplotype (CreateAltAlignedImages, make_examples_native.cc:553)."""
+        from deepvariant_tpu.io.bam import ReadBatch as _RB
+        from deepvariant_tpu.make_examples import alt_aligned as aa
+
+        o = self.pileup_options
+        variant = dv_call.variant
+        contig = variant.reference_name
+        contig_n_bases = self.ref.contig_length(contig)
+        region = aa.calculate_alignment_region(
+            variant, o.half_width, contig_n_bases
+        )
+        reads = batch.to_reads()
+        trimmed, original_indices = aa.trim_reads(reads, region)
+        alt_images: List[Optional[np.ndarray]] = []
+        for alt in combo:
+            haplotype, ref_start, ref_end = aa.create_haplotype(
+                variant, alt, o.half_width, self.ref.query, contig_n_bases
+            )
+            if len(haplotype) < o.width:
+                alt_images.append(None)
+                continue
+            realigned = aa.realign_reads_to_haplotype(
+                haplotype, trimmed, contig, ref_start, ref_end,
+                self.ref.query, contig_n_bases,
+            )
+            kept = [(r, orig) for r, orig in
+                    zip(realigned, original_indices)
+                    if r.aligned_sequence]
+            alt_batch = _RB.from_reads([r for r, _ in kept], [contig])
+            # Remap allele support into the alt batch's index space.
+            new_index = {orig: i for i, (_, orig) in enumerate(kept)}
+            remapped = DeepVariantCall(
+                variant=variant,
+                allele_support={
+                    a: [new_index[r] for r in ids if r in new_index]
+                    for a, ids in dv_call.allele_support.items()
+                },
+                ref_support=[
+                    new_index[r] for r in dv_call.ref_support
+                    if r in new_index
+                ],
+            )
+            hap_window = np.frombuffer(
+                haplotype[: o.width].encode(), np.uint8
+            )
+            alt_images.append(self.encoder.build_pileup(
+                remapped, hap_window, alt_batch,
+                np.arange(len(alt_batch)), combo,
+            ))
+        return alt_images
+
     def build_examples_for_candidate(
         self,
         dv_call: DeepVariantCall,
         batch: ReadBatch,
         label_fn=None,
     ) -> Iterator[BuiltExample]:
+        from deepvariant_tpu.make_examples import alt_aligned as aa
+
         variant = dv_call.variant
         ref_window = self.reference_window(variant)
         if ref_window is None or len(ref_window) != self.pileup_options.width:
@@ -116,10 +189,22 @@ class ExamplesBuilder:
         )
         alt_index = {a: i for i, a in enumerate(variant.alternate_bases)}
         locus = f"{variant.reference_name}:{variant.start + 1}-{variant.end}"
+        needs_alt = self.need_alt_alignment(variant)
+        mode = self.pileup_options.alt_aligned_pileup
         for combo in alt_allele_combinations(variant):
             image = self.encoder.build_pileup(
                 dv_call, ref_window, batch, read_indices, combo
             )
+            if mode and mode != "none":
+                # The composed shape is constant for all examples; when
+                # this variant needs no alt alignment (e.g. SNPs with
+                # types_to_alt_align=indels) the alt planes are zeros
+                # (FillPileupArray's empty-alt handling).
+                alt_images = self._build_alt_images(
+                    dv_call, batch, combo
+                ) if needs_alt else [None, None]
+                image = aa.compose_alt_aligned(image, alt_images, mode,
+                                               combo)
             indices = sorted(alt_index[a] for a in combo if a in alt_index)
             label = None
             if label_fn is not None:
@@ -135,8 +220,29 @@ class ExamplesBuilder:
             yield BuiltExample(encoded, variant, indices, image, label)
 
     def example_shape(self) -> Tuple[int, int, int]:
+        """Final tensor shape incl. alt-aligned composition
+        (CalculatePileupImageHeight, pileup_image_native.cc:220-240)."""
         o = self.pileup_options
-        return (o.height, o.width, len(o.channels))
+        h, w, c = o.height, o.width, len(o.channels)
+        mode = o.alt_aligned_pileup
+        if mode in ("diff_channels", "base_channels"):
+            c += 2
+        elif mode == "rows":
+            h *= 3
+        elif mode == "single_row":
+            h *= 2
+        return (h, w, c)
+
+    # DeepVariantChannelEnum values for the alt-aligned planes
+    # (deepvariant.proto:1308-1313).
+    _ALT_CHANNEL_ENUMS = {
+        "diff_channels": [9, 10],
+        "base_channels": [20, 21],
+    }
 
     def channel_enums(self) -> List[int]:
-        return list(self.pileup_options.channels)
+        enums = list(self.pileup_options.channels)
+        enums += self._ALT_CHANNEL_ENUMS.get(
+            self.pileup_options.alt_aligned_pileup, []
+        )
+        return enums

@@ -101,6 +101,9 @@ class PileupOptions:
     sort_by_alt_allele_support: bool = False
     hp_tag_for_assembly_polishing: int = 0
     channels: Tuple[int, ...] = tuple(WGS_CHANNELS)
+    # Alt-aligned pileups (pileup_image.py defaults: 'none', 'indels').
+    alt_aligned_pileup: str = "none"
+    types_to_alt_align: str = "indels"
 
     @property
     def half_width(self) -> int:

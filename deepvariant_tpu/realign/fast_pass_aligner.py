@@ -468,7 +468,9 @@ class FastPassAligner:
         for read_id, read in enumerate(reads):
             best = self._best_read_alignment(read_id)
             if best is None:
-                out.append(read)
+                # force_alignment keeps indices aligned with empty reads
+                # (RealignReadsToReference, fast_pass_aligner.cc:582-590).
+                out.append(Read() if self.options.force_alignment else read)
                 continue
             ha = self._hap_alignments[best]
             ra = ha.read_alignments[read_id]

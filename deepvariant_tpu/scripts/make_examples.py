@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--confident_regions", default="")
     p.add_argument("--labeler_algorithm", default="haplotype_labeler")
     p.add_argument("--runtime_by_region", default="")
+    p.add_argument("--model_preset", default="",
+                   help="apply a model type's calling flags "
+                        "(WGS/WES/PACBIO/ONT_R104/...)")
     return p
 
 
@@ -86,6 +89,12 @@ def options_from_args(args) -> MakeExamplesOptions:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     options = options_from_args(args)
+    if args.model_preset:
+        from deepvariant_tpu.make_examples.presets import (
+            apply_model_preset,
+        )
+
+        apply_model_preset(options, args.model_preset)
     counts = make_examples_runner(
         options,
         runtime_by_region_path=args.runtime_by_region or None,

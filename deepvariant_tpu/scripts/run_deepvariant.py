@@ -78,6 +78,7 @@ def main(argv=None) -> int:
         "--examples", examples_spec,
         "--num_shards", str(n),
         "--sample_name", args.sample_name,
+        "--model_preset", args.model_type,
     ]
     if gvcf_spec:
         me_argv += ["--gvcf", gvcf_spec]
