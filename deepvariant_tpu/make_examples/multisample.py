@@ -1,0 +1,278 @@
+"""Multi-sample example generation (DeepTrio / DeepSomatic / generic N).
+
+Reference parity:
+  * samples are an ordered list of SampleOptions with per-sample pileup
+    heights; the example image stacks one pileup per sample in order
+    (CreateAndWriteExamplesForCandidate, make_examples_native.cc:632;
+    trio order [parent1, child, parent2] with MAIN_SAMPLE_INDEX=1,
+    deeptrio/make_examples.py:48,229-250; heights 100/100/100 ->
+    300-high examples, deeptrio/dt_constants.py);
+  * candidates are called on the target sample's allele counts; one
+    example set is emitted per sample_role_to_train (child for trio,
+    tumor for somatic).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from deepvariant_tpu.core.types import Range, Variant
+from deepvariant_tpu.io.bam import BamReader, ReadBatch, ReadRequirements
+from deepvariant_tpu.io.fasta import FastaReader
+from deepvariant_tpu.make_examples.core import (
+    MakeExamplesOptions,
+    RegionOutputs,
+    RegionProcessor,
+)
+from deepvariant_tpu.make_examples.examples_builder import ExamplesBuilder
+from deepvariant_tpu.make_examples.pileup import PileupOptions
+from deepvariant_tpu.make_examples.variant_caller import DeepVariantCall
+
+# Trio constants (deeptrio/dt_constants.py, deeptrio/make_examples.py:48).
+TRIO_MAIN_SAMPLE_INDEX = 1
+TRIO_HEIGHT_CHILD = 100
+TRIO_HEIGHT_PARENT = 100
+
+
+@dataclasses.dataclass
+class SampleSpec:
+    """One sample (deepvariant.proto SampleOptions essentials)."""
+
+    role: str
+    reads_filename: str
+    sample_name: str = ""
+    pileup_height: int = 100
+
+
+def trio_samples(
+    reads_child: str, reads_parent1: str, reads_parent2: str,
+    sample_name_child: str = "child",
+    sample_name_parent1: str = "parent1",
+    sample_name_parent2: str = "parent2",
+) -> List[SampleSpec]:
+    """[parent1, child, parent2] (deeptrio/make_examples.py:229-250)."""
+    return [
+        SampleSpec("parent1", reads_parent1, sample_name_parent1,
+                   TRIO_HEIGHT_PARENT),
+        SampleSpec("child", reads_child, sample_name_child,
+                   TRIO_HEIGHT_CHILD),
+        SampleSpec("parent2", reads_parent2, sample_name_parent2,
+                   TRIO_HEIGHT_PARENT),
+    ]
+
+
+def somatic_samples(
+    reads_tumor: str, reads_normal: str,
+    sample_name_tumor: str = "tumor",
+    sample_name_normal: str = "normal",
+) -> List[SampleSpec]:
+    """[normal, tumor] with tumor as the calling sample
+    (make_examples_somatic.py sample ordering)."""
+    return [
+        SampleSpec("normal", reads_normal, sample_name_normal, 100),
+        SampleSpec("tumor", reads_tumor, sample_name_tumor, 100),
+    ]
+
+
+class MultiSampleRegionProcessor:
+    """Per-region pipeline over N samples with stacked pileups."""
+
+    def __init__(
+        self,
+        options: MakeExamplesOptions,
+        samples: Sequence[SampleSpec],
+        main_sample_index: int,
+    ):
+        self.options = options
+        self.samples = list(samples)
+        self.main_sample_index = main_sample_index
+        self.ref_reader = FastaReader(options.ref_filename)
+        requirements = ReadRequirements(
+            min_mapping_quality=options.min_mapping_quality,
+        )
+        self.readers = [
+            BamReader(s.reads_filename, requirements=requirements)
+            for s in self.samples
+        ]
+        # One encoder per sample so each can have its own height.
+        self.builders: List[ExamplesBuilder] = []
+        for s in self.samples:
+            popts = dataclasses.replace(
+                options.pileup_options, height=s.pileup_height
+            )
+            self.builders.append(ExamplesBuilder(
+                self.ref_reader, popts,
+                sequencing_type=options.sequencing_type,
+            ))
+        # Borrow the single-sample machinery for reads/candidates.
+        self._main = RegionProcessor.__new__(RegionProcessor)
+        self._main.options = options
+        self._main.ref_reader = self.ref_reader
+        self._main.bam_reader = self.readers[main_sample_index]
+        from deepvariant_tpu.make_examples.variant_caller import (
+            VerySensitiveCaller,
+        )
+        from deepvariant_tpu.realign.realigner import Realigner
+
+        self._main.caller = VerySensitiveCaller(
+            options.variant_caller_options
+        )
+        self._main.examples_builder = self.builders[main_sample_index]
+        self._main.realigner = Realigner(
+            options.realigner_options, self.ref_reader
+        ) if options.realigner_enabled else None
+        self._main.labeler = None
+
+    def example_shape(self) -> Tuple[int, int, int]:
+        h = sum(
+            b.example_shape()[0] for b in self.builders
+        )
+        _, w, c = self.builders[self.main_sample_index].example_shape()
+        return (h, w, c)
+
+    def channel_enums(self) -> List[int]:
+        return self.builders[self.main_sample_index].channel_enums()
+
+    def process(self, region: Range) -> RegionOutputs:
+        runtimes: Dict[str, float] = {}
+        t0 = time.perf_counter()
+        batches: List[ReadBatch] = []
+        for reader in self.readers:
+            batches.append(self._downsample(reader.query(region)))
+        runtimes["get reads"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        if self._main.realigner is not None:
+            batches = [
+                self._main.realign_region_reads(b, region) for b in batches
+            ]
+        runtimes["realignment"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        include_gvcfs = bool(self.options.gvcf_filename)
+        main_batch = batches[self.main_sample_index]
+        candidates, gvcfs, _ = self._main.candidates_in_region(
+            region, main_batch, include_gvcfs
+        )
+        runtimes["find candidates"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        examples: List[bytes] = []
+        for dv_call in candidates:
+            examples.extend(
+                self._stacked_examples_for_candidate(dv_call, batches)
+            )
+        runtimes["make pileup images"] = time.perf_counter() - t0
+        return RegionOutputs(region, candidates, examples, gvcfs, runtimes)
+
+    def _downsample(self, batch: ReadBatch) -> ReadBatch:
+        from deepvariant_tpu.make_examples.core import (
+            reservoir_sample_indices,
+        )
+
+        n = len(batch)
+        limit = self.options.max_reads_per_partition
+        if limit > 0 and n > limit:
+            rng = np.random.RandomState(self.options.random_seed)
+            batch = batch.subset(reservoir_sample_indices(n, limit, rng))
+        return batch
+
+    def _stacked_examples_for_candidate(
+        self, dv_call: DeepVariantCall, batches: Sequence[ReadBatch]
+    ) -> List[bytes]:
+        """One example per alt combo; image = vertical stack of
+        per-sample pileups in sample order."""
+        from deepvariant_tpu.io import examples as example_codec
+        from deepvariant_tpu.make_examples.examples_builder import (
+            alt_allele_combinations,
+        )
+        from deepvariant_tpu.make_examples.pileup import (
+            reads_overlapping_variant,
+        )
+
+        variant = dv_call.variant
+        main_builder = self.builders[self.main_sample_index]
+        ref_window = main_builder.reference_window(variant)
+        if ref_window is None or \
+                len(ref_window) != self.options.pileup_options.width:
+            return []
+        alt_index = {a: i for i, a in enumerate(variant.alternate_bases)}
+        locus = (
+            f"{variant.reference_name}:{variant.start + 1}-{variant.end}"
+        )
+        out: List[bytes] = []
+        for combo in alt_allele_combinations(variant):
+            planes = []
+            for sample_i, (builder, batch) in enumerate(
+                zip(self.builders, batches)
+            ):
+                if sample_i == self.main_sample_index:
+                    call_for_sample = dv_call
+                else:
+                    # Non-target samples have no per-read support info;
+                    # their reads render as non-supporting.
+                    call_for_sample = DeepVariantCall(
+                        variant=variant, allele_support={},
+                        ref_support=[],
+                    )
+                indices = reads_overlapping_variant(
+                    batch, variant,
+                    builder.pileup_options.read_overlap_buffer_bp,
+                )
+                planes.append(builder.encoder.build_pileup(
+                    call_for_sample, ref_window, batch, indices, combo
+                ))
+            image = np.concatenate(planes, axis=0)
+            indices_sorted = sorted(
+                alt_index[a] for a in combo if a in alt_index
+            )
+            out.append(example_codec.make_example(
+                variant, image, indices_sorted, locus,
+                sequencing_type=self.options.sequencing_type,
+            ))
+        return out
+
+
+def make_multisample_examples_runner(
+    options: MakeExamplesOptions,
+    samples: Sequence[SampleSpec],
+    main_sample_index: int,
+) -> Dict[str, int]:
+    """Multi-sample analogue of make_examples_runner."""
+    from deepvariant_tpu.io import examples as example_codec
+    from deepvariant_tpu.make_examples.core import (
+        OutputsWriter,
+        calling_regions_from_options,
+        regions_to_process,
+    )
+
+    processor = MultiSampleRegionProcessor(
+        options, samples, main_sample_index
+    )
+    contigs = processor.ref_reader.contigs
+    calling_regions = calling_regions_from_options(options, contigs)
+    regions = regions_to_process(
+        contigs,
+        options.partition_size,
+        calling_regions,
+        options.task_id if options.num_shards else None,
+        options.num_shards if options.num_shards else None,
+    )
+    with OutputsWriter(options) as writer:
+        for region in regions:
+            outputs = processor.process(region)
+            writer.write_examples(*outputs.examples)
+            writer.write_candidates(*outputs.candidates)
+            writer.write_gvcfs(*outputs.gvcfs)
+        counts = dict(writer.counts)
+    if options.examples_filename:
+        example_codec.write_example_info(
+            writer.examples_path,
+            processor.example_shape(),
+            processor.channel_enums(),
+        )
+    return counts
