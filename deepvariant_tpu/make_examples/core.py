@@ -53,6 +53,10 @@ from deepvariant_tpu.realign.realigner import Realigner
 DEFAULT_PARTITION_SIZE = 1000
 DEFAULT_MAX_READS_PER_PARTITION = 1500
 DEFAULT_RANDOM_SEED = 2101079370
+# Candidate-sweep constants (make_examples_core.py:125,134,874).
+END_OF_REGION = -1
+MAX_PARTITION_LEN = 1000000
+DEFAULT_CANDIDATES_PER_PARTITION = 200
 
 
 @dataclasses.dataclass
@@ -93,6 +97,8 @@ class MakeExamplesOptions:
     realigner_options: RealignerOptions = dataclasses.field(
         default_factory=RealignerOptions
     )
+    # vcf_candidate_importer: candidates from a proposed VCF.
+    proposed_variants_filename: str = ""
     # Training mode.
     truth_variants_filename: str = ""
     confident_regions_filename: str = ""
@@ -127,6 +133,60 @@ def regions_to_process(
             r for i, r in enumerate(partitioned)
             if i % num_shards == task_id
         ]
+    return partitioned
+
+
+def partition_by_candidates(
+    regions: Iterator[Range] | Sequence[Range],
+    candidate_positions: Sequence[int],
+    max_size: int,
+) -> List[Range]:
+    """Candidate-balanced partitioning (make_examples_core.py:714-797):
+    each partition holds at most `max_size` candidates and at most
+    MAX_PARTITION_LEN bp; per-region candidate runs end with the
+    END_OF_REGION sentinel."""
+    if max_size <= 0:
+        raise ValueError(f"max_size must be > 0: {max_size}")
+    partitioned: List[Range] = []
+    it = 0
+    for interval in regions:
+        num = 0
+        refname = interval.reference_name
+        partition_start = interval.start
+        partition_end = interval.start
+        while (it < len(candidate_positions)
+               and candidate_positions[it] != END_OF_REGION
+               and interval.start <= candidate_positions[it]
+               < interval.end):
+            if (num == max_size
+                    or partition_end - partition_start
+                    >= MAX_PARTITION_LEN):
+                for pos in range(partition_start, partition_end,
+                                 MAX_PARTITION_LEN):
+                    partitioned.append(Range(
+                        refname, pos,
+                        min(partition_end, pos + MAX_PARTITION_LEN),
+                    ))
+                partition_start = partition_end
+                partition_end = partition_start + 1
+                num = 0
+            else:
+                partition_end = candidate_positions[it] + 1
+                num += 1
+            it += 1
+        if it < len(candidate_positions) and \
+                candidate_positions[it] == END_OF_REGION:
+            for pos in range(partition_start, interval.end,
+                             MAX_PARTITION_LEN):
+                partitioned.append(Range(
+                    refname, pos, min(interval.end,
+                                      pos + MAX_PARTITION_LEN),
+                ))
+            it += 1
+        else:
+            raise ValueError(
+                "Terminating item is missing in candidates list"
+            )
     return partitioned
 
 
@@ -169,7 +229,18 @@ class RegionProcessor:
         ) if options.reads_filename else None
         if options.sort_by_haplotypes:
             options.pileup_options.sort_by_haplotypes = True
-        self.caller = VerySensitiveCaller(options.variant_caller_options)
+        if options.proposed_variants_filename:
+            from deepvariant_tpu.make_examples.vcf_candidate_importer \
+                import VcfCandidateImporter
+
+            self.caller = VcfCandidateImporter(
+                options.variant_caller_options,
+                options.proposed_variants_filename,
+            )
+        else:
+            self.caller = VerySensitiveCaller(
+                options.variant_caller_options
+            )
         self.examples_builder = ExamplesBuilder(
             self.ref_reader,
             options.pileup_options,
@@ -236,6 +307,13 @@ class RegionProcessor:
             counter, include_med_dp=self.options.include_med_dp
         )) if include_gvcfs else []
         return candidates, gvcfs, counter
+
+    def find_candidate_positions(self, region: Range) -> List[int]:
+        """Candidate start positions in region (CANDIDATE_SWEEP pass;
+        make_examples_core.py:2117)."""
+        batch = self.region_reads(region)
+        candidates, _, _ = self.candidates_in_region(region, batch, False)
+        return [c.variant.start for c in candidates]
 
     # -- main ---------------------------------------------------------------
 
@@ -362,6 +440,39 @@ def calling_regions_from_options(
             RangeSet.from_regions(options.exclude_regions)
         )
     return regions
+
+
+def candidate_sweep_runner(
+    options: MakeExamplesOptions, output_path: str
+) -> int:
+    """CANDIDATE_SWEEP mode: write int32 candidate positions (with an
+    END_OF_REGION sentinel per calling region) for later
+    candidate-balanced sharding (make_examples_core.py:3592-3605)."""
+    processor = RegionProcessor(options)
+    contigs = processor.ref_reader.contigs
+    calling_regions = calling_regions_from_options(options, contigs)
+    regions = regions_to_process(
+        contigs,
+        options.partition_size,
+        calling_regions,
+        options.task_id if options.num_shards else None,
+        options.num_shards if options.num_shards else None,
+    )
+    positions: List[int] = []
+    n = 0
+    for region in regions:
+        found = processor.find_candidate_positions(region)
+        positions.extend(found)
+        positions.append(END_OF_REGION)
+        n += len(found)
+    np.asarray(positions, np.int32).tofile(output_path)
+    return n
+
+
+def load_candidate_positions(paths: Sequence[str]) -> np.ndarray:
+    """Load per-shard sweep outputs (make_examples_core.py:3328)."""
+    arrays = [np.fromfile(p, np.int32) for p in paths]
+    return np.concatenate(arrays) if arrays else np.empty(0, np.int32)
 
 
 def make_examples_runner(

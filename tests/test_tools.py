@@ -1,0 +1,95 @@
+"""Reporting tool tests: vcf_stats, show_examples, runtime_by_region_vis."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from deepvariant_tpu.core.types import Variant, VariantCall
+from deepvariant_tpu.tools.vcf_stats import (
+    compute_stats,
+    variant_type,
+    write_report,
+)
+from deepvariant_tpu.tools.show_examples import channel_panels, save_example_png
+from deepvariant_tpu.tools.runtime_by_region_vis import (
+    read_runtime_tsv,
+    write_report as write_runtime_report,
+)
+
+
+def _variant(ref="A", alts=("G",), qual=30.0, gt=(0, 1), flt=("PASS",)):
+    return Variant(
+        reference_name="chr1", start=10, end=10 + len(ref),
+        reference_bases=ref, alternate_bases=list(alts), quality=qual,
+        filter=list(flt),
+        calls=[VariantCall(genotype=list(gt),
+                           info={"GQ": [40], "DP": [30], "VAF": [0.5]})],
+    )
+
+
+class TestVcfStats:
+    def test_variant_type(self):
+        assert variant_type(_variant()) == "Biallelic_SNP"
+        assert variant_type(_variant(alts=("ATT",))) == \
+            "Biallelic_Insertion"
+        assert variant_type(_variant(ref="ATT", alts=("A",))) == \
+            "Biallelic_Deletion"
+        assert variant_type(_variant(alts=("G", "C"))) == \
+            "Multiallelic_SNP"
+        assert variant_type(_variant(flt=("RefCall",))) == "RefCall"
+
+    def test_titv(self):
+        # A->G transition x2, A->C transversion x1.
+        stats = compute_stats([
+            _variant(alts=("G",)), _variant(alts=("G",)),
+            _variant(alts=("C",)),
+        ])
+        assert stats.transitions == 2 and stats.transversions == 1
+        assert stats.titv_ratio == 2.0
+
+    def test_report_files(self, tmp_path):
+        stats = compute_stats([_variant(), _variant(alts=("ATT",))])
+        base = str(tmp_path / "report")
+        write_report(stats, base)
+        d = json.load(open(base + ".stats.json"))
+        assert d["record_count"] == 2
+        html = open(base + ".visual_report.html").read()
+        assert "Biallelic_SNP" in html and "<svg" in html
+
+
+class TestShowExamples:
+    def test_channel_panels(self):
+        img = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+        strip = channel_panels(img, pad=1)
+        assert strip.shape == (2, 4 * 4)
+        np.testing.assert_array_equal(strip[:, :3], img[..., 0])
+
+    def test_save_png(self, tmp_path):
+        img = np.random.RandomState(0).randint(
+            0, 255, (10, 20, 3), np.uint8
+        )
+        path = str(tmp_path / "x.png")
+        save_example_png(img, path)
+        from PIL import Image
+
+        loaded = Image.open(path)
+        assert loaded.size == (2 * 3 * 22, 20)
+
+
+class TestRuntimeVis:
+    def test_roundtrip(self, tmp_path):
+        tsv = tmp_path / "rt.tsv"
+        tsv.write_text(
+            "region\tget reads\trealignment\tfind candidates\t"
+            "make pileup images\ttotal\n"
+            "chr1:1-100\t0.1\t0.2\t0.3\t0.4\t1.0\n"
+            "chr1:101-200\t0.5\t0.1\t0.1\t0.1\t0.8\n"
+        )
+        cols, rows = read_runtime_tsv(str(tsv))
+        assert len(rows) == 2 and "total" in cols
+        out = str(tmp_path / "rt.html")
+        write_runtime_report(str(tsv), out)
+        html = open(out).read()
+        assert "chr1:1-100" in html and "<svg" in html
