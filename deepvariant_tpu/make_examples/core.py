@@ -99,6 +99,8 @@ class MakeExamplesOptions:
     )
     # vcf_candidate_importer: candidates from a proposed VCF.
     proposed_variants_filename: str = ""
+    # Population allele frequencies (allele_frequency channel).
+    population_vcf_filenames: Optional[List[str]] = None
     # Training mode.
     truth_variants_filename: str = ""
     confident_regions_filename: str = ""
@@ -250,6 +252,15 @@ class RegionProcessor:
             options.realigner_options, self.ref_reader
         ) if options.realigner_enabled else None
         self.labeler = None  # set in training mode by the runner
+        self.population_vcf_readers = None
+        if options.population_vcf_filenames:
+            from deepvariant_tpu.make_examples.allele_frequency import (
+                make_population_vcf_readers,
+            )
+
+            self.population_vcf_readers = make_population_vcf_readers(
+                options.population_vcf_filenames
+            )
 
     # -- reads --------------------------------------------------------------
 
@@ -333,6 +344,18 @@ class RegionProcessor:
             region, batch, include_gvcfs
         )
         runtimes["find candidates"] = time.perf_counter() - t0
+
+        if self.population_vcf_readers is not None and candidates:
+            # Population AF hook (make_examples_core.py:2380-2389).
+            from deepvariant_tpu.make_examples.allele_frequency import (
+                add_allele_frequencies_to_candidates,
+            )
+
+            candidates = list(add_allele_frequencies_to_candidates(
+                candidates,
+                self.population_vcf_readers[region.reference_name],
+                self.ref_reader,
+            ))
 
         if self.options.phase_reads and candidates:
             t0 = time.perf_counter()

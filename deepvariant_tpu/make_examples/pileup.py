@@ -97,6 +97,7 @@ class PileupOptions:
     mapping_quality_cap: int = 60
     read_overlap_buffer_bp: int = 5
     random_seed: int = 2101079370
+    min_non_zero_allele_frequency: float = 0.00001
     sort_by_haplotypes: bool = False
     sort_by_alt_allele_support: bool = False
     hp_tag_for_assembly_polishing: int = 0
@@ -242,6 +243,7 @@ class PileupEncoder:
         image_start_pos: int,
         variant_start: int,
         support_code: int,
+        af_value: float = 0.0,
     ) -> Optional[np.ndarray]:
         """Encode one read into a (W, C) row, or None if the read bails
         (EncodeRead + CalculateBaseLevelData semantics)."""
@@ -288,7 +290,35 @@ class PileupEncoder:
                 row[cols, ci] = self._hp_channel_value(
                     int(batch.hp[read_idx])
                 )
+            elif ch == CH_ALLELE_FREQUENCY:
+                row[cols, ci] = self._allele_frequency_color(af_value)
         return row
+
+    def _allele_frequency_color(self, allele_frequency: float) -> int:
+        """Log-scaled AF pixel (allele_frequency_channel.cc:78-86):
+        ((log10(min) - log10(af)) / log10(min)) * 254, min = 1e-5."""
+        import math
+
+        min_af = self.options.min_non_zero_allele_frequency
+        if allele_frequency <= min_af:
+            return 0
+        log10_af = math.log10(allele_frequency)
+        log10_min = math.log10(min_af)
+        return int(((log10_min - log10_af) / log10_min) * MAX_PIXEL_FLOAT)
+
+    def _read_allele_frequency(
+        self,
+        dv_call: DeepVariantCall,
+        read_idx: int,
+        alt_alleles,
+    ) -> float:
+        """AF of the alt this read supports, if it is an alt-in-image
+        (ReadAlleleFrequency, allele_frequency_channel.cc:89-119)."""
+        for alt in dv_call.variant.alternate_bases:
+            ids = dv_call.allele_support.get(alt)
+            if ids and read_idx in ids and alt in alt_alleles:
+                return dv_call.allele_frequencies.get(alt, 0.0)
+        return 0.0
 
     def _walk_events(self, batch, read_idx, image_start_pos, width):
         """CIGAR walk -> (cols, read_base_bytes, quals) arrays in cigar order
@@ -394,9 +424,14 @@ class PileupEncoder:
             if len(rows) >= max_reads:
                 break
             support_code = self._read_supports_alt(dv_call, idx, alt_alleles)
+            af_value = 0.0
+            if CH_ALLELE_FREQUENCY in o.channels:
+                af_value = self._read_allele_frequency(
+                    dv_call, idx, alt_alleles
+                )
             row = self.encode_read_row(
                 batch, idx, ref_window, image_start_pos, variant.start,
-                support_code,
+                support_code, af_value,
             )
             if row is None:
                 continue

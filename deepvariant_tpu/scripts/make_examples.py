@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True)
     p.add_argument("--min_mapping_quality", type=int, default=5)
     p.add_argument("--min_base_quality", type=int, default=10)
+    p.add_argument("--population_vcfs", default="",
+                   help="space-separated population VCFs with AF INFO "
+                        "for the allele_frequency channel")
     p.add_argument("--proposed_variants", default="",
                    help="VCF of candidates to import "
                         "(vcf_candidate_importer)")
@@ -83,6 +86,9 @@ def options_from_args(args) -> MakeExamplesOptions:
         realigner_enabled=args.realign_reads,
         min_mapping_quality=args.min_mapping_quality,
         min_base_quality=args.min_base_quality,
+        population_vcf_filenames=(
+            args.population_vcfs.split() if args.population_vcfs else None
+        ),
         proposed_variants_filename=args.proposed_variants,
         truth_variants_filename=args.truth_variants,
         confident_regions_filename=args.confident_regions,
