@@ -58,22 +58,32 @@ class FastaReader:
         else:
             with open(path, "rb") as f:
                 data = f.read()
-        raw = np.frombuffer(data, np.uint8)
+        self._raw = np.frombuffer(data, np.uint8)
+        # Contigs materialize lazily on first query — a whole-genome
+        # FASTA holds ~3Gbp and most processes touch few contigs.
         self._contigs: Dict[str, np.ndarray] = {}
-        upper = _UPPER_LUT
-        for rec in self._records:
-            n_lines = (rec.length + rec.line_bases - 1) // rec.line_bases
-            span = raw[
-                rec.offset : rec.offset
-                + rec.length
-                + n_lines * (rec.line_width - rec.line_bases)
-            ]
-            mat_len = n_lines * rec.line_width
-            padded = np.full(mat_len, ord("\n"), np.uint8)
-            padded[: len(span)] = span[:mat_len]
-            mat = padded.reshape(n_lines, rec.line_width)
-            bases = mat[:, : rec.line_bases].reshape(-1)[: rec.length]
-            self._contigs[rec.name] = upper[bases]
+        self._rec_by_name = {r.name: r for r in self._records}
+
+    def _load_contig(self, name: str) -> np.ndarray:
+        bases = self._contigs.get(name)
+        if bases is not None:
+            return bases
+        rec = self._rec_by_name[name]
+        n_lines = (rec.length + rec.line_bases - 1) // rec.line_bases
+        span = self._raw[
+            rec.offset : rec.offset
+            + rec.length
+            + n_lines * (rec.line_width - rec.line_bases)
+        ]
+        mat_len = n_lines * rec.line_width
+        padded = np.full(mat_len, ord("\n"), np.uint8)
+        padded[: len(span)] = span[:mat_len]
+        mat = padded.reshape(n_lines, rec.line_width)
+        bases = _UPPER_LUT[
+            mat[:, : rec.line_bases].reshape(-1)[: rec.length]
+        ]
+        self._contigs[name] = bases
+        return bases
 
     @property
     def contigs(self) -> List[ContigInfo]:
@@ -86,17 +96,17 @@ class FastaReader:
         return [r.name for r in self._records]
 
     def has_contig(self, name: str) -> bool:
-        return name in self._contigs
+        return name in self._rec_by_name
 
     def contig_length(self, name: str) -> int:
-        for r in self._records:
-            if r.name == name:
-                return r.length
-        raise KeyError(name)
+        rec = self._rec_by_name.get(name)
+        if rec is None:
+            raise KeyError(name)
+        return rec.length
 
     def bases(self, region: Range) -> np.ndarray:
         """Uppercased ASCII bases for region as uint8[len(region)]."""
-        arr = self._contigs[region.reference_name]
+        arr = self._load_contig(region.reference_name)
         start = max(0, region.start)
         end = min(len(arr), region.end)
         return arr[start:end]

@@ -34,6 +34,41 @@ def _load() -> ctypes.CDLL:
     lib.dv_bgzf_inflate_all.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
     ]
+    if hasattr(lib, "dv_fast_pass_align"):
+        lib.dv_fast_pass_align.restype = ctypes.c_int
+        lib.dv_fast_pass_align.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+    if hasattr(lib, "dv_fast_align_strings"):
+        lib.dv_fast_align_strings.restype = ctypes.c_int32
+        lib.dv_fast_align_strings.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+    if hasattr(lib, "dv_ssw_align"):
+        lib.dv_ssw_align.restype = ctypes.c_int
+        lib.dv_ssw_align.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32,   # ref
+            ctypes.c_char_p, ctypes.c_int32,   # query
+            ctypes.c_int32, ctypes.c_int32,    # match, mismatch
+            ctypes.c_int32, ctypes.c_int32,    # gap open, gap extend
+            ctypes.POINTER(ctypes.c_int32),    # score
+            ctypes.POINTER(ctypes.c_int32),    # ref_begin
+            ctypes.POINTER(ctypes.c_int32),    # ref_end
+            ctypes.POINTER(ctypes.c_int32),    # query_begin
+            ctypes.POINTER(ctypes.c_int32),    # query_end
+            ctypes.c_char_p, ctypes.c_int32,   # cigar buf
+        ]
     return lib
 
 
@@ -42,6 +77,106 @@ _LIB = _load()
 
 def crc32c(data: bytes, crc: int = 0) -> int:
     return _LIB.dv_crc32c(data, len(data), crc)
+
+
+def has_ssw() -> bool:
+    return hasattr(_LIB, "dv_ssw_align")
+
+
+def has_fast_align() -> bool:
+    return hasattr(_LIB, "dv_fast_align_strings")
+
+
+def has_fast_pass() -> bool:
+    return hasattr(_LIB, "dv_fast_pass_align")
+
+
+def fast_pass_align(reads, haplotypes, ref_hap_index: int, k: int,
+                    max_mm: int, match: int, mismatch_pen: int,
+                    ref_prefix_len: int, ref_suffix_len: int):
+    """Full fast pass over all (haplotype, read) pairs.
+
+    reads/haplotypes: lists of bytes (ACGT-only; caller checks).
+    Returns (scores, positions, hap_scores): scores/positions are
+    (n_haps, n_reads) int32 arrays, position -1 = unaligned.
+    """
+    import numpy as np
+
+    reads_buf = b"".join(reads)
+    read_offsets = np.zeros(len(reads) + 1, np.int32)
+    np.cumsum([len(r) for r in reads], out=read_offsets[1:])
+    hap_buf = b"".join(haplotypes)
+    hap_offsets = np.zeros(len(haplotypes) + 1, np.int32)
+    np.cumsum([len(h) for h in haplotypes], out=hap_offsets[1:])
+    n_haps, n_reads = len(haplotypes), len(reads)
+    scores = np.zeros((n_haps, n_reads), np.int32)
+    positions = np.full((n_haps, n_reads), -1, np.int32)
+    hap_scores = np.zeros(n_haps, np.int32)
+    rc = _LIB.dv_fast_pass_align(
+        reads_buf, read_offsets.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)), n_reads,
+        hap_buf, hap_offsets.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)), n_haps,
+        ref_hap_index, k, max_mm, match, mismatch_pen,
+        ref_prefix_len, ref_suffix_len,
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        positions.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        hap_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"dv_fast_pass_align failed: {rc}")
+    return scores, positions, hap_scores
+
+
+def fast_align_strings(s1: bytes, s2: bytes, max_mismatches: int,
+                       match: int, mismatch_pen: int):
+    """(score, num_mismatches) — native FastAlignStrings."""
+    mm = ctypes.c_int32()
+    score = _LIB.dv_fast_align_strings(
+        s1, s2, min(len(s1), len(s2)), max_mismatches, match,
+        mismatch_pen, ctypes.byref(mm),
+    )
+    return score, mm.value
+
+
+def fast_align_strings_at(haystack: bytes, offset: int, needle: bytes,
+                          max_mismatches: int, match: int,
+                          mismatch_pen: int):
+    """Like fast_align_strings but compares needle against
+    haystack[offset:offset+len(needle)] without slicing (pointer
+    arithmetic; haystack must outlive the call)."""
+    mm = ctypes.c_int32()
+    base = ctypes.cast(ctypes.c_char_p(haystack), ctypes.c_void_p).value
+    s1 = ctypes.cast(base + offset, ctypes.c_char_p)
+    score = _LIB.dv_fast_align_strings(
+        s1, needle, len(needle), max_mismatches, match, mismatch_pen,
+        ctypes.byref(mm),
+    )
+    return score, mm.value
+
+
+def ssw_align(ref: bytes, query: bytes, match: int, mismatch: int,
+              gap_open: int, gap_extend: int):
+    """Native affine-gap SW. Returns (score, ref_begin, ref_end,
+    query_begin, query_end, cigar_string) or None when score <= 0."""
+    score = ctypes.c_int32()
+    rb = ctypes.c_int32()
+    re_ = ctypes.c_int32()
+    qb = ctypes.c_int32()
+    qe = ctypes.c_int32()
+    buf = ctypes.create_string_buffer(4 * max(len(query), 16) + 64)
+    rc = _LIB.dv_ssw_align(
+        ref, len(ref), query, len(query), match, mismatch, gap_open,
+        gap_extend, ctypes.byref(score), ctypes.byref(rb),
+        ctypes.byref(re_), ctypes.byref(qb), ctypes.byref(qe),
+        buf, len(buf),
+    )
+    if rc == 1:
+        return None
+    if rc != 0:
+        raise RuntimeError("dv_ssw_align cigar buffer overflow")
+    return (score.value, rb.value, re_.value, qb.value, qe.value,
+            buf.value.decode())
 
 
 def bgzf_decompress_all(raw: bytes) -> bytes:

@@ -297,32 +297,99 @@ class FastPassAligner:
         return (num_matches * self.options.match
                 - num_mismatches * self.options.mismatch), num_mismatches
 
+    def _fast_pass_native(self) -> Optional[List[HaplotypeReadsAlignment]]:
+        """Whole fast pass in one native call (dv_fast_pass_align);
+        None when unavailable or sequences contain non-ACGT bases."""
+        try:
+            from deepvariant_tpu.io import native
+        except Exception:
+            return None
+        if not native.has_fast_pass() or not self._reads:
+            return None
+        acgt = frozenset("ACGT")
+        # Reads may contain N (their N-kmers are never looked up when
+        # haplotypes are ACGT-only, and whole-read comparison treats N
+        # as a wildcard on both paths); haplotypes must be ACGT for the
+        # packed-kmer index to behave identically to the string index.
+        haps_b = []
+        for hap in self.haplotypes:
+            if not acgt.issuperset(hap):
+                return None
+            haps_b.append(hap.encode())
+        reads_b = [r.encode() for r in self._reads]
+        ref_hap_index = -1
+        for i, hap in enumerate(self.haplotypes):
+            if hap == self.reference:
+                ref_hap_index = i
+                break
+        scores, positions, hap_scores = native.fast_pass_align(
+            reads_b, haps_b, ref_hap_index, self.options.kmer_size,
+            self.options.max_num_of_mismatches, self.options.match,
+            self.options.mismatch, self.ref_prefix_len,
+            self.ref_suffix_len,
+        )
+        out = []
+        for h in range(len(self.haplotypes)):
+            read_alignments = []
+            for r in range(len(self._reads)):
+                ra = ReadAlignment()
+                if positions[h, r] >= 0 and scores[h, r] > 0:
+                    ra.score = int(scores[h, r])
+                    ra.position = int(positions[h, r])
+                    ra.cigar = f"{len(self._reads[r])}="
+                read_alignments.append(ra)
+            out.append(HaplotypeReadsAlignment(
+                h, int(hap_scores[h]), read_alignments
+            ))
+        return out
+
     def _fast_align_reads_to_haplotype(
         self, haplotype: str, read_alignments: List[ReadAlignment]
     ) -> int:
         k = self.options.kmer_size
         is_ref = haplotype == self.reference
-        coverage = np.zeros(len(haplotype), np.int32)
+        hap_len = len(haplotype)
+        coverage = np.zeros(hap_len, np.int32)
         haplotype_score = 0
-        last_pos = len(haplotype) - k
+        last_pos = hap_len - k
+        max_mm = self.options.max_num_of_mismatches
+        try:
+            from deepvariant_tpu.io import native
+
+            native_cmp = native.fast_align_strings_at \
+                if native.has_fast_align() else None
+        except Exception:
+            native_cmp = None
+        hap_bytes = haplotype.encode() if native_cmp else None
+        reads_bytes = [r.encode() for r in self._reads] \
+            if native_cmp else None
+        kmer_get = self._kmer_index.get
         for i in range(last_pos + 1):
-            hits = self._kmer_index.get(haplotype[i:i + k])
+            hits = kmer_get(haplotype[i:i + k])
             if hits:
                 for read_id, read_pos in hits:
-                    target_start = max(0, i - read_pos)
+                    target_start = i - read_pos
+                    if target_start < 0:
+                        target_start = 0
                     read = self._reads[read_id]
                     span = len(read)
-                    if target_start + span > len(haplotype):
+                    if target_start + span > hap_len:
                         continue
                     ra = read_alignments[read_id]
-                    if ra.position != NOT_ALIGNED and \
-                            ra.position == target_start:
+                    if ra.position == target_start:
                         continue
-                    score, mismatches = self._fast_align_strings(
-                        haplotype[target_start:target_start + span], read,
-                        self.options.max_num_of_mismatches + 1,
-                    )
-                    if mismatches <= self.options.max_num_of_mismatches:
+                    if native_cmp is not None:
+                        score, mismatches = native_cmp(
+                            hap_bytes, target_start,
+                            reads_bytes[read_id], max_mm + 1,
+                            self.options.match, self.options.mismatch,
+                        )
+                    else:
+                        score, mismatches = self._fast_align_strings(
+                            haplotype[target_start:target_start + span],
+                            read, max_mm + 1,
+                        )
+                    if mismatches <= max_mm:
                         coverage[target_start:target_start + span] += 1
                         if ra.score < score:
                             haplotype_score += score - ra.score
@@ -330,7 +397,7 @@ class FastPassAligner:
                             ra.position = target_start
                             ra.cigar = f"{span}="
             if (coverage[i] == 0 and i >= self.ref_prefix_len
-                    and i < len(haplotype) - self.ref_suffix_len
+                    and i < hap_len - self.ref_suffix_len
                     and not is_ref):
                 return 0
         return haplotype_score
@@ -345,19 +412,23 @@ class FastPassAligner:
         score_threshold = self._ssw_score_threshold()
         self._build_index()
 
-        # Fast pass per haplotype.
-        self._hap_alignments = []
-        for hap_index, haplotype in enumerate(self.haplotypes):
-            read_alignments = [ReadAlignment() for _ in self._reads]
-            hap_score = self._fast_align_reads_to_haplotype(
-                haplotype, read_alignments
-            )
-            if hap_score == 0:
+        # Fast pass per haplotype (native batch path when possible).
+        self._hap_alignments = self._fast_pass_native()
+        if self._hap_alignments is None:
+            self._hap_alignments = []
+            for hap_index, haplotype in enumerate(self.haplotypes):
                 read_alignments = [ReadAlignment() for _ in self._reads]
-            self._hap_alignments.append(
-                HaplotypeReadsAlignment(hap_index, hap_score,
-                                        read_alignments)
-            )
+                hap_score = self._fast_align_reads_to_haplotype(
+                    haplotype, read_alignments
+                )
+                if hap_score == 0:
+                    read_alignments = [
+                        ReadAlignment() for _ in self._reads
+                    ]
+                self._hap_alignments.append(
+                    HaplotypeReadsAlignment(hap_index, hap_score,
+                                            read_alignments)
+                )
 
         # Align haplotypes to the reference.
         ssw = SswAligner(self.options.match, self.options.mismatch,

@@ -62,7 +62,29 @@ class SswAligner:
         self._ref: Optional[np.ndarray] = None
 
     def set_reference_sequence(self, reference: str):
-        self._ref = np.frombuffer(reference.upper().encode(), np.uint8)
+        self._ref_bytes = reference.upper().encode()
+        self._ref = np.frombuffer(self._ref_bytes, np.uint8)
+
+    def _align_native(self, query: str):
+        """Native C DP (native/dvnative.cc dv_ssw_align) — identical
+        scores/cigars, ~100x faster than the numpy path."""
+        try:
+            from deepvariant_tpu.io import native
+        except Exception:
+            return NotImplemented
+        if not native.has_ssw():
+            return NotImplemented
+        result = native.ssw_align(
+            self._ref_bytes, query.upper().encode(), self.match,
+            self.mismatch, self.gap_open, self.gap_extend,
+        )
+        if result is None:
+            return Alignment()
+        score, rb, re_, qb, qe, cigar = result
+        return Alignment(
+            sw_score=score, ref_begin=rb, ref_end=re_,
+            query_begin=qb, query_end=qe, cigar_string=cigar,
+        )
 
     def align(self, query: str) -> Alignment:
         assert self._ref is not None, "call set_reference_sequence first"
@@ -70,6 +92,9 @@ class SswAligner:
         n, m = len(self._ref), len(q)
         if n == 0 or m == 0:
             return Alignment()
+        native_result = self._align_native(query)
+        if native_result is not NotImplemented:
+            return native_result
         o, e = self.gap_open, self.gap_extend
         H = np.zeros((n + 1, m + 1), np.int32)
         E = np.full((n + 1, m + 1), _NEG, np.int32)  # del (consumes ref)

@@ -281,3 +281,283 @@ int64_t dv_bam_scan(const uint8_t* src, int64_t src_len, DvBamFilter filter,
 }
 
 }  // extern "C"
+
+#include <vector>
+#include <cstdio>
+
+// ---------------------------------------------------------------------------
+// Affine-gap local alignment (Smith-Waterman) with traceback.
+//
+// Native replacement for the Python DP in deepvariant_tpu/realign/ssw.py
+// (which mirrors libssw's role in the reference realigner). Scores and
+// cigars are identical to the Python implementation: H/E/F recurrences with
+// gap_open >= gap_extend, traceback priority diag > E(del) > F(ins),
+// soft-clipped query ends, "=XIDS" cigar alphabet.
+// ---------------------------------------------------------------------------
+
+static inline int imax2(int a, int b) { return a > b ? a : b; }
+
+// Appends "<len><op>" to the cigar buffer; returns new length or -1.
+static int cigar_append(char* buf, int buf_size, int len_sofar, int count,
+                        char op) {
+  if (count <= 0) return len_sofar;
+  int written = snprintf(buf + len_sofar, buf_size - len_sofar, "%d%c",
+                         count, op);
+  if (written < 0 || len_sofar + written >= buf_size) return -1;
+  return len_sofar + written;
+}
+
+// Returns 0 on success (score > 0), 1 when no positive-scoring alignment,
+// -1 on buffer overflow. Outputs mirror ssw.py Alignment fields.
+extern "C" int dv_ssw_align(const char* ref, int32_t n, const char* query, int32_t m,
+                 int32_t match, int32_t mismatch, int32_t gap_open,
+                 int32_t gap_extend, int32_t* out_score,
+                 int32_t* out_ref_begin, int32_t* out_ref_end,
+                 int32_t* out_query_begin, int32_t* out_query_end,
+                 char* cigar_buf, int32_t cigar_buf_size) {
+  if (n <= 0 || m <= 0) return 1;
+  const int NEG = -(1 << 28);
+  const int W = m + 1;
+  // Full matrices for traceback (n+1) x (m+1), int32.
+  std::vector<int32_t> H((size_t)(n + 1) * W, 0);
+  std::vector<int32_t> E((size_t)(n + 1) * W, NEG);
+  std::vector<int32_t> F((size_t)(n + 1) * W, NEG);
+  int best = 0, best_i = 0, best_j = 0;
+  for (int i = 1; i <= n; ++i) {
+    const char rc = ref[i - 1];
+    int32_t* Hrow = &H[(size_t)i * W];
+    int32_t* Hprev = &H[(size_t)(i - 1) * W];
+    int32_t* Erow = &E[(size_t)i * W];
+    int32_t* Eprev = &E[(size_t)(i - 1) * W];
+    int32_t* Frow = &F[(size_t)i * W];
+    int32_t f = NEG;
+    for (int j = 1; j <= m; ++j) {
+      int32_t e = imax2(Hprev[j] - gap_open, Eprev[j] - gap_extend);
+      Erow[j] = e;
+      int32_t diag =
+          Hprev[j - 1] + (rc == query[j - 1] ? match : -mismatch);
+      f = imax2(Hrow[j - 1] - gap_open, f - gap_extend);
+      Frow[j] = f;
+      int32_t h = diag > e ? diag : e;
+      if (f > h) h = f;
+      if (h < 0) h = 0;
+      Hrow[j] = h;
+      if (h > best) {
+        best = h;
+        best_i = i;
+        best_j = j;
+      }
+    }
+  }
+  if (best <= 0) return 1;
+  // Traceback (matches ssw.py state machine).
+  int i = best_i, j = best_j;
+  // Ops are collected in reverse; run-length encode on the way out.
+  std::vector<char> ops;
+  ops.reserve(m + 16);
+  char state = 'H';
+  while (i > 0 && j > 0) {
+    size_t idx = (size_t)i * W + j;
+    if (state == 'H') {
+      if (H[idx] == 0) break;
+      int32_t diag_score =
+          H[(size_t)(i - 1) * W + (j - 1)] +
+          (ref[i - 1] == query[j - 1] ? match : -mismatch);
+      if (H[idx] == diag_score) {
+        ops.push_back(ref[i - 1] == query[j - 1] ? '=' : 'X');
+        --i;
+        --j;
+      } else if (H[idx] == E[idx]) {
+        state = 'E';
+      } else {
+        state = 'F';
+      }
+    } else if (state == 'E') {
+      ops.push_back('D');
+      bool ext = E[idx] == E[(size_t)(i - 1) * W + j] - gap_extend;
+      --i;
+      if (!ext) state = 'H';
+    } else {  // F
+      ops.push_back('I');
+      bool ext = F[idx] == F[(size_t)i * W + (j - 1)] - gap_extend;
+      --j;
+      if (!ext) state = 'H';
+    }
+  }
+  *out_score = best;
+  *out_ref_begin = i;
+  *out_ref_end = best_i;
+  *out_query_begin = j;
+  *out_query_end = best_j;
+  int len = 0;
+  if (j > 0) {
+    len = cigar_append(cigar_buf, cigar_buf_size, len, j, 'S');
+    if (len < 0) return -1;
+  }
+  // Reverse-iterate ops with RLE.
+  for (int k = (int)ops.size() - 1; k >= 0;) {
+    char op = ops[k];
+    int count = 0;
+    while (k >= 0 && ops[k] == op) {
+      ++count;
+      --k;
+    }
+    len = cigar_append(cigar_buf, cigar_buf_size, len, count, op);
+    if (len < 0) return -1;
+  }
+  if (m - best_j > 0) {
+    len = cigar_append(cigar_buf, cigar_buf_size, len, m - best_j, 'S');
+    if (len < 0) return -1;
+  }
+  if (len < cigar_buf_size) cigar_buf[len] = '\0';
+  return 0;
+}
+
+
+// Whole-read comparison for the fast pass (FastAlignStrings,
+// fast_pass_aligner.cc:304-327): score = matches*match -
+// mismatches*mismatch_pen, 0 when the mismatch cap is reached.
+extern "C" int32_t dv_fast_align_strings(const char* s1, const char* s2,
+                                         int32_t n, int32_t max_mismatches,
+                                         int32_t match_score,
+                                         int32_t mismatch_pen,
+                                         int32_t* num_mismatches) {
+  int32_t mm = 0, matches = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    const char c1 = s1[i], c2 = s2[i];
+    if (c1 != c2 && c1 != 'N' && c2 != 'N') {
+      if (++mm == max_mismatches) {
+        *num_mismatches = mm;
+        return 0;
+      }
+    } else {
+      ++matches;
+    }
+  }
+  *num_mismatches = mm;
+  return matches * match_score - mm * mismatch_pen;
+}
+
+// ---------------------------------------------------------------------------
+// Full fast-pass read-to-haplotype alignment
+// (FastAlignReadsToHaplotypes, fast_pass_aligner.cc:202-301).
+//
+// Builds a 2-bit-packed k-mer index over the reads, then for each haplotype
+// scans its k-mers, extends hits to whole-read comparisons with a mismatch
+// cap, and records best score/position per (haplotype, read). Iteration
+// order matches the Python implementation exactly (reads in order, positions
+// ascending), so results are identical whenever all sequences are ACGT-only
+// (callers fall back to Python otherwise).
+// ---------------------------------------------------------------------------
+
+#include <unordered_map>
+
+namespace {
+
+struct KmerHit {
+  int32_t read_id;
+  int32_t read_pos;
+};
+
+inline bool pack_kmer(const char* s, int k, uint64_t* out) {
+  uint64_t v = 0;
+  for (int i = 0; i < k; ++i) {
+    uint64_t code;
+    switch (s[i]) {
+      case 'A': code = 0; break;
+      case 'C': code = 1; break;
+      case 'G': code = 2; break;
+      case 'T': code = 3; break;
+      default: return false;
+    }
+    v = (v << 2) | code;
+  }
+  *out = v;
+  return true;
+}
+
+}  // namespace
+
+extern "C" int dv_fast_pass_align(
+    const char* reads_buf, const int32_t* read_offsets, int32_t n_reads,
+    const char* hap_buf, const int32_t* hap_offsets, int32_t n_haps,
+    int32_t ref_hap_index, int32_t k, int32_t max_mm, int32_t match_score,
+    int32_t mismatch_pen, int32_t ref_prefix_len, int32_t ref_suffix_len,
+    int32_t* out_scores, int32_t* out_positions,
+    int32_t* out_hap_scores) {
+  if (k < 3 || k > 32) return -1;
+  // Build read k-mer index.
+  std::unordered_map<uint64_t, std::vector<KmerHit>> index;
+  index.reserve((size_t)n_reads * 64);
+  for (int32_t r = 0; r < n_reads; ++r) {
+    const char* read = reads_buf + read_offsets[r];
+    int32_t len = read_offsets[r + 1] - read_offsets[r];
+    if (len <= k) continue;
+    for (int32_t i = 0; i + k <= len; ++i) {
+      uint64_t key;
+      if (pack_kmer(read + i, k, &key)) {
+        index[key].push_back({r, i});
+      }
+    }
+  }
+  std::vector<int32_t> coverage;
+  for (int32_t h = 0; h < n_haps; ++h) {
+    const char* hap = hap_buf + hap_offsets[h];
+    const int32_t hap_len = hap_offsets[h + 1] - hap_offsets[h];
+    int32_t* scores = out_scores + (size_t)h * n_reads;
+    int32_t* positions = out_positions + (size_t)h * n_reads;
+    for (int32_t r = 0; r < n_reads; ++r) {
+      scores[r] = 0;
+      positions[r] = -1;
+    }
+    coverage.assign(hap_len, 0);
+    int64_t hap_score = 0;
+    const bool is_ref = (h == ref_hap_index);
+    bool aborted = false;
+    for (int32_t i = 0; i + k <= hap_len && !aborted; ++i) {
+      uint64_t key;
+      if (pack_kmer(hap + i, k, &key)) {
+        auto it = index.find(key);
+        if (it != index.end()) {
+          for (const KmerHit& hit : it->second) {
+            int32_t target_start = i - hit.read_pos;
+            if (target_start < 0) target_start = 0;
+            const char* read = reads_buf + read_offsets[hit.read_id];
+            int32_t span = read_offsets[hit.read_id + 1] -
+                           read_offsets[hit.read_id];
+            if (target_start + span > hap_len) continue;
+            if (positions[hit.read_id] == target_start) continue;
+            int32_t mm = 0;
+            int32_t score = dv_fast_align_strings(
+                hap + target_start, read, span, max_mm + 1, match_score,
+                mismatch_pen, &mm);
+            if (mm <= max_mm) {
+              for (int32_t p = target_start; p < target_start + span; ++p)
+                coverage[p]++;
+              if (scores[hit.read_id] < score) {
+                hap_score += score - scores[hit.read_id];
+                scores[hit.read_id] = score;
+                positions[hit.read_id] = target_start;
+              }
+            }
+          }
+        }
+      }
+      if (coverage[i] == 0 && i >= ref_prefix_len &&
+          i < hap_len - ref_suffix_len && !is_ref) {
+        hap_score = 0;
+        aborted = true;
+      }
+    }
+    if (aborted) {
+      for (int32_t r = 0; r < n_reads; ++r) {
+        scores[r] = 0;
+        positions[r] = -1;
+      }
+      out_hap_scores[h] = 0;
+    } else {
+      out_hap_scores[h] = (int32_t)hap_score;
+    }
+  }
+  return 0;
+}
