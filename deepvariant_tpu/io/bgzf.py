@@ -202,6 +202,13 @@ class BgzfWriter:
         self._buf = bytearray()
         self._level = compresslevel
         self._closed = False
+        self._coffset = 0  # compressed bytes written so far
+
+    @property
+    def virtual_offset(self) -> int:
+        """Current BGZF virtual offset (coffset << 16 | uoffset) —
+        the position the *next* write lands at; used by tabix."""
+        return (self._coffset << 16) | len(self._buf)
 
     def write(self, data: bytes):
         self._buf.extend(data)
@@ -226,6 +233,7 @@ class BgzfWriter:
         )
         footer = struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data))
         self._fh.write(header + comp + footer)
+        self._coffset += bsize
 
     def flush(self):
         if self._buf:

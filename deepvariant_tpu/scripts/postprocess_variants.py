@@ -71,6 +71,13 @@ def main(argv=None) -> int:
         only_keep_pass=args.only_keep_pass,
         group_variants=args.group_variants,
     )
+    # Tabix-index bgzipped outputs (postprocess_variants.py:1583
+    # build_index).
+    for out in (args.outfile, args.gvcf_outfile):
+        if out and out.endswith(".gz"):
+            from deepvariant_tpu.io.tabix import build_index
+
+            build_index(out)
     print(
         f"postprocess_variants done: {stats['vcf_records']} VCF records"
         + (f", {stats['gvcf_records']} gVCF records"
