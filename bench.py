@@ -1,14 +1,18 @@
-"""Benchmark: call_variants CNN throughput (examples/s/chip) on real TPU.
+"""Benchmark: fused device pileup-encode + CNN call throughput on TPU.
 
 Prints ONE JSON line:
-  {"metric": "call_variants_examples_per_sec_per_chip", "value": N,
+  {"metric": "encode_plus_call_examples_per_sec_per_chip", "value": N,
    "unit": "examples/s", "vs_baseline": R}
 
-Baseline derivation: the reference publishes WGS call_variants at
-15m58s on an n2-standard-96 (docs/metrics.md:68) for an HG003 30x WGS
-run that produces ~7.5M examples, i.e. ~7,800 examples/s for the whole
-96-vCPU machine. vs_baseline is this chip's rate over that machine
-rate. (No accelerator inference numbers are published in-tree.)
+The measured pipeline is the BASELINE.json headline ("pileup encode +
+CNN call"): candidates encode to (B, 100, 221, 7) uint8 tensors on
+device (make_examples.pileup_jax.make_encode_fn) and feed the flax
+InceptionV3 classifier, all inside jit on one chip.
+
+Baseline derivation: the reference's WGS call_variants takes 15m58s on
+an n2-standard-96 for ~7.5M examples => ~7,800 examples/s for the whole
+96-vCPU machine (docs/metrics.md:68; no accelerator numbers are
+published in-tree).
 """
 
 from __future__ import annotations
@@ -18,49 +22,86 @@ import time
 
 import numpy as np
 
-BASELINE_EXAMPLES_PER_SEC = 7800.0  # ~7.5M examples / 958 s (96 vCPU)
+BASELINE_EXAMPLES_PER_SEC = 7800.0
 
 BATCH = 256
+READS_PER_REGION = 512
+REGION_WIDTH = 2048
 WARMUP_STEPS = 3
-BENCH_STEPS = 20
+BENCH_STEPS = 15
 CHANNELS = 7
+HEIGHT, WIDTH = 100, 221
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    from deepvariant_tpu.make_examples.pileup import PileupOptions
+    from deepvariant_tpu.make_examples.pileup_jax import make_encode_fn
     from deepvariant_tpu.models.inception_v3 import (
         create_model,
         normalize_pileup,
     )
 
+    options = PileupOptions(channels=(1, 2, 3, 4, 5, 6, 19))
+    encode_fn = make_encode_fn(options)
     model, variables = create_model(CHANNELS, dtype=jnp.bfloat16)
 
-    @jax.jit
-    def forward(variables, images_u8):
-        return model.apply(variables, normalize_pileup(images_u8),
+    rows = HEIGHT - options.reference_band_height
+
+    def fused(variables, region_bases, region_quals, mapq, reverse, hp,
+              tlen, window_offsets, row_reads, support_codes, af_colors,
+              ref_windows):
+        images = encode_fn(
+            region_bases, region_quals, mapq, reverse, hp, tlen,
+            window_offsets, row_reads, support_codes, af_colors,
+            ref_windows,
+        )
+        return model.apply(variables, normalize_pileup(images),
                            train=False)
 
+    fused = jax.jit(fused)
+
     rng = np.random.RandomState(0)
-    images = jax.device_put(
-        rng.randint(0, 255, (BATCH, 100, 221, CHANNELS), np.uint8)
+    base_codes = np.frombuffer(b"ACGT", np.uint8)
+    args = (
+        jax.device_put(variables),
+        jax.device_put(base_codes[rng.randint(
+            0, 4, (READS_PER_REGION, REGION_WIDTH))]),
+        jax.device_put(rng.randint(
+            20, 50, (READS_PER_REGION, REGION_WIDTH)).astype(np.uint8)),
+        jax.device_put(rng.randint(
+            30, 60, READS_PER_REGION).astype(np.uint8)),
+        jax.device_put(rng.randint(0, 2, READS_PER_REGION).astype(bool)),
+        jax.device_put(rng.randint(
+            0, 3, READS_PER_REGION).astype(np.int8)),
+        jax.device_put(rng.randint(
+            100, 600, READS_PER_REGION).astype(np.int32)),
+        jax.device_put(rng.randint(
+            0, REGION_WIDTH - WIDTH, BATCH).astype(np.int32)),
+        jax.device_put(rng.randint(
+            0, READS_PER_REGION, (BATCH, rows)).astype(np.int32)),
+        jax.device_put(rng.randint(
+            0, 3, (BATCH, READS_PER_REGION)).astype(np.int8)),
+        jax.device_put(rng.randint(
+            0, 255, (BATCH, READS_PER_REGION)).astype(np.uint8)),
+        jax.device_put(base_codes[rng.randint(0, 4, (BATCH, WIDTH))]),
     )
-    variables = jax.device_put(variables)
 
     for _ in range(WARMUP_STEPS):
-        forward(variables, images).block_until_ready()
+        fused(*args).block_until_ready()
 
     t0 = time.perf_counter()
     out = None
     for _ in range(BENCH_STEPS):
-        out = forward(variables, images)
+        out = fused(*args)
     out.block_until_ready()
     dt = time.perf_counter() - t0
     rate = BENCH_STEPS * BATCH / dt
 
     print(json.dumps({
-        "metric": "call_variants_examples_per_sec_per_chip",
+        "metric": "encode_plus_call_examples_per_sec_per_chip",
         "value": round(rate, 1),
         "unit": "examples/s",
         "vs_baseline": round(rate / BASELINE_EXAMPLES_PER_SEC, 3),

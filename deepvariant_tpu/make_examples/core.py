@@ -101,6 +101,13 @@ class MakeExamplesOptions:
     proposed_variants_filename: str = ""
     # Population allele frequencies (allele_frequency channel).
     population_vcf_filenames: Optional[List[str]] = None
+    # Small-model short-circuit (run_deepvariant.py:389-417 gating).
+    call_small_model_examples: bool = False
+    trained_small_model_path: str = ""
+    small_model_snp_gq_threshold: float = 25.0
+    small_model_indel_gq_threshold: float = 30.0
+    small_model_vaf_context_window_size: int = 0
+    small_model_cvo_filename: str = ""
     # Training mode.
     truth_variants_filename: str = ""
     confident_regions_filename: str = ""
@@ -213,6 +220,7 @@ class RegionOutputs:
     examples: List[bytes]
     gvcfs: List[Variant]
     runtimes: Dict[str, float]
+    small_model_cvos: List = dataclasses.field(default_factory=list)
 
 
 class RegionProcessor:
@@ -252,6 +260,41 @@ class RegionProcessor:
             options.realigner_options, self.ref_reader
         ) if options.realigner_enabled else None
         self.labeler = None  # set in training mode by the runner
+        self.small_model_caller = None
+        self.small_model_factory = None
+        if options.call_small_model_examples:
+            from deepvariant_tpu.small_model.features import (
+                SmallModelExampleFactory,
+            )
+            from deepvariant_tpu.small_model.model import (
+                SmallModelVariantCaller,
+                create_small_model,
+            )
+
+            self.small_model_factory = SmallModelExampleFactory(
+                vaf_context_window_size=(
+                    options.small_model_vaf_context_window_size
+                ),
+                expand_by_haplotype=options.phase_reads,
+            )
+            n_features = len(
+                self.small_model_factory.model_feature_names()
+            )
+            model, variables = create_small_model(n_features)
+            if options.trained_small_model_path:
+                from flax import serialization
+
+                with open(options.trained_small_model_path, "rb") as f:
+                    variables = serialization.from_bytes(
+                        variables, f.read()
+                    )
+            self.small_model_caller = SmallModelVariantCaller(
+                model, variables,
+                snp_gq_threshold=options.small_model_snp_gq_threshold,
+                indel_gq_threshold=(
+                    options.small_model_indel_gq_threshold
+                ),
+            )
         self.population_vcf_readers = None
         if options.population_vcf_filenames:
             from deepvariant_tpu.make_examples.allele_frequency import (
@@ -365,6 +408,45 @@ class RegionProcessor:
             batch.hp = np.asarray(phases, np.int8)
             runtimes["phase reads"] = time.perf_counter() - t0
 
+        # Small-model short-circuit: candidates whose MLP call clears
+        # the GQ threshold emit CVOs directly and skip the CNN
+        # (make_examples_core.py:3624-3649 hooks).
+        small_model_cvos: List = []
+        skip_for_cnn: set = set()
+        if self.small_model_caller is not None and candidates:
+            t0 = time.perf_counter()
+            rows = []
+            row_meta = []
+            phases = batch.hp.tolist() if len(batch.hp) == len(batch) \
+                else None
+            for ci, dv_call in enumerate(candidates):
+                for alt_indices in self.small_model_factory \
+                        .alt_index_sets(dv_call):
+                    rows.append(self.small_model_factory.encode(
+                        dv_call, alt_indices, batch,
+                        read_phases=phases,
+                    ))
+                    row_meta.append((ci, dv_call, alt_indices))
+            if rows:
+                result = self.small_model_caller.call_variants(
+                    row_meta, np.stack(rows)
+                )
+                small_model_cvos = result.cvos
+                # Only fully-resolved candidates (every alt-index set
+                # accepted) skip CNN examples.
+                accepted_counts: Dict[int, int] = {}
+                for idx in result.filtered_indices:
+                    accepted_counts[idx] = accepted_counts.get(
+                        idx, 0
+                    ) + 1
+                for ci, dv_call in enumerate(candidates):
+                    want = len(
+                        self.small_model_factory.alt_index_sets(dv_call)
+                    )
+                    if accepted_counts.get(ci, 0) == want:
+                        skip_for_cnn.add(ci)
+            runtimes["small model calls"] = time.perf_counter() - t0
+
         # Training mode: label all candidates of the region at once (the
         # haplotype labeler works on variant groups, reference
         # make_examples_core.py label_variants flow).
@@ -378,6 +460,8 @@ class RegionProcessor:
         t0 = time.perf_counter()
         examples: List[bytes] = []
         for idx, dv_call in enumerate(candidates):
+            if idx in skip_for_cnn:
+                continue
             label = labels_by_index.get(idx)
             if self.options.mode == "training" and (
                 label is None or not label.is_confident
@@ -394,7 +478,8 @@ class RegionProcessor:
             ):
                 examples.append(built.encoded)
         runtimes["make pileup images"] = time.perf_counter() - t0
-        return RegionOutputs(region, candidates, examples, gvcfs, runtimes)
+        return RegionOutputs(region, candidates, examples, gvcfs,
+                             runtimes, small_model_cvos)
 
 
 class OutputsWriter:
@@ -416,8 +501,15 @@ class OutputsWriter:
             self._writers["gvcfs"] = TFRecordWriter(
                 maybe_sharded_output_path(options.gvcf_filename, task)
             )
+        if options.small_model_cvo_filename:
+            self._writers["small_model_cvos"] = TFRecordWriter(
+                maybe_sharded_output_path(
+                    options.small_model_cvo_filename, task
+                )
+            )
         self.counts = {name: 0 for name in
-                       ("examples", "candidates", "gvcfs")}
+                       ("examples", "candidates", "gvcfs",
+                        "small_model_cvos")}
 
     def write_examples(self, *encoded: bytes):
         writer = self._writers.get("examples")
@@ -439,6 +531,13 @@ class OutputsWriter:
             for v in gvcfs:
                 writer.write(v.encode())
                 self.counts["gvcfs"] += 1
+
+    def write_small_model_cvos(self, *cvos):
+        writer = self._writers.get("small_model_cvos")
+        if writer:
+            for cvo in cvos:
+                writer.write(cvo.encode())
+                self.counts["small_model_cvos"] += 1
 
     def close(self):
         for writer in self._writers.values():
@@ -524,6 +623,7 @@ def make_examples_runner(
             writer.write_examples(*outputs.examples)
             writer.write_candidates(*outputs.candidates)
             writer.write_gvcfs(*outputs.gvcfs)
+            writer.write_small_model_cvos(*outputs.small_model_cvos)
             if runtime_by_region_path:
                 runtime_rows.append((outputs.region, outputs.runtimes))
         counts = dict(writer.counts)

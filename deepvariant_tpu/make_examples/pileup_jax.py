@@ -1,0 +1,367 @@
+"""Batched device-side pileup encoding (JAX).
+
+TPU-first split of the pileup encoder (pileup.py): the irregular,
+data-dependent work — per-read CIGAR walks, read drop rules, row
+sorting/downsampling — runs once per region on the host and produces
+dense tensors; the per-pixel channel math (LUTs, scaling, masking) runs
+as one jitted gather+elementwise program over ALL candidates of the
+region at once, emitting (N, H, W, C) uint8 ready to feed the CNN
+without leaving the device (see parallel.distribute.fused_encode_infer).
+
+Numerics are identical to the numpy encoder for the core channel set
+{read_base, base_quality, mapping_quality, strand,
+read_supports_variant, base_differs_from_ref, insert_size,
+haplotype_tag} — asserted by tests against real data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepvariant_tpu.io.bam import FLAG_FIRST, FLAG_PAIRED, ReadBatch
+from deepvariant_tpu.make_examples.pileup import (
+    CH_ALLELE_FREQUENCY,
+    CH_BASE_DIFFERS_FROM_REF,
+    CH_BASE_QUALITY,
+    CH_HAPLOTYPE_TAG,
+    CH_INSERT_SIZE,
+    CH_MAPPING_QUALITY,
+    CH_READ_BASE,
+    CH_READ_SUPPORTS_VARIANT,
+    CH_STRAND,
+    MAX_PIXEL_FLOAT,
+    PileupEncoder,
+    PileupOptions,
+    reads_overlapping_variant,
+)
+from deepvariant_tpu.make_examples.variant_caller import DeepVariantCall
+
+
+@dataclasses.dataclass
+class RegionTensors:
+    """Host-prepared dense view of a region's reads."""
+
+    span_start: int             # genome position of column 0
+    bases: np.ndarray           # (K, Wr) uint8, 0 = uncovered
+    quals: np.ndarray           # (K, Wr) uint8 (final event per col)
+    min_quals: np.ndarray       # (K, Wr) uint8 (min event qual per col)
+    mapq: np.ndarray            # (K,) uint8
+    reverse: np.ndarray         # (K,) bool
+    hp: np.ndarray              # (K,) int8
+    tlen: np.ndarray            # (K,) int32
+
+
+def build_region_tensors(
+    encoder: PileupEncoder,
+    batch: ReadBatch,
+    span_start: int,
+    span_end: int,
+) -> RegionTensors:
+    """One CIGAR walk per read over [span_start, span_end)."""
+    width = span_end - span_start
+    k = len(batch)
+    bases = np.zeros((k, width), np.uint8)
+    quals = np.zeros((k, width), np.uint8)
+    min_quals = np.full((k, width), 255, np.uint8)
+    for r in range(k):
+        cols, b, q = encoder._walk_events(batch, r, span_start, width)
+        if cols is None:
+            continue
+        bases[r, cols] = b
+        quals[r, cols] = q
+        np.minimum.at(min_quals[r], cols, q)
+    return RegionTensors(
+        span_start=span_start,
+        bases=bases,
+        quals=quals,
+        min_quals=min_quals,
+        mapq=batch.mapq.copy(),
+        reverse=np.asarray(batch.is_reverse()),
+        hp=batch.hp.copy()
+        if len(batch.hp) == k else np.zeros(k, np.int8),
+        tlen=batch.tlen.copy(),
+    )
+
+
+@dataclasses.dataclass
+class CandidatePlan:
+    """Row layout for one (candidate, alt-combo) example."""
+
+    window_start: int             # genome position of window col 0
+    row_reads: np.ndarray         # (H - band,) int32, -1 = empty row
+    support_codes: np.ndarray     # (K,) int8
+    af_colors: np.ndarray         # (K,) uint8
+    ref_window: np.ndarray        # (W,) uint8
+
+
+def plan_candidate(
+    encoder: PileupEncoder,
+    tensors: RegionTensors,
+    dv_call: DeepVariantCall,
+    batch: ReadBatch,
+    alt_alleles: Sequence[str],
+    ref_window: np.ndarray,
+) -> CandidatePlan:
+    """Mirror build_pileup's read selection/sort (pileup.py:350-447)."""
+    o = encoder.options
+    variant = dv_call.variant
+    image_start = variant.start - o.half_width
+    call_col = variant.start - tensors.span_start
+    indices = list(reads_overlapping_variant(
+        batch, variant, o.read_overlap_buffer_bp
+    ))
+    max_reads = o.max_reads
+    if len(indices) > max_reads:
+        rng = np.random.Generator(np.random.Philox(o.random_seed))
+        order = rng.permutation(len(indices))
+        indices = [indices[i] for i in order]
+
+    alt_order = {a: i for i, a in enumerate(variant.alternate_bases)}
+    support_group = {}
+    if o.sort_by_alt_allele_support:
+        for alt, ids in dv_call.allele_support.items():
+            gi = alt_order.get(alt)
+            if gi is not None:
+                for rid in ids:
+                    support_group[rid] = gi
+
+    k = len(batch)
+    support_codes = np.zeros(k, np.int8)
+    af_colors = np.zeros(k, np.uint8)
+    rows = []
+    for idx in indices:
+        if len(rows) >= max_reads:
+            break
+        if int(tensors.mapq[idx]) < o.min_mapping_quality:
+            continue
+        # Does the read produce any event in the window?
+        w0 = image_start - tensors.span_start
+        window = tensors.bases[idx, max(w0, 0): w0 + o.width]
+        if not window.any():
+            continue
+        # Low-quality base at the call site -> drop.
+        if 0 <= call_col < tensors.bases.shape[1] and \
+                tensors.bases[idx, call_col] != 0 and \
+                tensors.min_quals[idx, call_col] < o.min_base_quality:
+            continue
+        support_codes[idx] = encoder._read_supports_alt(
+            dv_call, idx, alt_alleles
+        )
+        if CH_ALLELE_FREQUENCY in o.channels:
+            af_colors[idx] = encoder._allele_frequency_color(
+                encoder._read_allele_frequency(dv_call, idx, alt_alleles)
+            )
+        hap_idx = encoder._hap_index(int(tensors.hp[idx]))
+        group = support_group.get(idx, len(alt_order)) if \
+            o.sort_by_alt_allele_support else 0
+        rows.append((
+            hap_idx, group, int(batch.pos[idx]), batch.name[idx],
+            0 if batch.flag[idx] & FLAG_FIRST or not (
+                batch.flag[idx] & FLAG_PAIRED
+            ) else 1,
+            idx,
+        ))
+    rows.sort(key=lambda t: t[:5])
+    row_reads = np.full(max_reads, -1, np.int32)
+    for i, (_, _, _, _, _, idx) in enumerate(rows):
+        row_reads[i] = idx
+    return CandidatePlan(
+        window_start=image_start,
+        row_reads=row_reads,
+        support_codes=support_codes,
+        af_colors=af_colors,
+        ref_window=ref_window,
+    )
+
+
+def make_encode_fn(options: PileupOptions):
+    """Build the jitted device encoder for a fixed channel set."""
+    o = options
+    channels = list(o.channels)
+    base_lut = np.zeros(256, np.uint8)
+    base_lut[ord("A")] = o.base_color_offset_a_and_g + \
+        o.base_color_stride * 3
+    base_lut[ord("G")] = o.base_color_offset_a_and_g + \
+        o.base_color_stride * 2
+    base_lut[ord("T")] = o.base_color_offset_t_and_c + \
+        o.base_color_stride * 1
+    base_lut[ord("C")] = o.base_color_offset_t_and_c + \
+        o.base_color_stride * 0
+    support_lut = np.array([
+        int(MAX_PIXEL_FLOAT * o.allele_unsupporting_read_alpha),
+        int(MAX_PIXEL_FLOAT * o.allele_supporting_read_alpha),
+        int(MAX_PIXEL_FLOAT * o.other_allele_supporting_read_alpha),
+    ], np.uint8)
+    strand_lut = np.array(
+        [o.positive_strand_color, o.negative_strand_color], np.uint8
+    )
+    match_color = int(MAX_PIXEL_FLOAT * o.reference_matching_read_alpha)
+    mismatch_color = int(
+        MAX_PIXEL_FLOAT * o.reference_mismatching_read_alpha
+    )
+    band = o.reference_band_height
+    width = o.width
+    height = o.height
+
+    def scale(v, cap):
+        return (MAX_PIXEL_FLOAT * (
+            jnp.minimum(v.astype(jnp.float32), cap) / cap
+        )).astype(jnp.uint8)
+
+    def hp_value(hp):
+        if o.hp_tag_for_assembly_polishing == 2:
+            hp = jnp.where(hp == 1, 2, jnp.where(hp == 2, 1, hp))
+        hp = jnp.clip(hp, 0, 2)
+        return (MAX_PIXEL_FLOAT * hp.astype(jnp.float32) / 2.0).astype(
+            jnp.uint8
+        )
+
+    def encode(region_bases, region_quals, mapq, reverse, hp, tlen,
+               window_offsets, row_reads, support_codes, af_colors,
+               ref_windows):
+        """All candidates at once.
+
+        region_bases/quals: (K, Wr) uint8; mapq/reverse/hp/tlen: (K,);
+        window_offsets: (N,) int32 (window col0 - span col0);
+        row_reads: (N, H-band) int32; support_codes/af_colors: (N, K);
+        ref_windows: (N, W) uint8. Returns (N, H, W, C) uint8.
+        """
+        n = row_reads.shape[0]
+        cols = window_offsets[:, None] + jnp.arange(width)[None, :]
+        cols = jnp.clip(cols, 0, region_bases.shape[1] - 1)
+        # (N, rows, W) gathers; empty rows (read -1) masked later.
+        safe_rows = jnp.maximum(row_reads, 0)
+        b = region_bases[safe_rows[:, :, None], cols[:, None, :]]
+        q = region_quals[safe_rows[:, :, None], cols[:, None, :]]
+        row_valid = (row_reads >= 0)[:, :, None]
+        covered = (b != 0) & row_valid
+        read_mapq = mapq[safe_rows]          # (N, rows)
+        read_rev = reverse[safe_rows].astype(jnp.int32)
+        read_hp = hp[safe_rows].astype(jnp.int32)
+        read_tlen = jnp.minimum(
+            jnp.abs(tlen[safe_rows]), 1000
+        ).astype(jnp.float32)
+        read_support = jnp.take_along_axis(
+            support_codes, safe_rows, axis=1
+        )
+        read_af = jnp.take_along_axis(af_colors, safe_rows, axis=1)
+
+        planes = []
+        ref_b = ref_windows  # (N, W)
+        for ch in channels:
+            if ch == CH_READ_BASE:
+                plane = jnp.asarray(base_lut)[b]
+                ref_plane = jnp.asarray(base_lut)[ref_b]
+            elif ch == CH_BASE_QUALITY:
+                plane = scale(q, o.base_quality_cap)
+                ref_plane = jnp.full_like(ref_b, int(
+                    MAX_PIXEL_FLOAT * min(
+                        o.reference_base_quality, o.base_quality_cap
+                    ) / o.base_quality_cap
+                ))
+            elif ch == CH_MAPPING_QUALITY:
+                plane = scale(read_mapq, o.mapping_quality_cap)[
+                    :, :, None
+                ] * jnp.ones((1, 1, width), jnp.uint8)
+                ref_plane = jnp.full_like(ref_b, int(
+                    MAX_PIXEL_FLOAT * min(
+                        o.reference_base_quality, o.base_quality_cap
+                    ) / o.base_quality_cap
+                ))
+            elif ch == CH_STRAND:
+                plane = jnp.asarray(strand_lut)[read_rev][:, :, None] * \
+                    jnp.ones((1, 1, width), jnp.uint8)
+                ref_plane = jnp.full_like(
+                    ref_b, o.positive_strand_color
+                )
+            elif ch == CH_READ_SUPPORTS_VARIANT:
+                plane = jnp.asarray(support_lut)[read_support][
+                    :, :, None
+                ] * jnp.ones((1, 1, width), jnp.uint8)
+                ref_plane = jnp.full_like(ref_b, int(support_lut[0]))
+            elif ch == CH_BASE_DIFFERS_FROM_REF:
+                plane = jnp.where(
+                    b == ref_b[:, None, :], match_color, mismatch_color
+                ).astype(jnp.uint8)
+                ref_plane = jnp.full_like(ref_b, match_color)
+            elif ch == CH_INSERT_SIZE:
+                plane = (MAX_PIXEL_FLOAT * read_tlen / 1000.0).astype(
+                    jnp.uint8
+                )[:, :, None] * jnp.ones((1, 1, width), jnp.uint8)
+                ref_plane = jnp.full_like(ref_b, int(MAX_PIXEL_FLOAT))
+            elif ch == CH_HAPLOTYPE_TAG:
+                plane = hp_value(read_hp)[:, :, None] * jnp.ones(
+                    (1, 1, width), jnp.uint8
+                )
+                ref_plane = jnp.zeros_like(ref_b)
+            elif ch == CH_ALLELE_FREQUENCY:
+                plane = read_af.astype(jnp.uint8)[:, :, None] * \
+                    jnp.ones((1, 1, width), jnp.uint8)
+                ref_plane = jnp.zeros_like(ref_b)
+            else:
+                plane = jnp.zeros_like(b)
+                ref_plane = jnp.zeros_like(ref_b)
+            plane = jnp.where(covered, plane, 0)
+            ref_rows = jnp.broadcast_to(
+                ref_plane[:, None, :], (n, band, width)
+            )
+            planes.append(jnp.concatenate([ref_rows, plane], axis=1))
+        image = jnp.stack(planes, axis=-1)  # (N, H, W, C)
+        return image
+
+    return jax.jit(encode)
+
+
+def encode_region_candidates(
+    encoder: PileupEncoder,
+    dv_calls: Sequence[DeepVariantCall],
+    alt_combos: Sequence[Sequence[str]],
+    batch: ReadBatch,
+    ref_query,
+    encode_fn=None,
+) -> np.ndarray:
+    """Convenience wrapper: host prep + one device call for a region.
+
+    dv_calls[i] pairs with alt_combos[i]; ref_query(variant) must return
+    the (W,) uint8 pileup reference window.
+    Returns (N, H, W, C) uint8.
+    """
+    o = encoder.options
+    if not dv_calls:
+        return np.zeros((0, o.height, o.width, len(o.channels)), np.uint8)
+    span_start = min(
+        c.variant.start - o.half_width for c in dv_calls
+    )
+    span_end = max(
+        c.variant.start - o.half_width + o.width for c in dv_calls
+    )
+    tensors = build_region_tensors(encoder, batch, span_start, span_end)
+    plans = []
+    for dv_call, combo in zip(dv_calls, alt_combos):
+        plans.append(plan_candidate(
+            encoder, tensors, dv_call, batch, combo,
+            ref_query(dv_call.variant),
+        ))
+    if encode_fn is None:
+        encode_fn = make_encode_fn(o)
+    out = encode_fn(
+        jnp.asarray(tensors.bases),
+        jnp.asarray(tensors.quals),
+        jnp.asarray(tensors.mapq),
+        jnp.asarray(tensors.reverse),
+        jnp.asarray(tensors.hp),
+        jnp.asarray(tensors.tlen),
+        jnp.asarray(np.array(
+            [p.window_start - span_start for p in plans], np.int32
+        )),
+        jnp.asarray(np.stack([p.row_reads for p in plans])),
+        jnp.asarray(np.stack([p.support_codes for p in plans])),
+        jnp.asarray(np.stack([p.af_colors for p in plans])),
+        jnp.asarray(np.stack([p.ref_window for p in plans])),
+    )
+    return np.asarray(out)

@@ -217,8 +217,17 @@ def postprocess_variants(
     only_keep_pass: bool = False,
     group_variants: bool = True,
 ) -> dict:
-    """Full stage-3 run. Returns summary stats."""
-    cvos = read_cvos_sorted(glob_sharded_inputs(cvo_path), contigs)
+    """Full stage-3 run. Returns summary stats.
+
+    `cvo_path` may be a single sharded spec or a list of specs (e.g.
+    CNN CVOs + small-model CVOs, joined before grouping like the
+    reference's --small_model_cvo_records input)."""
+    specs = [cvo_path] if isinstance(cvo_path, str) else list(cvo_path)
+    paths: List[str] = []
+    for spec in specs:
+        if spec:
+            paths.extend(glob_sharded_inputs(spec))
+    cvos = read_cvos_sorted(paths, contigs)
     variants = cvos_to_variants(
         cvos,
         sample_name,

@@ -49,6 +49,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True)
     p.add_argument("--min_mapping_quality", type=int, default=5)
     p.add_argument("--min_base_quality", type=int, default=10)
+    p.add_argument("--call_small_model_examples", action="store_true")
+    p.add_argument("--trained_small_model_path", default="")
+    p.add_argument("--small_model_snp_gq_threshold", type=float,
+                   default=25.0)
+    p.add_argument("--small_model_indel_gq_threshold", type=float,
+                   default=30.0)
+    p.add_argument("--small_model_cvo_records", default="",
+                   help="output TFRecord for small-model CVOs")
     p.add_argument("--population_vcfs", default="",
                    help="space-separated population VCFs with AF INFO "
                         "for the allele_frequency channel")
@@ -86,6 +94,13 @@ def options_from_args(args) -> MakeExamplesOptions:
         realigner_enabled=args.realign_reads,
         min_mapping_quality=args.min_mapping_quality,
         min_base_quality=args.min_base_quality,
+        call_small_model_examples=args.call_small_model_examples,
+        trained_small_model_path=args.trained_small_model_path,
+        small_model_snp_gq_threshold=args.small_model_snp_gq_threshold,
+        small_model_indel_gq_threshold=(
+            args.small_model_indel_gq_threshold
+        ),
+        small_model_cvo_filename=args.small_model_cvo_records,
         population_vcf_filenames=(
             args.population_vcfs.split() if args.population_vcfs else None
         ),

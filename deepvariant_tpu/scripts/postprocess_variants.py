@@ -19,6 +19,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("postprocess_variants")
     p.add_argument("--ref", required=True)
     p.add_argument("--infile", required=True, help="CVO tfrecord(s)")
+    p.add_argument("--small_model_cvo_records", default="",
+                   help="additional CVOs from the small model")
     p.add_argument("--outfile", required=True, help="output VCF(.gz)")
     p.add_argument("--nonvariant_site_tfrecord_path", default="")
     p.add_argument("--gvcf_outfile", default="")
@@ -54,8 +56,11 @@ def main(argv=None) -> int:
 
     sample_name = args.sample_name or _sample_name_from_cvos(args.infile) \
         or "default"
+    infiles = [args.infile]
+    if args.small_model_cvo_records:
+        infiles.append(args.small_model_cvo_records)
     stats = postprocess_variants(
-        args.infile,
+        infiles,
         args.outfile,
         ref.contigs,
         sample_name=sample_name,

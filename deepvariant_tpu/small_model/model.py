@@ -39,13 +39,45 @@ class SmallModelMLP(nn.Module):
 def create_small_model(
     num_features: int,
     hidden_layer_sizes: Tuple[int, ...] = DEFAULT_HIDDEN,
-    rng: Optional[jax.Array] = None,
+    rng=None,
+    seed: int = 0,
 ):
+    """Numpy-initialized variables in flax's param-tree layout.
+
+    Inference inside make_examples runs in pure numpy (the small model
+    is a host-side filter; the reference's keras MLP also runs on CPU
+    in the make_examples workers) — touching jax here would initialize
+    accelerator backends in every stage-1 process.
+    """
+    np_rng = np.random.RandomState(seed)
+    sizes = [num_features, *hidden_layer_sizes, NUM_CLASSES]
+    params = {}
+    for i, (fan_in, fan_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+        # lecun_normal (flax Dense default initializer).
+        scale = np.sqrt(1.0 / fan_in)
+        params[f"Dense_{i}"] = {
+            "kernel": (np_rng.randn(fan_in, fan_out) * scale).astype(
+                np.float32
+            ),
+            "bias": np.zeros(fan_out, np.float32),
+        }
     model = SmallModelMLP(hidden_layer_sizes)
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, num_features)))
-    return model, variables
+    return model, {"params": params}
+
+
+def numpy_mlp_forward(variables, x: np.ndarray) -> np.ndarray:
+    """Pure-numpy forward identical to SmallModelMLP.__call__."""
+    params = variables["params"]
+    h = x.astype(np.float32)
+    n_layers = len(params)
+    for i in range(n_layers):
+        layer = params[f"Dense_{i}"]
+        h = h @ np.asarray(layer["kernel"]) + np.asarray(layer["bias"])
+        if i < n_layers - 1:
+            h = np.maximum(h, 0.0)
+    h = h - h.max(axis=-1, keepdims=True)
+    e = np.exp(h)
+    return e / e.sum(axis=-1, keepdims=True)
 
 
 def passes_confidence_threshold(
@@ -88,16 +120,13 @@ class SmallModelVariantCaller:
         self.indel_gq_threshold = indel_gq_threshold
         self.batch_size = batch_size
         self.emit_all_candidates = emit_all_candidates
-        self._predict = jax.jit(
-            lambda v, x: self.model.apply(v, x)
-        )
 
     def classify(self, examples: np.ndarray) -> np.ndarray:
         out = []
         for i in range(0, len(examples), self.batch_size):
-            out.append(np.asarray(self._predict(
+            out.append(numpy_mlp_forward(
                 self.variables, examples[i:i + self.batch_size]
-            )))
+            ))
         return np.concatenate(out) if out else np.zeros((0, NUM_CLASSES))
 
     def _accept(self, candidate: DeepVariantCall,
