@@ -49,8 +49,17 @@ CH_READ_SUPPORTS_VARIANT = 5
 CH_BASE_DIFFERS_FROM_REF = 6
 CH_HAPLOTYPE_TAG = 7
 CH_ALLELE_FREQUENCY = 8
-CH_INSERT_SIZE = 19
+# "Opt Channels" (deepvariant.proto:1321-1335).
+CH_READ_MAPPING_PERCENT = 11
+CH_AVG_BASE_QUALITY = 12
+CH_IDENTITY = 13
+CH_GAP_COMPRESSED_IDENTITY = 14
+CH_GC_CONTENT = 15
+CH_IS_HOMOPOLYMER = 16
+CH_HOMOPOLYMER_WEIGHTED = 17
 CH_BLANK = 18
+CH_INSERT_SIZE = 19
+CH_SUPPLEMENTARY_ALIGNMENT = 26
 
 CHANNEL_NAME_TO_ENUM = {
     "read_base": CH_READ_BASE,
@@ -63,7 +72,48 @@ CHANNEL_NAME_TO_ENUM = {
     "allele_frequency": CH_ALLELE_FREQUENCY,
     "insert_size": CH_INSERT_SIZE,
     "blank": CH_BLANK,
+    "read_mapping_percent": CH_READ_MAPPING_PERCENT,
+    "avg_base_quality": CH_AVG_BASE_QUALITY,
+    "identity": CH_IDENTITY,
+    "gap_compressed_identity": CH_GAP_COMPRESSED_IDENTITY,
+    "gc_content": CH_GC_CONTENT,
+    "is_homopolymer": CH_IS_HOMOPOLYMER,
+    "homopolymer_weighted": CH_HOMOPOLYMER_WEIGHTED,
+    "supplementary_alignment": CH_SUPPLEMENTARY_ALIGNMENT,
 }
+
+# Per-read "Opt Channel" scalar/vector values
+# (deepvariant/channels/*_channel.cc formulas).
+
+def _homopolymer_flags(seq: np.ndarray) -> np.ndarray:
+    """0/1 per base: inside a homopolymer run of >= 3
+    (is_homopolymer_channel.cc:82-97)."""
+    out = np.zeros(len(seq), np.uint8)
+    run = (seq[2:] == seq[1:-1]) & (seq[1:-1] == seq[:-2])
+    idx = np.nonzero(run)[0]
+    out[idx] = 1
+    out[idx + 1] = 1
+    out[idx + 2] = 1
+    return out
+
+
+def _homopolymer_weights(seq: np.ndarray) -> np.ndarray:
+    """Run length per base (homopolymer_weighted_channel.cc:...)."""
+    n = len(seq)
+    out = np.zeros(n, np.int32)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and seq[j] == seq[i]:
+            j += 1
+        out[i:j] = j - i
+        i = j
+    return out
+
+
+def _scale_int(value: float, max_val: float) -> int:
+    value = min(value, max_val)
+    return int(MAX_PIXEL_FLOAT * (float(value) / max_val))
 
 DEFAULT_CHANNELS = [
     CH_READ_BASE, CH_BASE_QUALITY, CH_MAPPING_QUALITY, CH_STRAND,
@@ -194,6 +244,30 @@ class PileupEncoder:
                 row[:, ci] = 0
             elif ch == CH_ALLELE_FREQUENCY:
                 row[:, ci] = 0
+            elif ch in (CH_READ_MAPPING_PERCENT, CH_AVG_BASE_QUALITY,
+                        CH_IDENTITY, CH_GAP_COMPRESSED_IDENTITY):
+                row[:, ci] = int(MAX_PIXEL_FLOAT)
+            elif ch == CH_GC_CONTENT:
+                gc = int(
+                    100.0 * np.isin(
+                        ref_window, (ord("G"), ord("C"))
+                    ).sum() / max(len(ref_window), 1)
+                )
+                row[:, ci] = _scale_int(gc, 100)
+            elif ch == CH_IS_HOMOPOLYMER:
+                flags = _homopolymer_flags(ref_window)
+                row[:, ci] = flags * int(MAX_PIXEL_FLOAT)
+            elif ch == CH_HOMOPOLYMER_WEIGHTED:
+                weights = np.minimum(
+                    _homopolymer_weights(ref_window), 30
+                ).astype(np.float32)
+                row[:, ci] = (
+                    MAX_PIXEL_FLOAT * weights / 30.0
+                ).astype(np.uint8)
+            elif ch == CH_SUPPLEMENTARY_ALIGNMENT:
+                # FillRefBase stores the raw alpha cast to uchar
+                # (supplementary_alignment_channel.cc): int(0.6) == 0.
+                row[:, ci] = int(o.allele_unsupporting_read_alpha)
         return row
 
     # -- read rows ---------------------------------------------------------------
@@ -252,7 +326,7 @@ class PileupEncoder:
         if mapq < o.min_mapping_quality:
             return None
         width = len(ref_window)
-        cols, bases, quals = self._walk_events(
+        cols, bases, quals, rpos = self._walk_events_with_positions(
             batch, read_idx, image_start_pos, width
         )
         if cols is None:
@@ -292,6 +366,65 @@ class PileupEncoder:
                 )
             elif ch == CH_ALLELE_FREQUENCY:
                 row[cols, ci] = self._allele_frequency_color(af_value)
+            elif ch == CH_READ_MAPPING_PERCENT or ch == CH_IDENTITY:
+                # Both are matched-bases / read-length * 100
+                # ({read_mapping_percent,identity}_channel.cc).
+                so = batch.seq_offsets
+                co = batch.cigar_offsets
+                ops = batch.cigar_ops[co[read_idx]:co[read_idx + 1]]
+                lens = batch.cigar_lens[co[read_idx]:co[read_idx + 1]]
+                match_len = int(lens[
+                    (ops == _OP_M) | (ops == _OP_EQ)
+                ].sum())
+                read_len = int(so[read_idx + 1] - so[read_idx]) or 1
+                row[cols, ci] = _scale_int(
+                    int(100.0 * match_len / read_len), 100
+                )
+            elif ch == CH_GAP_COMPRESSED_IDENTITY:
+                co = batch.cigar_offsets
+                so = batch.seq_offsets
+                ops = batch.cigar_ops[co[read_idx]:co[read_idx + 1]]
+                lens = batch.cigar_lens[co[read_idx]:co[read_idx + 1]]
+                is_match = (ops == _OP_M) | (ops == _OP_EQ)
+                match_len = int(lens[is_match].sum())
+                gap_len = match_len + int(
+                    lens[ops == _OP_X].sum()
+                ) + int(((ops == _OP_I) | (ops == _OP_D)).sum())
+                row[cols, ci] = _scale_int(
+                    int(100.0 * match_len / gap_len) if gap_len else 0,
+                    100,
+                )
+            elif ch == CH_AVG_BASE_QUALITY:
+                so = batch.seq_offsets
+                all_quals = batch.qual[so[read_idx]:so[read_idx + 1]]
+                avg = int(np.sum(all_quals) / max(len(all_quals), 1))
+                row[cols, ci] = _scale_int(avg, 93)
+            elif ch == CH_GC_CONTENT:
+                so = batch.seq_offsets
+                full_seq = batch.seq[so[read_idx]:so[read_idx + 1]]
+                gc = int(100.0 * np.isin(
+                    full_seq, (ord("G"), ord("C"))
+                ).sum() / max(len(full_seq), 1))
+                row[cols, ci] = _scale_int(gc, 100)
+            elif ch == CH_IS_HOMOPOLYMER:
+                so = batch.seq_offsets
+                full_seq = batch.seq[so[read_idx]:so[read_idx + 1]]
+                flags = _homopolymer_flags(full_seq)
+                row[cols, ci] = flags[rpos] * int(MAX_PIXEL_FLOAT)
+            elif ch == CH_HOMOPOLYMER_WEIGHTED:
+                so = batch.seq_offsets
+                full_seq = batch.seq[so[read_idx]:so[read_idx + 1]]
+                weights = np.minimum(
+                    _homopolymer_weights(full_seq), 30
+                ).astype(np.float32)
+                row[cols, ci] = (
+                    MAX_PIXEL_FLOAT * weights[rpos] / 30.0
+                ).astype(np.uint8)
+            elif ch == CH_SUPPLEMENTARY_ALIGNMENT:
+                supplementary = bool(batch.flag[read_idx] & 0x800)
+                alpha = (o.allele_supporting_read_alpha if supplementary
+                         else o.allele_unsupporting_read_alpha)
+                row[cols, ci] = int(MAX_PIXEL_FLOAT * alpha)
         return row
 
     def _allele_frequency_color(self, allele_frequency: float) -> int:
@@ -321,8 +454,18 @@ class PileupEncoder:
         return 0.0
 
     def _walk_events(self, batch, read_idx, image_start_pos, width):
-        """CIGAR walk -> (cols, read_base_bytes, quals) arrays in cigar order
-        (pileup_channel_lib.cc:170-260). Returns (None,)*3 on empty."""
+        cols, bases, quals, _ = self._walk_events_with_positions(
+            batch, read_idx, image_start_pos, width
+        )
+        return cols, bases, quals
+
+    def _walk_events_with_positions(
+        self, batch, read_idx, image_start_pos, width
+    ):
+        """CIGAR walk -> (cols, read_base_bytes, quals, read_positions)
+        in cigar order (pileup_channel_lib.cc:170-260); read_positions
+        index into the read sequence (the channel "read_index" used by
+        per-base opt channels). Returns (None,)*4 on empty."""
         co = batch.cigar_offsets
         so = batch.seq_offsets
         ops = batch.cigar_ops[co[read_idx] : co[read_idx + 1]]
@@ -336,6 +479,7 @@ class PileupEncoder:
         cols_l: List[np.ndarray] = []
         bases_l: List[np.ndarray] = []
         quals_l: List[np.ndarray] = []
+        rpos_l: List[np.ndarray] = []
         ref_i = int(batch.pos[read_idx])
         read_i = 0
         for op, op_len in zip(ops, lens):
@@ -346,6 +490,9 @@ class PileupEncoder:
                 cols_l.append(c[ok])
                 bases_l.append(seq[read_i : read_i + op_len][ok])
                 quals_l.append(qual[read_i : read_i + op_len][ok])
+                rpos_l.append(
+                    np.arange(read_i, read_i + op_len)[ok]
+                )
                 ref_i += op_len
                 read_i += op_len
             elif op in (_OP_I, _OP_S):
@@ -355,6 +502,7 @@ class PileupEncoder:
                         cols_l.append(np.array([c]))
                         bases_l.append(np.array([star], np.uint8))
                         quals_l.append(np.array([qual[read_i]]))
+                        rpos_l.append(np.array([read_i]))
                 read_i += op_len
             elif op in (_OP_D, _OP_N):
                 if read_i > 0:
@@ -365,17 +513,19 @@ class PileupEncoder:
                         quals_l.append(
                             np.array([qual[read_i - 1]])
                         )
+                        rpos_l.append(np.array([read_i - 1]))
                 ref_i += op_len
             # CLIP_HARD / PAD: ignored.
         if not cols_l:
-            return None, None, None
+            return None, None, None, None
         cols = np.concatenate(cols_l).astype(np.int64)
         if len(cols) == 0:
-            return None, None, None
+            return None, None, None, None
         return (
             cols,
             np.concatenate(bases_l),
             np.concatenate(quals_l),
+            np.concatenate(rpos_l).astype(np.int64),
         )
 
     # -- full pileup ----------------------------------------------------------------

@@ -14,6 +14,7 @@ string/IO work, not TPU work.
 from __future__ import annotations
 
 import itertools
+import os
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Set, Tuple
 
 from deepvariant_tpu.core.sharded_files import glob_sharded_inputs
@@ -282,3 +283,84 @@ def _read_nonvariants(
         )
     )
     return iter(records)
+
+
+# ---------------------------------------------------------------------------
+# Partition-parallel driver (postprocess_variants.py:1887
+# _process_partitions_in_parallel)
+# ---------------------------------------------------------------------------
+
+def _partition_worker(args):
+    """Process one contig-range partition into a temp body-only VCF."""
+    (cvo_path, contigs, partition, sample_name, kwargs, tmp_path) = args
+    import io
+
+    cvos = [
+        c for c in read_cvos_sorted(
+            [p for spec in (
+                [cvo_path] if isinstance(cvo_path, str) else cvo_path
+            ) for p in glob_sharded_inputs(spec)],
+            contigs,
+        )
+        if c.variant.reference_name == partition.reference_name
+        and partition.start <= c.variant.start < partition.end
+    ]
+    variants = haplotypes.maybe_resolve_conflicting_variants(
+        cvos_to_variants(cvos, sample_name, **kwargs),
+        qual_filter=kwargs.get("qual_filter", 1.0),
+    )
+    from deepvariant_tpu.io.vcf import format_variant_line
+
+    with open(tmp_path, "w") as f:
+        n = 0
+        for v in variants:
+            f.write(format_variant_line(v) + "\n")
+            n += 1
+    return n
+
+
+def postprocess_variants_parallel(
+    cvo_path,
+    output_vcf: str,
+    contigs: Sequence[ContigInfo],
+    sample_name: str = "default",
+    num_partitions: int = 4,
+    processes: Optional[int] = None,
+    **kwargs,
+) -> dict:
+    """Multiprocess partitioned stage-3 (plain-text VCF output).
+
+    Contig space splits into `num_partitions` ranges processed by a
+    process pool; per-partition temp VCF bodies are concatenated in
+    genomic order (the reference's temp-file concat flow).
+    """
+    import multiprocessing
+    import tempfile
+
+    from deepvariant_tpu.core.ranges import RangeSet
+    from deepvariant_tpu.io.vcf import deepvariant_header
+
+    all_ranges = list(
+        RangeSet.from_contigs(list(contigs)).partition(
+            max(1, sum(c.n_bases for c in contigs) // num_partitions)
+        )
+    )
+    tmpdir = tempfile.mkdtemp(prefix="dv_postprocess_")
+    jobs = []
+    for i, partition in enumerate(all_ranges):
+        jobs.append((
+            cvo_path, list(contigs), partition, sample_name, kwargs,
+            os.path.join(tmpdir, f"part-{i:05d}.vcf_body"),
+        ))
+    processes = processes or min(len(jobs), os.cpu_count() or 1)
+    with multiprocessing.Pool(processes) as pool:
+        counts = pool.map(_partition_worker, jobs)
+    header = deepvariant_header(contigs, [sample_name])
+    with open(output_vcf, "w") as out:
+        for line in header.lines():
+            out.write(line + "\n")
+        for i in range(len(jobs)):
+            with open(jobs[i][-1]) as f:
+                out.write(f.read())
+    return {"vcf_records": sum(counts), "partitions": len(jobs)}
+
