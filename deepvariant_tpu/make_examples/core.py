@@ -362,6 +362,57 @@ class RegionProcessor:
         )) if include_gvcfs else []
         return candidates, gvcfs, counter
 
+    def _add_phasing_to_candidates(
+        self, dp, candidates, phases, region: Range
+    ) -> int:
+        """Attach ALT_PS / PS_CONTIG info to candidate variants
+        (add_phasing_to_candidate, make_examples_core.py:2700-2786)."""
+        phased_variants = dp.phased_variants()
+        phase_contig = f"{self.options.task_id}-" \
+            f"{region.reference_name}:{region.start}"
+        pv_index = 0
+        n_phased = 0
+        for candidate in candidates:
+            variant = candidate.variant
+            if (pv_index < len(phased_variants)
+                    and variant.start
+                    == phased_variants[pv_index].position):
+                pv = phased_variants[pv_index]
+                alt_alleles = ["REF"] + list(variant.alternate_bases)
+                phased_genotype = [0] * len(alt_alleles)
+                alt_1 = [i for i, a in enumerate(alt_alleles)
+                         if a == pv.phase_1_bases]
+                alt_2 = [i for i, a in enumerate(alt_alleles)
+                         if a == pv.phase_2_bases]
+                if alt_1 and alt_2:
+                    phased_genotype[alt_1[0]] = 1
+                    phased_genotype[alt_2[0]] = 2
+                    variant.info["ALT_PS"] = phased_genotype
+                    variant.info["PS_CONTIG"] = [phase_contig]
+                    n_phased += 1
+                pv_index += 1
+            else:
+                # Infer allele phases from supporting-read majority.
+                alleles = ["REF"] + list(variant.alternate_bases)
+                phased_genotype = [0] * len(alleles)
+                supports = {"REF": candidate.ref_support}
+                supports.update(candidate.allele_support)
+                assigned = False
+                for ai, allele in enumerate(alleles):
+                    counts = [0, 0, 0]
+                    for rid in supports.get(allele, []):
+                        counts[phases[rid]] += 1
+                    if counts[1] > counts[2]:
+                        phased_genotype[ai] = 1
+                        assigned = True
+                    elif counts[2] > counts[1]:
+                        phased_genotype[ai] = 2
+                        assigned = True
+                if assigned:
+                    variant.info["ALT_PS"] = phased_genotype
+                    variant.info["PS_CONTIG"] = [phase_contig]
+        return n_phased
+
     def find_candidate_positions(self, region: Range) -> List[int]:
         """Candidate start positions in region (CANDIDATE_SWEEP pass;
         make_examples_core.py:2117)."""
@@ -404,8 +455,12 @@ class RegionProcessor:
             t0 = time.perf_counter()
             from deepvariant_tpu.phasing.direct_phasing import DirectPhasing
 
-            phases = DirectPhasing().phase_reads(candidates, len(batch))
+            dp = DirectPhasing()
+            phases = dp.phase_reads(candidates, len(batch))
             batch.hp = np.asarray(phases, np.int8)
+            self._add_phasing_to_candidates(
+                dp, candidates, phases, region
+            )
             runtimes["phase reads"] = time.perf_counter() - t0
 
         # Small-model short-circuit: candidates whose MLP call clears

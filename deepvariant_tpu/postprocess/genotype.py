@@ -26,9 +26,10 @@ from deepvariant_tpu.io.vcf import (
     UNCALLED_GENOTYPE,
 )
 
-# INFO keys used to carry phasing from make_examples (dv_constants).
-VARIANT_PHASE_SET = "PS"
-PHASED_GENOTYPE = "PHASED_GT"
+# INFO keys used to carry phasing from make_examples
+# (dv_constants.py:203-204).
+PHASED_GENOTYPE = "ALT_PS"
+VARIANT_PHASE_SET = "PS_CONTIG"
 
 _QUAL_PRECISION = 7  # postprocess_variants.py:320
 _FILTERED_ALT_PROB = -9.0  # placeholder for soft-filtered alleles (:327)

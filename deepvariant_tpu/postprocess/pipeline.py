@@ -88,6 +88,9 @@ def cvos_to_variants(
 
     multiallelic_mode default is 'product' (reference flag default,
     postprocess_variants.py:206-210)."""
+    # PS FORMAT values: first phased variant position (1-based) per
+    # make_examples phase-set contig (PS_CONTIG info).
+    ps_by_contig: Dict[str, int] = {}
     for group in group_cvos(cvos, group_variants):
         outputs = _sort_group(group)
         canonical_variant, predictions = merge_predictions(
@@ -97,13 +100,24 @@ def cvos_to_variants(
             haploid_contigs=haploid_contigs,
             par_regions=par_regions,
         )
-        yield gt.add_call_to_variant(
+        variant = gt.add_call_to_variant(
             canonical_variant,
             predictions,
             qual_filter=qual_filter,
             sample_name=sample_name,
             cnn_homref_call_min_gq=cnn_homref_call_min_gq,
         )
+        call = variant.calls[0] if variant.calls else None
+        if call is not None and call.is_phased:
+            ps_contig = str(
+                variant.info.get(gt.VARIANT_PHASE_SET, [""])[0]
+            )
+            ps = ps_by_contig.setdefault(ps_contig, variant.start + 1)
+            call.info["PS"] = [ps]
+        # Internal phasing info fields stay out of the VCF INFO column.
+        variant.info.pop(gt.PHASED_GENOTYPE, None)
+        variant.info.pop(gt.VARIANT_PHASE_SET, None)
+        yield variant
 
 
 def transform_to_gvcf(variant: Variant) -> Variant:

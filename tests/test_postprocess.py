@@ -293,3 +293,35 @@ class TestEndToEndPostprocess:
         assert cols[6] == "PASS"
         assert cols[8].startswith("GT:GQ:DP")
         assert cols[9].startswith("0/1:10:10")
+
+
+class TestPhasedOutput:
+    def test_ps_format_emission(self):
+        from deepvariant_tpu.core.types import CallVariantsOutput
+        from deepvariant_tpu.postprocess.pipeline import cvos_to_variants
+
+        def phased_cvo(start, alt_ps):
+            v = make_variant(start=start)
+            v.info["ALT_PS"] = alt_ps
+            v.info["PS_CONTIG"] = ["0-chr1:0"]
+            return CallVariantsOutput(
+                variant=v, alt_allele_indices=[0],
+                genotype_probabilities=[0.01, 0.97, 0.02],
+            )
+
+        out = list(cvos_to_variants(
+            [phased_cvo(10, [1, 2]), phased_cvo(50, [2, 1])], "s1"
+        ))
+        assert all(v.calls[0].is_phased for v in out)
+        # Both share the phase set anchored at the first variant (11).
+        assert out[0].calls[0].info["PS"] == [11]
+        assert out[1].calls[0].info["PS"] == [11]
+        # Phase order: [1,2] keeps 0|1; [2,1] flips to 1|0.
+        assert out[0].calls[0].genotype == [0, 1]
+        assert out[1].calls[0].genotype == [1, 0]
+        # Internal info keys must not leak into the VCF INFO column.
+        assert "ALT_PS" not in out[0].info
+        from deepvariant_tpu.io.vcf import format_variant_line
+
+        line = format_variant_line(out[1])
+        assert "1|0" in line and line.split("\t")[7] == "."
