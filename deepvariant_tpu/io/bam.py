@@ -84,7 +84,8 @@ class ReadBatch:
     __slots__ = (
         "name", "flag", "ref_id", "pos", "mapq", "seq", "qual",
         "seq_offsets", "cigar_ops", "cigar_lens", "cigar_offsets",
-        "mate_ref_id", "mate_pos", "tlen", "aux", "hp", "ref_names",
+        "mate_ref_id", "mate_pos", "tlen", "aux", "hp", "meth",
+        "ref_names",
     )
 
     def __init__(self, ref_names: Sequence[str]):
@@ -105,6 +106,9 @@ class ReadBatch:
         self.tlen = np.empty(0, np.int32)
         self.aux: List[bytes] = []
         self.hp = np.empty(0, np.int8)
+        # Optional per-read 5mC probabilities (uint8 per base) — filled
+        # by BamReader.parse_methylation; None when absent.
+        self.meth: List = []
 
     def __len__(self) -> int:
         return len(self.name)
@@ -158,6 +162,8 @@ class ReadBatch:
         out.tlen = self.tlen[indices]
         out.aux = [self.aux[i] for i in indices]
         out.hp = self.hp[indices]
+        if self.meth:
+            out.meth = [self.meth[i] for i in indices]
         # Repack variable-length columns.
         seq_parts, qual_parts = [], []
         ops_parts, lens_parts = [], []
@@ -648,6 +654,30 @@ class BamReader:
                 tags = parse_aux(blob, wanted)
                 if "HP" in tags:
                     batch.hp[i] = int(tags["HP"])
+
+    def parse_methylation(self, batch: ReadBatch) -> int:
+        """Fill batch.meth with per-base 5mC probabilities from MM/ML
+        aux tags (nucleus sam_reader.cc base-modification parsing).
+        Returns the number of reads carrying methylation."""
+        from deepvariant_tpu.io.methylation import methylation_values
+
+        wanted = frozenset(["MM", "Mm", "ML", "Ml"])
+        batch.meth = [None] * len(batch)
+        n_meth = 0
+        rev = batch.is_reverse()
+        for i, blob in enumerate(batch.aux):
+            if not blob:
+                continue
+            tags = parse_aux(blob, wanted)
+            if not tags:
+                continue
+            values = methylation_values(
+                batch.seq_of(i).tobytes().decode(), tags, bool(rev[i])
+            )
+            if values is not None:
+                batch.meth[i] = values
+                n_meth += 1
+        return n_meth
 
     # -- public API --------------------------------------------------------------
 

@@ -171,6 +171,22 @@ def make_labeler(options, ref_reader):
         )
     if options.labeler_algorithm == "positional_labeler":
         return PositionalVariantLabeler(truth, confident)
+    if options.labeler_algorithm == "customized_classes_labeler":
+        from deepvariant_tpu.labeler.customized_classes_labeler import (
+            CustomizedClassesVariantLabeler,
+        )
+
+        return CustomizedClassesVariantLabeler(
+            truth, confident,
+            classes_list=getattr(
+                options, "customized_classes_labeler_classes_list",
+                "ref,class1,class2",
+            ),
+            info_field_name=getattr(
+                options,
+                "customized_classes_labeler_info_field_name", "type",
+            ),
+        )
     if options.labeler_algorithm == "haplotype_labeler":
         from deepvariant_tpu.labeler.haplotype_labeler import (
             HaplotypeLabeler,

@@ -59,6 +59,7 @@ CH_IS_HOMOPOLYMER = 16
 CH_HOMOPOLYMER_WEIGHTED = 17
 CH_BLANK = 18
 CH_INSERT_SIZE = 19
+CH_BASE_METHYLATION = 23
 CH_SUPPLEMENTARY_ALIGNMENT = 26
 
 CHANNEL_NAME_TO_ENUM = {
@@ -80,6 +81,7 @@ CHANNEL_NAME_TO_ENUM = {
     "is_homopolymer": CH_IS_HOMOPOLYMER,
     "homopolymer_weighted": CH_HOMOPOLYMER_WEIGHTED,
     "supplementary_alignment": CH_SUPPLEMENTARY_ALIGNMENT,
+    "base_methylation": CH_BASE_METHYLATION,
 }
 
 # Per-read "Opt Channel" scalar/vector values
@@ -264,6 +266,8 @@ class PileupEncoder:
                 row[:, ci] = (
                     MAX_PIXEL_FLOAT * weights / 30.0
                 ).astype(np.uint8)
+            elif ch == CH_BASE_METHYLATION:
+                row[:, ci] = 0  # ref rows 0 (base_methylation_channel.cc)
             elif ch == CH_SUPPLEMENTARY_ALIGNMENT:
                 # FillRefBase stores the raw alpha cast to uchar
                 # (supplementary_alignment_channel.cc): int(0.6) == 0.
@@ -420,6 +424,15 @@ class PileupEncoder:
                 row[cols, ci] = (
                     MAX_PIXEL_FLOAT * weights[rpos] / 30.0
                 ).astype(np.uint8)
+            elif ch == CH_BASE_METHYLATION:
+                meth = batch.meth[read_idx] if batch.meth else None
+                if meth is not None:
+                    # 5mC prob 0-255 scaled to 0-254
+                    # (base_methylation_channel.cc ScaleColorVector).
+                    row[cols, ci] = (
+                        MAX_PIXEL_FLOAT
+                        * meth[rpos].astype(np.float32) / 255.0
+                    ).astype(np.uint8)
             elif ch == CH_SUPPLEMENTARY_ALIGNMENT:
                 supplementary = bool(batch.flag[read_idx] & 0x800)
                 alpha = (o.allele_supporting_read_alpha if supplementary

@@ -196,3 +196,69 @@ def test_training_mode_with_haplotype_labeler(testdata_dir, tmp_path):
     # Real data: a mix of hom-ref/het/hom-alt labels.
     assert set(labels) <= {0, 1, 2}
     assert len(set(labels)) >= 2
+
+
+class TestCustomizedClassesLabeler:
+    def test_labels_from_info_field(self):
+        from deepvariant_tpu.labeler.customized_classes_labeler import (
+            CustomizedClassesVariantLabeler,
+        )
+
+        truth = variant(5, "C", ["A"], gt=(0, 1))
+        truth.info["type"] = ["class2"]
+        labeler = CustomizedClassesVariantLabeler(
+            FakeTruth([truth]), RangeSet([Range(CHROM, 0, 100)]),
+            classes_list="ref,class1,class2",
+        )
+        cand = variant(5, "C", ["A"])
+        labels = list(labeler.label_variants([cand]))
+        assert labels[0].is_confident
+        assert labels[0].label_for_alt_alleles([0]) == 2
+
+    def test_no_truth_gives_ref_class(self):
+        from deepvariant_tpu.labeler.customized_classes_labeler import (
+            CustomizedClassesVariantLabeler,
+        )
+
+        labeler = CustomizedClassesVariantLabeler(
+            FakeTruth([]), RangeSet([Range(CHROM, 0, 100)]),
+            classes_list="ref,class1,class2",
+        )
+        cand = variant(5, "C", ["A"])
+        labels = list(labeler.label_variants([cand]))
+        assert labels[0].label_for_alt_alleles([0]) == 0
+
+    @pytest.mark.integration
+    def test_real_with_types_vcf(self, testdata_dir):
+        import os
+
+        from deepvariant_tpu.io.vcf import VcfReader
+        from deepvariant_tpu.labeler.customized_classes_labeler import (
+            CustomizedClassesVariantLabeler,
+        )
+
+        truth_path = os.path.join(
+            testdata_dir,
+            "input/with_types.test_nist.b37_chr20_4kbp_at_10mb.vcf.gz",
+        )
+        truths = list(VcfReader(truth_path))
+        labeler = CustomizedClassesVariantLabeler(
+            VcfReader(truth_path), None,
+            classes_list="ref,class1,class2",
+        )
+        # Candidates identical to truths must get their INFO class.
+        n_classed = 0
+        for tv in truths:
+            cand = variant(tv.start, tv.reference_bases,
+                           list(tv.alternate_bases))
+            cand.reference_name = tv.reference_name
+            label = next(iter(labeler.label_variants([cand])))
+            got = label.label_for_alt_alleles([0])
+            if "type" in tv.info and tv.calls and \
+                    tv.calls[0].genotype != [0, 0]:
+                want = {"ref": 0, "class1": 1, "class2": 2}[
+                    str(tv.info["type"][0])
+                ]
+                assert got == want, (tv.start, got, want)
+                n_classed += got > 0
+        assert n_classed > 0

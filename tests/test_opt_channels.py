@@ -131,3 +131,74 @@ class TestOptChannels:
         assert (row[:, 1] == int(254 * 60 / 100)).all()  # 60% GC
         assert (row[:5, 2] == 254).all()         # GGGGG homopolymer
         assert (row[7:9, 2] == 0).all() or (row[5:7, 2] == 0).all()
+
+
+class TestMethylation:
+    def test_mm_ml_decoding_forward(self):
+        from deepvariant_tpu.io.methylation import (
+            decode_base_modifications,
+        )
+
+        # seq C at positions 0, 2, 5, 7; MM deltas 1,0 -> skip 1 C
+        # (pos 0) mod at pos 2, then next C (pos 5).
+        mods = decode_base_modifications(
+            "CACGACAC", "C+m,1,0;", np.array([200, 100], np.uint8),
+            is_reverse=False,
+        )
+        values = mods["C+m"]
+        assert values[2] == 200 and values[5] == 100
+        assert values[0] == 0 and values[7] == 0
+
+    def test_mm_ml_decoding_reverse(self):
+        from deepvariant_tpu.io.methylation import (
+            decode_base_modifications,
+        )
+
+        # Reverse strand: C+m refers to G on the aligned strand, walked
+        # from the 3' end. seq GAGAG -> G at aligned 0, 2, 4; from the
+        # end: 4, 2, 0. delta 0 -> first = pos 4; delta 0 again -> 2.
+        mods = decode_base_modifications(
+            "GAGAG", "C+m,0,0;", np.array([150, 90], np.uint8),
+            is_reverse=True,
+        )
+        values = mods["C+m"]
+        assert values[4] == 150 and values[2] == 90
+
+    def test_methylation_channel(self):
+        from deepvariant_tpu.make_examples.pileup import (
+            CH_BASE_METHYLATION,
+            PileupEncoder,
+            PileupOptions,
+        )
+        from deepvariant_tpu.make_examples.variant_caller import (
+            DeepVariantCall,
+        )
+        from deepvariant_tpu.core.types import Variant
+
+        opts = PileupOptions(width=21, channels=(CH_BASE_METHYLATION,))
+        encoder = PileupEncoder(opts)
+        read = Read(
+            fragment_name="r1",
+            aligned_sequence="ACGTACGTAC",
+            aligned_quality=bytes([30] * 10),
+            reference_name=CHROM,
+            position=100,
+            mapping_quality=60,
+            cigar=parse_cigar_string("10M"),
+        )
+        batch = ReadBatch.from_reads([read], [CHROM])
+        meth = np.zeros(10, np.uint8)
+        meth[3] = 255
+        batch.meth = [meth]
+        dv_call = DeepVariantCall(
+            variant=Variant(reference_name=CHROM, start=105, end=106,
+                            reference_bases="A",
+                            alternate_bases=["T"]),
+            allele_support={}, ref_support=[],
+        )
+        row = encoder.encode_read_row(
+            batch, 0, np.frombuffer(b"A" * 21, np.uint8), 95, 105, 0
+        )
+        # read pos 3 -> ref 103 -> col 8; 255 -> 254.
+        assert row[8, 0] == 254
+        assert row[7, 0] == 0 and row[9, 0] == 0
