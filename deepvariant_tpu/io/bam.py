@@ -85,7 +85,7 @@ class ReadBatch:
         "name", "flag", "ref_id", "pos", "mapq", "seq", "qual",
         "seq_offsets", "cigar_ops", "cigar_lens", "cigar_offsets",
         "mate_ref_id", "mate_pos", "tlen", "aux", "hp", "meth",
-        "ref_names",
+        "meth6ma", "tp", "t0", "ref_names",
     )
 
     def __init__(self, ref_names: Sequence[str]):
@@ -109,6 +109,13 @@ class ReadBatch:
         # Optional per-read 5mC probabilities (uint8 per base) — filled
         # by BamReader.parse_methylation; None when absent.
         self.meth: List = []
+        # Optional per-read 6mA probabilities (uint8 per base).
+        self.meth6ma: List = []
+        # Optional per-read Ultima tp (int8 per base) / t0 (uint8
+        # Q-scores per base) flow tags — filled by
+        # BamReader.parse_ultima_tags; None when absent.
+        self.tp: List = []
+        self.t0: List = []
 
     def __len__(self) -> int:
         return len(self.name)
@@ -164,6 +171,12 @@ class ReadBatch:
         out.hp = self.hp[indices]
         if self.meth:
             out.meth = [self.meth[i] for i in indices]
+        if self.meth6ma:
+            out.meth6ma = [self.meth6ma[i] for i in indices]
+        if self.tp:
+            out.tp = [self.tp[i] for i in indices]
+        if self.t0:
+            out.t0 = [self.t0[i] for i in indices]
         # Repack variable-length columns.
         seq_parts, qual_parts = [], []
         ops_parts, lens_parts = [], []
@@ -656,13 +669,17 @@ class BamReader:
                     batch.hp[i] = int(tags["HP"])
 
     def parse_methylation(self, batch: ReadBatch) -> int:
-        """Fill batch.meth with per-base 5mC probabilities from MM/ML
-        aux tags (nucleus sam_reader.cc base-modification parsing).
-        Returns the number of reads carrying methylation."""
-        from deepvariant_tpu.io.methylation import methylation_values
+        """Fill batch.meth (5mC) and batch.meth6ma (6mA) with per-base
+        modification probabilities from MM/ML aux tags (nucleus
+        sam_reader.cc base-modification parsing).
+        Returns the number of reads carrying 5mC methylation."""
+        from deepvariant_tpu.io.methylation import (
+            base_modification_values,
+        )
 
         wanted = frozenset(["MM", "Mm", "ML", "Ml"])
         batch.meth = [None] * len(batch)
+        batch.meth6ma = [None] * len(batch)
         n_meth = 0
         rev = batch.is_reverse()
         for i, blob in enumerate(batch.aux):
@@ -671,13 +688,47 @@ class BamReader:
             tags = parse_aux(blob, wanted)
             if not tags:
                 continue
-            values = methylation_values(
-                batch.seq_of(i).tobytes().decode(), tags, bool(rev[i])
+            seq = batch.seq_of(i).tobytes().decode()
+            values = base_modification_values(
+                seq, tags, bool(rev[i]), "m"
             )
             if values is not None:
                 batch.meth[i] = values
                 n_meth += 1
+            values_6ma = base_modification_values(
+                seq, tags, bool(rev[i]), "a"
+            )
+            if values_6ma is not None:
+                batch.meth6ma[i] = values_6ma
         return n_meth
+
+    def parse_ultima_tags(self, batch: ReadBatch) -> int:
+        """Fill batch.tp (int8 per base) / batch.t0 (uint8 Q-scores per
+        base) from Ultima flow aux tags, feeding the homopolymer
+        insertion/deletion quality channels
+        (homopolymer_indel_quality_channel.cc GetTPValues,
+        inter_homopolymer_insertion_quality_channel.cc GetT0Values).
+        Returns the number of reads carrying a tp tag."""
+        wanted = frozenset(["tp", "t0"])
+        batch.tp = [None] * len(batch)
+        batch.t0 = [None] * len(batch)
+        n_tp = 0
+        for i, blob in enumerate(batch.aux):
+            if not blob:
+                continue
+            tags = parse_aux(blob, wanted)
+            if "tp" in tags:
+                tp = np.asarray(tags["tp"], np.int8)
+                batch.tp[i] = tp
+                n_tp += 1
+            if "t0" in tags and isinstance(tags["t0"], str):
+                # ASCII-encoded phred (char - 33).
+                batch.t0[i] = (
+                    np.frombuffer(
+                        tags["t0"].encode("ascii", "replace"), np.uint8
+                    ).astype(np.int16) - 33
+                ).clip(0, 255).astype(np.uint8)
+        return n_tp
 
     # -- public API --------------------------------------------------------------
 

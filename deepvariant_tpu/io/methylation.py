@@ -85,12 +85,17 @@ def decode_base_modifications(
     return out
 
 
-def methylation_values(
+def base_modification_values(
     aligned_sequence: str,
     aux: Dict[str, object],
     is_reverse: bool,
+    mod_code: str,
 ) -> Optional[np.ndarray]:
-    """5mC probabilities per aligned base from a read's aux tags."""
+    """Probabilities per aligned base for one modification code.
+
+    mod_code: 'm' = 5mC, 'a' = 6mA (nucleus sam_reader.h:57-58
+    k5mC/k6mA registry).
+    """
     mm = aux.get("MM") or aux.get("Mm")
     if not isinstance(mm, str):
         return None
@@ -101,6 +106,17 @@ def methylation_values(
         aligned_sequence, mm, ml, is_reverse
     )
     for key, values in mods.items():
-        if key.endswith("m"):  # 5mC
+        if key.endswith(mod_code):
             return values
     return None
+
+
+def methylation_values(
+    aligned_sequence: str,
+    aux: Dict[str, object],
+    is_reverse: bool,
+) -> Optional[np.ndarray]:
+    """5mC probabilities per aligned base from a read's aux tags."""
+    return base_modification_values(
+        aligned_sequence, aux, is_reverse, "m"
+    )

@@ -310,6 +310,23 @@ class RegionProcessor:
     def region_reads(self, region: Range) -> ReadBatch:
         """Query + reservoir downsample (:2408-2449)."""
         batch = self.bam_reader.query(region)
+        # Channel-driven aux decoding: only pay for MM/ML or Ultima
+        # flow-tag parsing when a configured channel consumes them.
+        from deepvariant_tpu.make_examples.pileup import (
+            CH_BASE_6MA,
+            CH_BASE_METHYLATION,
+            CH_HOMOPOLYMER_DELETION_QUALITY,
+            CH_HOMOPOLYMER_INSERTION_QUALITY,
+            CH_INTER_HOMOPOLYMER_INSERTION_QUALITY,
+        )
+
+        chans = set(self.options.pileup_options.channels)
+        if chans & {CH_BASE_METHYLATION, CH_BASE_6MA}:
+            self.bam_reader.parse_methylation(batch)
+        if chans & {CH_HOMOPOLYMER_INSERTION_QUALITY,
+                    CH_HOMOPOLYMER_DELETION_QUALITY,
+                    CH_INTER_HOMOPOLYMER_INSERTION_QUALITY}:
+            self.bam_reader.parse_ultima_tags(batch)
         n = len(batch)
         if self.options.max_reads_per_partition > 0 and \
                 n > self.options.max_reads_per_partition:

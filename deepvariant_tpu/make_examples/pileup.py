@@ -30,6 +30,7 @@ shuffle-downsample when over capacity (seed 2101079370).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -59,8 +60,15 @@ CH_IS_HOMOPOLYMER = 16
 CH_HOMOPOLYMER_WEIGHTED = 17
 CH_BLANK = 18
 CH_INSERT_SIZE = 19
+CH_MEAN_COVERAGE = 22
 CH_BASE_METHYLATION = 23
+CH_BASE_6MA = 24
+CH_READ_SUPPORTS_VARIANT_FUZZY = 25
 CH_SUPPLEMENTARY_ALIGNMENT = 26
+CH_ALLELE_SAMPLE_PROBABILITY = 27
+CH_HOMOPOLYMER_INSERTION_QUALITY = 28
+CH_HOMOPOLYMER_DELETION_QUALITY = 29
+CH_INTER_HOMOPOLYMER_INSERTION_QUALITY = 30
 
 CHANNEL_NAME_TO_ENUM = {
     "read_base": CH_READ_BASE,
@@ -82,6 +90,14 @@ CHANNEL_NAME_TO_ENUM = {
     "homopolymer_weighted": CH_HOMOPOLYMER_WEIGHTED,
     "supplementary_alignment": CH_SUPPLEMENTARY_ALIGNMENT,
     "base_methylation": CH_BASE_METHYLATION,
+    "mean_coverage": CH_MEAN_COVERAGE,
+    "base_6ma": CH_BASE_6MA,
+    "read_supports_variant_fuzzy": CH_READ_SUPPORTS_VARIANT_FUZZY,
+    "allele_sample_probability": CH_ALLELE_SAMPLE_PROBABILITY,
+    "homopolymer_insertion_quality": CH_HOMOPOLYMER_INSERTION_QUALITY,
+    "homopolymer_deletion_quality": CH_HOMOPOLYMER_DELETION_QUALITY,
+    "inter_homopolymer_insertion_quality":
+        CH_INTER_HOMOPOLYMER_INSERTION_QUALITY,
 }
 
 # Per-read "Opt Channel" scalar/vector values
@@ -116,6 +132,48 @@ def _homopolymer_weights(seq: np.ndarray) -> np.ndarray:
 def _scale_int(value: float, max_val: float) -> int:
     value = min(value, max_val)
     return int(MAX_PIXEL_FLOAT * (float(value) / max_val))
+
+
+_MAX_Q_SCORE = 93  # homopolymer_indel_quality_channel.h:65 kMaxQScore
+
+
+def _base_quality_color(q: int) -> int:
+    """channel_utils.cc:42 BaseQualityColor: 254 * q / 93."""
+    return int(MAX_PIXEL_FLOAT * q / float(_MAX_Q_SCORE))
+
+
+def _hmer_indel_qualities(
+    seq: np.ndarray, qual: np.ndarray, tp, is_deletion: bool
+) -> np.ndarray:
+    """Per-base phred color for hmer insertion/deletion risk
+    (homopolymer_indel_quality_channel.cc HomoPolymerInDelQuality).
+
+    tp[i] sign marks the error direction the encoded quality refers
+    to (<0 deletion, >0 insertion, 0 none); per homopolymer, error
+    probs in the matching direction are summed and re-phred-scaled.
+    No/mismatched tp tag -> flat max-quality color."""
+    n = len(seq)
+    out = np.full(n, _base_quality_color(_MAX_Q_SCORE), np.uint8)
+    if tp is None or len(tp) != n or n == 0:
+        return out
+    runs = _homopolymer_weights(seq)
+    i = 0
+    while i < n:
+        hmer_len = int(runs[i])
+        err = 0.0
+        for j in range(hmer_len):
+            t = int(tp[i + j])
+            if t == 0:
+                continue
+            if (t < 0) == is_deletion:
+                err += 10.0 ** (int(qual[i + j]) / -10.0)
+        q = _MAX_Q_SCORE if err == 0 else int(
+            -10.0 * math.log10(err)
+        )
+        q = min(q, _MAX_Q_SCORE)
+        out[i : i + hmer_len] = _base_quality_color(q)
+        i += hmer_len
+    return out
 
 DEFAULT_CHANNELS = [
     CH_READ_BASE, CH_BASE_QUALITY, CH_MAPPING_QUALITY, CH_STRAND,
@@ -153,6 +211,9 @@ class PileupOptions:
     sort_by_haplotypes: bool = False
     sort_by_alt_allele_support: bool = False
     hp_tag_for_assembly_polishing: int = 0
+    # Per-sample mean coverage for CH_MEAN_COVERAGE
+    # (SampleOptions.mean_coverage default, deepvariant.proto:693).
+    mean_coverage: float = 14.0
     channels: Tuple[int, ...] = tuple(WGS_CHANNELS)
     # Alt-aligned pileups (pileup_image.py defaults: 'none', 'indels').
     alt_aligned_pileup: str = "none"
@@ -266,8 +327,20 @@ class PileupEncoder:
                 row[:, ci] = (
                     MAX_PIXEL_FLOAT * weights / 30.0
                 ).astype(np.uint8)
-            elif ch == CH_BASE_METHYLATION:
-                row[:, ci] = 0  # ref rows 0 (base_methylation_channel.cc)
+            elif ch in (CH_BASE_METHYLATION, CH_BASE_6MA,
+                        CH_ALLELE_SAMPLE_PROBABILITY,
+                        CH_HOMOPOLYMER_INSERTION_QUALITY,
+                        CH_HOMOPOLYMER_DELETION_QUALITY,
+                        CH_INTER_HOMOPOLYMER_INSERTION_QUALITY):
+                row[:, ci] = 0  # ref rows 0 (channels/*.cc FillRefBase)
+            elif ch == CH_READ_SUPPORTS_VARIANT_FUZZY:
+                # FillRefBase = SupportsAltColor(0)
+                # (read_supports_variant_fuzzy_channel.cc:117).
+                row[:, ci] = self._support_lut[0]
+            elif ch == CH_MEAN_COVERAGE:
+                # Filled by the build_pileup post-pass
+                # (pileup_image_native.cc:424-444); ref band -> 255.
+                row[:, ci] = 255
             elif ch == CH_SUPPLEMENTARY_ALIGNMENT:
                 # FillRefBase stores the raw alpha cast to uchar
                 # (supplementary_alignment_channel.cc): int(0.6) == 0.
@@ -289,6 +362,110 @@ class PileupEncoder:
             if ids and read_idx in ids:
                 return 1 if alt in alt_alleles else 2
         return 0
+
+    def _fuzzy_support_color(
+        self,
+        dv_call: DeepVariantCall,
+        read_idx: int,
+        alt_alleles: Sequence[str],
+        batch: ReadBatch,
+    ) -> int:
+        """read_supports_variant_fuzzy_channel.cc ReadSupportsAlt +
+        SupportsAltColor: exact support of an in-image alt -> 1.0;
+        support of a near-length indel on the same haplotype phase ->
+        0.90 (1bp off) / 0.80 (2bp); other-alt -> 0.6; else 0.6.
+
+        Phases come from the candidate's ALT_PS info (values[i+1] is
+        alt i's phase) vs the read's HP tag; phase 0 on either side
+        matches both haplotypes. Rejected-allele support
+        (alternate_bases_rejected) is not tracked by our candidate
+        engine, so that fuzzy source is not consulted."""
+        o = self.options
+        variant = dv_call.variant
+        all_alts = list(variant.alternate_bases)
+        alt_ps = variant.info.get("ALT_PS")
+        phases = [0] * len(all_alts)
+        if alt_ps:
+            for ai in range(len(all_alts)):
+                if len(alt_ps) > ai + 1:
+                    try:
+                        phases[ai] = int(alt_ps[ai + 1])
+                    except (TypeError, ValueError):
+                        phases[ai] = 0
+        hp = int(batch.hp[read_idx]) if len(batch.hp) else 0
+
+        def support_level(allele: str, ids) -> int:
+            if not ids or read_idx not in ids:
+                return 0
+            if allele in alt_alleles:
+                return 1
+            # Supported allele is off-image: fuzzy-match against the
+            # in-image alts by indel-length closeness + phase.
+            for image_alt in alt_alleles:
+                try:
+                    gi = all_alts.index(image_alt)
+                except ValueError:
+                    continue
+                if phases[gi] == 0 or hp == 0 or phases[gi] == hp:
+                    diff = abs(len(image_alt) - len(allele))
+                    if diff == 1:
+                        return 10
+                    if diff == 2:
+                        return 9
+            return 2
+        for alt in all_alts:
+            level = support_level(alt, dv_call.allele_support.get(alt))
+            if level in (1, 10, 9):
+                return self._fuzzy_color(level)
+        # Reference-supporting reads can fuzzy-match a near-length alt
+        # (read_supports_variant_fuzzy_channel.cc:266-283).
+        ref_ids = set(dv_call.ref_support or [])
+        if read_idx in ref_ids:
+            for image_alt in alt_alleles:
+                diff = abs(len(image_alt) - len(variant.reference_bases))
+                if diff in (1, 2):
+                    try:
+                        gi = all_alts.index(image_alt)
+                    except ValueError:
+                        continue
+                    if phases[gi] == 0 or hp == 0 or phases[gi] == hp:
+                        return self._fuzzy_color(10 if diff == 1 else 9)
+        return self._fuzzy_color(0)
+
+    def _fuzzy_color(self, level: int) -> int:
+        """SupportsAltColor (read_supports_variant_fuzzy_channel.cc:287)."""
+        o = self.options
+        alpha = {
+            0: o.allele_unsupporting_read_alpha,
+            1: o.allele_supporting_read_alpha,
+            10: 0.90,
+            9: 0.80,
+            8: 0.70,
+            2: o.other_allele_supporting_read_alpha,
+        }[level]
+        return int(MAX_PIXEL_FLOAT * alpha)
+
+    def _allele_sample_probability_color(
+        self, dv_call: DeepVariantCall, read_idx: int
+    ) -> int:
+        """allele_sample_probability_channel.cc FillReadBase: fraction
+        of region reads in the same allele-support group as this read,
+        sqrt-scaled (ScaleColor :88-102)."""
+        total = len(dv_call.ref_support or [])
+        supporting = 0
+        found = False
+        for _alt, ids in dv_call.allele_support.items():
+            ids = ids or []
+            total += len(ids)
+            if not found and read_idx in ids:
+                supporting = len(ids)
+                found = True
+        if not found:
+            supporting = len(dv_call.ref_support or [])
+        if total == 0:
+            return 0
+        probability = min(max(float(supporting), 0.0), float(total)) / total
+        return int(MAX_PIXEL_FLOAT * math.sqrt(probability))
 
     def _hap_index(self, hp: int) -> int:
         """Sort key from HP tag (pileup_image_native.cc:449-475)."""
@@ -322,6 +499,8 @@ class PileupEncoder:
         variant_start: int,
         support_code: int,
         af_value: float = 0.0,
+        dv_call: Optional[DeepVariantCall] = None,
+        alt_alleles: Sequence[str] = (),
     ) -> Optional[np.ndarray]:
         """Encode one read into a (W, C) row, or None if the read bails
         (EncodeRead + CalculateBaseLevelData semantics)."""
@@ -438,6 +617,51 @@ class PileupEncoder:
                 alpha = (o.allele_supporting_read_alpha if supplementary
                          else o.allele_unsupporting_read_alpha)
                 row[cols, ci] = int(MAX_PIXEL_FLOAT * alpha)
+            elif ch == CH_BASE_6MA:
+                m6a = (batch.meth6ma[read_idx]
+                       if batch.meth6ma else None)
+                if m6a is not None:
+                    # 6mA prob 0-255 scaled to 0-254
+                    # (base_6ma_channel.cc ScaleColorVector).
+                    row[cols, ci] = (
+                        MAX_PIXEL_FLOAT
+                        * m6a[rpos].astype(np.float32) / 255.0
+                    ).astype(np.uint8)
+            elif ch == CH_READ_SUPPORTS_VARIANT_FUZZY:
+                row[cols, ci] = self._fuzzy_support_color(
+                    dv_call, read_idx, alt_alleles, batch
+                ) if dv_call is not None else self._support_lut[0]
+            elif ch == CH_ALLELE_SAMPLE_PROBABILITY:
+                row[cols, ci] = self._allele_sample_probability_color(
+                    dv_call, read_idx
+                ) if dv_call is not None else 0
+            elif ch in (CH_HOMOPOLYMER_INSERTION_QUALITY,
+                        CH_HOMOPOLYMER_DELETION_QUALITY):
+                so = batch.seq_offsets
+                full_seq = batch.seq[so[read_idx]:so[read_idx + 1]]
+                full_qual = batch.qual[so[read_idx]:so[read_idx + 1]]
+                tp = batch.tp[read_idx] if batch.tp else None
+                colors = _hmer_indel_qualities(
+                    full_seq, full_qual, tp,
+                    is_deletion=(
+                        ch == CH_HOMOPOLYMER_DELETION_QUALITY
+                    ),
+                )
+                row[cols, ci] = colors[rpos]
+            elif ch == CH_INTER_HOMOPOLYMER_INSERTION_QUALITY:
+                t0 = batch.t0[read_idx] if batch.t0 else None
+                if t0 is not None:
+                    # t0 Q-scores -> BaseQualityColor per base
+                    # (inter_homopolymer_insertion_quality_channel.cc
+                    # GetT0QualityValues).
+                    colors = (
+                        MAX_PIXEL_FLOAT
+                        * np.minimum(
+                            t0.astype(np.float32), _MAX_Q_SCORE
+                        ) / float(_MAX_Q_SCORE)
+                    ).astype(np.uint8)
+                    valid = rpos < len(colors)
+                    row[cols[valid], ci] = colors[rpos[valid]]
         return row
 
     def _allele_frequency_color(self, allele_frequency: float) -> int:
@@ -594,7 +818,8 @@ class PileupEncoder:
                 )
             row = self.encode_read_row(
                 batch, idx, ref_window, image_start_pos, variant.start,
-                support_code, af_value,
+                support_code, af_value, dv_call=dv_call,
+                alt_alleles=alt_alleles,
             )
             if row is None:
                 continue
@@ -614,6 +839,16 @@ class PileupEncoder:
         rows.sort(key=lambda t: t[:5])
         for i, (_, _, _, _, _, row) in enumerate(rows):
             image[o.reference_band_height + i] = row
+        if CH_MEAN_COVERAGE in o.channels:
+            # Bar-graph fill after reads are placed
+            # (pileup_image_native.cc:424-444): ref band rows 255,
+            # then rows up to mean_coverage get 200.
+            ci = o.channels.index(CH_MEAN_COVERAGE)
+            top = min(
+                int(o.mean_coverage) + o.reference_band_height, height
+            )
+            image[:o.reference_band_height, :, ci] = 255
+            image[o.reference_band_height:top, :, ci] = 200
         return image
 
 

