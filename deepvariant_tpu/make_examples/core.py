@@ -228,6 +228,9 @@ class RegionProcessor:
 
     def __init__(self, options: MakeExamplesOptions):
         self.options = options
+        # Count of regions processed; the region half of PS_CONTIG
+        # (make_examples_core.py:1465,2254).
+        self.region_number = 0
         self.ref_reader = FastaReader(options.ref_filename)
         from deepvariant_tpu.io.bam import ReadRequirements
 
@@ -385,8 +388,10 @@ class RegionProcessor:
         """Attach ALT_PS / PS_CONTIG info to candidate variants
         (add_phasing_to_candidate, make_examples_core.py:2700-2786)."""
         phased_variants = dp.phased_variants()
-        phase_contig = f"{self.options.task_id}-" \
-            f"{region.reference_name}:{region.start}"
+        # PS_CONTIG = "{task_id}-{region_number}"
+        # (make_examples_core.py:2726); the region_number half is the
+        # switches-TSV join key for cross-region stitching.
+        phase_contig = f"{self.options.task_id}-{self.region_number}"
         pv_index = 0
         n_phased = 0
         for candidate in candidates:
@@ -406,6 +411,9 @@ class RegionProcessor:
                     phased_genotype[alt_2[0]] = 2
                     variant.info["ALT_PS"] = phased_genotype
                     variant.info["PS_CONTIG"] = [phase_contig]
+                    variant.info["FIRST_VARIANT_IN_BLOCK"] = [
+                        pv.is_first_in_block
+                    ]
                     n_phased += 1
                 pv_index += 1
             else:
@@ -428,6 +436,7 @@ class RegionProcessor:
                 if assigned:
                     variant.info["ALT_PS"] = phased_genotype
                     variant.info["PS_CONTIG"] = [phase_contig]
+                    variant.info["FIRST_VARIANT_IN_BLOCK"] = [False]
         return n_phased
 
     def find_candidate_positions(self, region: Range) -> List[int]:
@@ -441,6 +450,7 @@ class RegionProcessor:
 
     def process(self, region: Range) -> RegionOutputs:
         runtimes: Dict[str, float] = {}
+        self.region_number += 1
         t0 = time.perf_counter()
         batch = self.region_reads(region)
         runtimes["get reads"] = time.perf_counter() - t0

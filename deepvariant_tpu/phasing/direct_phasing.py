@@ -57,6 +57,9 @@ class PhasedVariant:
     position: int
     phase_1_bases: str
     phase_2_bases: str
+    # True when this variant starts a new phasing block
+    # (direct_phasing.h:86,94 allele_info.is_first_in_block).
+    is_first_in_block: bool = False
 
 
 @dataclasses.dataclass
@@ -397,5 +400,12 @@ class DirectPhasing:
                 elif vertex.phase == 2:
                     bases[1] = vertex.bases
             if bases[0] and bases[1]:
-                out.append(PhasedVariant(pos, bases[0], bases[1]))
+                first = any(
+                    self.vertices[vid].is_first_in_block
+                    for vid in self.vertices_by_position.get(pos, [])
+                    if self.vertices[vid].phase in (1, 2)
+                )
+                out.append(
+                    PhasedVariant(pos, bases[0], bases[1], first)
+                )
         return out

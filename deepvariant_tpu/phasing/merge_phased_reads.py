@@ -24,9 +24,12 @@ from deepvariant_tpu.core.sharded_files import glob_sharded_inputs
 
 
 class ComparisonResult(enum.Enum):
-    NOT_ENOUGH_OVERLAP = 0
-    MATCH = 1
-    SWITCH = 2
+    # Integer values are the wire format of the switches TSV consumed
+    # by phase-set stitching (merge_phased_reads.h:135-139,
+    # postprocess_variants.h:54-58).
+    MATCH = 0
+    SWITCH = 1
+    NOT_ENOUGH_OVERLAP = 2
 
 
 @dataclasses.dataclass

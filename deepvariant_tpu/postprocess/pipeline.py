@@ -73,6 +73,105 @@ def _sort_group(group: List[CallVariantsOutput]) -> List[CallVariantsOutput]:
     return sorted(group, key=lambda x: sorted(x.alt_allele_indices))
 
 
+# -- cross-region phase-set stitching ---------------------------------------
+# (postprocess_variants.{h,cc}: PhaseSetStitchingStatus, StitchPhaseSets,
+# MaybeSwapPhase, GetVariantPhaseInformation.)
+
+PS_STITCH_MATCH = 0
+PS_STITCH_SWITCH = 1
+PS_STITCH_NOT_ENOUGH_OVERLAP = 2
+_FIRST_VARIANT_IN_BLOCK = "FIRST_VARIANT_IN_BLOCK"
+
+
+class _PhaseInfo:
+    """VariantPhaseInformation (postprocess_variants.h:60-72)."""
+
+    __slots__ = ("shard", "region", "status", "is_first",
+                 "first_start", "was_phased")
+
+    def __init__(self, shard="-1", region="-1",
+                 status=PS_STITCH_MATCH, is_first=False,
+                 first_start=-1, was_phased=False):
+        self.shard = shard
+        self.region = region
+        self.status = status
+        self.is_first = is_first
+        self.first_start = first_start
+        self.was_phased = was_phased
+
+    def is_null(self) -> bool:
+        return self.shard == "-1" and self.region == "-1"
+
+
+def load_phase_switches(path: str) -> Dict[Tuple[str, str], int]:
+    """Parse the merge_phased_reads switches TSV: shard<TAB>region<TAB>
+    status (postprocess_variants.cc LoadPhasingInfo)."""
+    out: Dict[Tuple[str, str], int] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split("\t")
+            if len(parts) != 3:
+                raise ValueError(
+                    f"Invalid line in switches file: {line!r}"
+                )
+            out[(parts[0], parts[1])] = int(parts[2])
+    return out
+
+
+def _variant_phase_info(
+    variant: Variant,
+    switches: Dict[Tuple[str, str], int],
+    prev: _PhaseInfo,
+) -> _PhaseInfo:
+    """GetVariantPhaseInformation (postprocess_variants.cc:88-141)."""
+    ps_contig = variant.info.get(gt.VARIANT_PHASE_SET)
+    if not ps_contig:
+        return prev
+    shard, sep, region = str(ps_contig[0]).partition("-")
+    if not sep:
+        raise ValueError(f"Invalid PS_CONTIG: {ps_contig[0]!r}")
+    status = switches.get((shard, region), PS_STITCH_MATCH)
+    if prev.is_null():
+        return _PhaseInfo(shard, region, status, True, variant.start)
+    if shard == prev.shard and region == prev.region:
+        new = _PhaseInfo(prev.shard, prev.region, prev.status,
+                         prev.is_first, prev.first_start,
+                         prev.was_phased)
+        if prev.was_phased:
+            new.is_first = False
+        return new
+    # Region boundary: start a new phase set when the variant begins a
+    # fresh phasing block or the regions had too little read overlap
+    # to orient each other; otherwise stitch onto the previous set.
+    first = variant.info.get(_FIRST_VARIANT_IN_BLOCK)
+    is_first = bool(first and first[0])
+    if is_first or status == PS_STITCH_NOT_ENOUGH_OVERLAP:
+        return _PhaseInfo(shard, region, status, True, variant.start)
+    return _PhaseInfo(prev.shard, prev.region, status, False,
+                      prev.first_start)
+
+
+def _maybe_swap_phase(variant: Variant, info: _PhaseInfo) -> None:
+    """MaybeSwapPhase (postprocess_variants.cc:144-170): on a SWITCH
+    region, reverse the phased het genotype order; set FORMAT/PS to
+    the 1-based start of the block's first variant."""
+    if not variant.calls:
+        return
+    call = variant.calls[0]
+    if not (variant.info.get(gt.VARIANT_PHASE_SET)
+            and variant.info.get(gt.PHASED_GENOTYPE)) \
+            or not call.is_phased:
+        return
+    if info.status == PS_STITCH_SWITCH and \
+            call.genotype[0] != call.genotype[1]:
+        call.genotype = [call.genotype[1], call.genotype[0]]
+    call.is_phased = True
+    call.info["PS"] = [info.first_start + 1]
+
+
 def cvos_to_variants(
     cvos: Iterable[CallVariantsOutput],
     sample_name: str,
@@ -83,14 +182,19 @@ def cvos_to_variants(
     haploid_contigs: Optional[Set[str]] = None,
     par_regions=None,
     group_variants: bool = True,
+    phase_switches: Optional[Dict[Tuple[str, str], int]] = None,
 ) -> Iterator[Variant]:
     """CVO stream (sorted) -> resolved Variant stream.
 
     multiallelic_mode default is 'product' (reference flag default,
-    postprocess_variants.py:206-210)."""
-    # PS FORMAT values: first phased variant position (1-based) per
-    # make_examples phase-set contig (PS_CONTIG info).
-    ps_by_contig: Dict[str, int] = {}
+    postprocess_variants.py:206-210).
+
+    phase_switches: optional {(shard, region): status} map from a
+    merge_phased_reads switches TSV; drives cross-region phase-set
+    stitching (StitchPhaseSets semantics). Without it every region
+    stitches as MATCH."""
+    phase_switches = phase_switches or {}
+    phase_info = _PhaseInfo()
     for group in group_cvos(cvos, group_variants):
         outputs = _sort_group(group)
         canonical_variant, predictions = merge_predictions(
@@ -107,16 +211,16 @@ def cvos_to_variants(
             sample_name=sample_name,
             cnn_homref_call_min_gq=cnn_homref_call_min_gq,
         )
-        call = variant.calls[0] if variant.calls else None
-        if call is not None and call.is_phased:
-            ps_contig = str(
-                variant.info.get(gt.VARIANT_PHASE_SET, [""])[0]
-            )
-            ps = ps_by_contig.setdefault(ps_contig, variant.start + 1)
-            call.info["PS"] = [ps]
+        phase_info = _variant_phase_info(
+            variant, phase_switches, phase_info
+        )
+        _maybe_swap_phase(variant, phase_info)
+        if variant.calls and variant.calls[0].is_phased:
+            phase_info.was_phased = True
         # Internal phasing info fields stay out of the VCF INFO column.
         variant.info.pop(gt.PHASED_GENOTYPE, None)
         variant.info.pop(gt.VARIANT_PHASE_SET, None)
+        variant.info.pop(_FIRST_VARIANT_IN_BLOCK, None)
         yield variant
 
 
@@ -231,6 +335,7 @@ def postprocess_variants(
     ref_lookup=None,
     only_keep_pass: bool = False,
     group_variants: bool = True,
+    phased_reads_switches_path: Optional[str] = None,
 ) -> dict:
     """Full stage-3 run. Returns summary stats.
 
@@ -243,6 +348,9 @@ def postprocess_variants(
         if spec:
             paths.extend(glob_sharded_inputs(spec))
     cvos = read_cvos_sorted(paths, contigs)
+    phase_switches = None
+    if phased_reads_switches_path:
+        phase_switches = load_phase_switches(phased_reads_switches_path)
     variants = cvos_to_variants(
         cvos,
         sample_name,
@@ -253,6 +361,7 @@ def postprocess_variants(
         haploid_contigs=haploid_contigs,
         par_regions=par_regions,
         group_variants=group_variants,
+        phase_switches=phase_switches,
     )
     variants = haplotypes.maybe_resolve_conflicting_variants(
         variants, qual_filter=qual_filter

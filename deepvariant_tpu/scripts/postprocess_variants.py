@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--only_keep_pass", action="store_true")
     p.add_argument("--group_variants",
                    action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--phased_reads_switches_output_path", default="",
+                   help="switches TSV from merge_phased_reads; enables "
+                        "cross-region phase-set stitching")
     return p
 
 
@@ -75,6 +78,9 @@ def main(argv=None) -> int:
         ref_lookup=ref_lookup,
         only_keep_pass=args.only_keep_pass,
         group_variants=args.group_variants,
+        phased_reads_switches_path=(
+            args.phased_reads_switches_output_path or None
+        ),
     )
     # Tabix-index bgzipped outputs (postprocess_variants.py:1583
     # build_index).

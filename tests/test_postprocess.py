@@ -325,3 +325,97 @@ class TestPhasedOutput:
 
         line = format_variant_line(out[1])
         assert "1|0" in line and line.split("\t")[7] == "."
+
+
+class TestPhaseSetStitching:
+    """Cross-region stitching (postprocess_variants.cc StitchPhaseSets)."""
+
+    @staticmethod
+    def _cvo(start, region, alt_ps=(1, 2), first=False):
+        from deepvariant_tpu.core.types import CallVariantsOutput
+
+        v = make_variant(start=start)
+        v.info["ALT_PS"] = list(alt_ps)
+        v.info["PS_CONTIG"] = [f"0-{region}"]
+        v.info["FIRST_VARIANT_IN_BLOCK"] = [first]
+        return CallVariantsOutput(
+            variant=v, alt_allele_indices=[0],
+            genotype_probabilities=[0.01, 0.97, 0.02],
+        )
+
+    def _run(self, cvos, switches=None):
+        from deepvariant_tpu.postprocess.pipeline import cvos_to_variants
+
+        return list(cvos_to_variants(
+            cvos, "s1", phase_switches=switches
+        ))
+
+    def test_match_stitches_across_regions(self):
+        out = self._run(
+            [self._cvo(10, 1, first=True), self._cvo(50, 2)],
+            switches={("0", "2"): 0},
+        )
+        assert out[0].calls[0].info["PS"] == [11]
+        assert out[1].calls[0].info["PS"] == [11]
+
+    def test_switch_flips_het_genotype(self):
+        out = self._run(
+            [self._cvo(10, 1, first=True), self._cvo(50, 2)],
+            switches={("0", "2"): 1},
+        )
+        # Region 2 phased 0|1 locally; SWITCH -> emitted 1|0, same PS.
+        assert out[0].calls[0].genotype == [0, 1]
+        assert out[1].calls[0].genotype == [1, 0]
+        assert out[1].calls[0].info["PS"] == [11]
+
+    def test_not_enough_overlap_starts_new_set(self):
+        out = self._run(
+            [self._cvo(10, 1, first=True), self._cvo(50, 2)],
+            switches={("0", "2"): 2},
+        )
+        assert out[0].calls[0].info["PS"] == [11]
+        assert out[1].calls[0].info["PS"] == [51]
+
+    def test_first_in_block_starts_new_set(self):
+        out = self._run(
+            [self._cvo(10, 1, first=True),
+             self._cvo(50, 2, first=True)],
+            switches={("0", "2"): 0},
+        )
+        assert out[1].calls[0].info["PS"] == [51]
+
+    def test_switches_file_roundtrip(self, tmp_path):
+        from deepvariant_tpu.phasing.merge_phased_reads import (
+            ComparisonResult,
+        )
+        from deepvariant_tpu.postprocess.pipeline import (
+            load_phase_switches,
+        )
+
+        path = str(tmp_path / "switches.tsv")
+        with open(path, "w") as f:
+            f.write(f"0\t1\t{ComparisonResult.MATCH.value}\n")
+            f.write(f"0\t2\t{ComparisonResult.SWITCH.value}\n")
+            f.write(f"1\t2\t{ComparisonResult.NOT_ENOUGH_OVERLAP.value}\n")
+        switches = load_phase_switches(path)
+        assert switches == {("0", "1"): 0, ("0", "2"): 1, ("1", "2"): 2}
+        # Wire-format parity: reference enum ints
+        # (merge_phased_reads.h:135-139).
+        assert ComparisonResult.MATCH.value == 0
+        assert ComparisonResult.SWITCH.value == 1
+        assert ComparisonResult.NOT_ENOUGH_OVERLAP.value == 2
+
+    def test_unphased_variant_keeps_block_open(self):
+        # An unphased variant (no PS_CONTIG) between two phased ones
+        # must not break the block.
+        from deepvariant_tpu.core.types import CallVariantsOutput
+
+        plain = CallVariantsOutput(
+            variant=make_variant(start=30), alt_allele_indices=[0],
+            genotype_probabilities=[0.01, 0.97, 0.02],
+        )
+        out = self._run(
+            [self._cvo(10, 1, first=True), plain, self._cvo(50, 1)]
+        )
+        assert "PS" not in out[1].calls[0].info
+        assert out[2].calls[0].info["PS"] == [11]
