@@ -394,6 +394,7 @@ class BaiIndex:
             raise ValueError(f"not a BAI index: {path}")
         pos = 4
         (n_ref,) = struct.unpack_from("<i", data, pos)
+        self.n_ref = n_ref
         pos += 4
         self.bins: List[Dict[int, np.ndarray]] = []
         self.linear: List[np.ndarray] = []
@@ -733,12 +734,21 @@ class BamReader:
     # -- public API --------------------------------------------------------------
 
     def query(self, region: Range) -> ReadBatch:
-        """All reads overlapping region (via BAI), filtered, as a ReadBatch."""
+        """All reads overlapping region (via BAI), filtered, as a ReadBatch.
+
+        When the .bai's contig count disagrees with the BAM header
+        (stale/mismatched index), falls back to an index-free linear
+        scan of the whole file — slower, but correct."""
         try:
             ref_id = self.ref_names.index(region.reference_name)
         except ValueError:
             return ReadBatch(self.ref_names)
         index = self._load_index()
+        if index.n_ref != len(self.ref_names):
+            self._bgzf.seek_virtual(self._header_end_voffset)
+            return self._scan_records(
+                None, ref_id, region.start, region.end
+            )
         chunks = index.chunks_for(ref_id, region.start, region.end)
         batches = []
         for cbeg, cend in chunks:

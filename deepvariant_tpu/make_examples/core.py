@@ -82,6 +82,9 @@ class MakeExamplesOptions:
     realigner_enabled: bool = True
     # Direct phasing (PacBio/ONT presets; make_examples_core.py:3042).
     phase_reads: bool = False
+    # 5mC Wilcoxon phase completion after DirectPhasing
+    # (make_examples_core.py:3046-3072 + methylation_aware_phasing.cc).
+    enable_methylation_aware_phasing: bool = False
     sort_by_haplotypes: bool = False
     track_ref_reads: bool = False
     min_mapping_quality: int = 5
@@ -484,6 +487,22 @@ class RegionProcessor:
 
             dp = DirectPhasing()
             phases = dp.phase_reads(candidates, len(batch))
+            if self.options.enable_methylation_aware_phasing:
+                from deepvariant_tpu.phasing.methylation_aware_phasing \
+                    import (
+                        extract_methylated_ref_sites,
+                        perform_methylation_aware_phasing,
+                    )
+
+                if not batch.meth:
+                    self.bam_reader.parse_methylation(batch)
+                sites = extract_methylated_ref_sites(
+                    batch, region.start, region.end
+                )
+                if sites:
+                    phases, _ = perform_methylation_aware_phasing(
+                        len(batch), phases, sites
+                    )
             batch.hp = np.asarray(phases, np.int8)
             self._add_phasing_to_candidates(
                 dp, candidates, phases, region

@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_preset", default="",
                    help="apply a model type's calling flags "
                         "(WGS/WES/PACBIO/ONT_R104/...)")
+    p.add_argument("--enable_methylation_aware_phasing",
+                   action="store_true",
+                   help="complete read phasing with 5mC Wilcoxon "
+                        "voting after direct phasing (long reads "
+                        "with MM/ML tags)")
     p.add_argument("--channel_list", default="",
                    help="comma-separated channel names overriding the "
                         "preset's channel set (reference "
@@ -115,6 +120,9 @@ def options_from_args(args) -> MakeExamplesOptions:
         truth_variants_filename=args.truth_variants,
         confident_regions_filename=args.confident_regions,
         labeler_algorithm=args.labeler_algorithm,
+        enable_methylation_aware_phasing=(
+            args.enable_methylation_aware_phasing
+        ),
     )
 
 
