@@ -211,6 +211,7 @@ def merge_predictions(
     multiallelic_mode: str = "product",
     haploid_contigs: Optional[Set[str]] = None,
     par_regions=None,
+    multiallelic_model=None,
 ) -> Tuple[Variant, List[float]]:
     """Merge one locus's CVOs -> (canonical variant, genotype probs)."""
     if not cvos:
@@ -245,7 +246,26 @@ def merge_predictions(
         canonical_variant, alt_alleles_to_remove
     )
 
-    if multiallelic_mode == "product":
+    if (multiallelic_model is not None
+            and len(canonical_variant.alternate_bases) == 2):
+        # Learned resolver for two-alt sites
+        # (postprocess_variants.py:1228-1233): the three CVO
+        # distributions feed the trained MLP directly.
+        from deepvariant_tpu.postprocess.multiallelic_model import (
+            get_multiallelic_distributions,
+        )
+
+        cvo_probs = get_multiallelic_distributions(
+            cvos, alt_alleles_to_remove
+        )
+        if cvo_probs is None:
+            raise ValueError(
+                "two-alt site missing expected CVO distributions"
+            )
+        normalized = [
+            float(x) for x in multiallelic_model(cvo_probs)[0]
+        ]
+    elif multiallelic_mode == "product":
         normalized = _merge_product_mode(
             cvos, canonical_variant, alt_alleles_to_remove
         )

@@ -183,6 +183,7 @@ def cvos_to_variants(
     par_regions=None,
     group_variants: bool = True,
     phase_switches: Optional[Dict[Tuple[str, str], int]] = None,
+    multiallelic_model=None,
 ) -> Iterator[Variant]:
     """CVO stream (sorted) -> resolved Variant stream.
 
@@ -203,6 +204,7 @@ def cvos_to_variants(
             multiallelic_mode=multiallelic_mode,
             haploid_contigs=haploid_contigs,
             par_regions=par_regions,
+            multiallelic_model=multiallelic_model,
         )
         variant = gt.add_call_to_variant(
             canonical_variant,
@@ -336,6 +338,7 @@ def postprocess_variants(
     only_keep_pass: bool = False,
     group_variants: bool = True,
     phased_reads_switches_path: Optional[str] = None,
+    use_multiallelic_model: bool = False,
 ) -> dict:
     """Full stage-3 run. Returns summary stats.
 
@@ -351,6 +354,13 @@ def postprocess_variants(
     phase_switches = None
     if phased_reads_switches_path:
         phase_switches = load_phase_switches(phased_reads_switches_path)
+    multiallelic_model = None
+    if use_multiallelic_model:
+        from deepvariant_tpu.postprocess.multiallelic_model import (
+            load_multiallelic_model,
+        )
+
+        multiallelic_model = load_multiallelic_model()
     variants = cvos_to_variants(
         cvos,
         sample_name,
@@ -362,6 +372,7 @@ def postprocess_variants(
         par_regions=par_regions,
         group_variants=group_variants,
         phase_switches=phase_switches,
+        multiallelic_model=multiallelic_model,
     )
     variants = haplotypes.maybe_resolve_conflicting_variants(
         variants, qual_filter=qual_filter

@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--only_keep_pass", action="store_true")
     p.add_argument("--group_variants",
                    action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--use_multiallelic_model", action="store_true",
+                   help="resolve two-alt sites with the trained "
+                        "multiallelic MLP instead of product fusion")
     p.add_argument("--phased_reads_switches_output_path", default="",
                    help="switches TSV from merge_phased_reads; enables "
                         "cross-region phase-set stitching")
@@ -81,6 +84,7 @@ def main(argv=None) -> int:
         phased_reads_switches_path=(
             args.phased_reads_switches_output_path or None
         ),
+        use_multiallelic_model=args.use_multiallelic_model,
     )
     # Tabix-index bgzipped outputs (postprocess_variants.py:1583
     # build_index).
