@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import collections
 import copy
+import dataclasses
 import heapq
 import itertools
 from typing import Dict, FrozenSet, Iterator, List, Optional, Sequence, Set, Tuple
@@ -436,6 +437,34 @@ def group_variants(
     ]
 
 
+@dataclasses.dataclass
+class LabelingMetrics:
+    """Counts implied by labeling candidates against truth
+    (deepvariant.proto:1097-1226 LabelingMetrics; counts only, so
+    shards can be summed). Sites count records; alleles count distinct
+    non-ref alt alleles."""
+
+    n_truth_variant_sites: int = 0
+    n_truth_variant_alleles: int = 0
+    n_candidate_variant_sites: int = 0
+    n_candidate_variant_alleles: int = 0
+    n_non_confident_candidate_variant_sites: int = 0
+    n_true_positive_sites: int = 0
+    n_true_positive_alleles: int = 0
+    n_false_negative_sites: int = 0
+    n_false_negative_alleles: int = 0
+    n_false_positive_sites: int = 0
+    n_false_positive_alleles: int = 0
+    n_inexact_position_matches: int = 0
+    n_exact_position_matches: int = 0
+    n_exact_position_and_allele_matches: int = 0
+    n_exact_position_and_allele_and_genotype_matches: int = 0
+    n_truth_multiallelics_sites_with_missed_alleles: int = 0
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
 class HaplotypeLabeler:
     """(:101): default DeepVariant training labeler."""
 
@@ -455,6 +484,7 @@ class HaplotypeLabeler:
         self._truth = truth_vcf_reader
         self._ref_reader = ref_reader
         self._confident_regions = confident_regions
+        self._metrics = LabelingMetrics()
         self.max_group_size = max_group_size
         self.max_separation = max_separation
         self.max_gt_options_product = max_gt_options_product
@@ -476,6 +506,78 @@ class HaplotypeLabeler:
         return ReferenceRegion(
             self._ref_reader.query(region), start=region.start
         )
+
+    @property
+    def metrics(self) -> LabelingMetrics:
+        """LabelingMetrics accumulated so far (haplotype_labeler.py:199)."""
+        return self._metrics
+
+    def _update_metrics(self, labeling) -> None:
+        """Accumulate counts from one HaplotypeMatch
+        (haplotype_labeler.py:204-308)."""
+        m = self._metrics
+
+        def n_alts(gt):
+            return len({g for g in gt if g > 0})
+
+        def is_hom_ref(gt):
+            return all(g == 0 for g in gt)
+
+        def has_alt(gt):
+            return any(g > 0 for g in gt)
+
+        for truth, original_gt, assigned_gt in zip(
+            labeling.truths,
+            labeling.original_truth_genotypes,
+            labeling.truth_genotypes,
+        ):
+            n_alts_original = n_alts(original_gt)
+            m.n_truth_variant_sites += 1
+            m.n_truth_variant_alleles += n_alts_original
+            m.n_true_positive_sites += has_alt(assigned_gt)
+            m.n_false_negative_sites += is_hom_ref(assigned_gt)
+            if n_alts_original > 1 and \
+                    n_alts(assigned_gt) < n_alts_original:
+                m.n_truth_multiallelics_sites_with_missed_alleles += 1
+            for og, ag in zip(original_gt, assigned_gt):
+                if og > 0:
+                    if ag > 0:
+                        m.n_true_positive_alleles += 1
+                    else:
+                        m.n_false_negative_alleles += 1
+
+        truth_by_pos = {
+            truth.start: (truth, gt)
+            for truth, gt in zip(
+                labeling.truths, labeling.truth_genotypes
+            )
+        }
+        for candidate, genotype in zip(
+            labeling.candidates, labeling.candidate_genotypes
+        ):
+            if not self._confident_regions.variant_overlaps(candidate):
+                m.n_non_confident_candidate_variant_sites += 1
+                continue
+            n_alt_alleles = len(candidate.alternate_bases)
+            m.n_candidate_variant_sites += 1
+            m.n_candidate_variant_alleles += n_alt_alleles
+            m.n_false_positive_sites += is_hom_ref(genotype)
+            m.n_false_positive_alleles += (
+                n_alt_alleles - n_alts(genotype)
+            )
+            truth, assigned_gt = truth_by_pos.get(
+                candidate.start, (None, None)
+            )
+            if truth:
+                m.n_exact_position_matches += 1
+                if sorted(candidate.alternate_bases) == sorted(
+                    truth.alternate_bases
+                ):
+                    m.n_exact_position_and_allele_matches += 1
+                    if sorted(genotype) == sorted(assigned_gt):
+                        m.n_exact_position_and_allele_and_genotype_matches += 1
+            elif has_alt(genotype):
+                m.n_inexact_position_matches += 1
 
     def label_variants(
         self, variants: Sequence[Variant], region: Range
@@ -507,6 +609,7 @@ class HaplotypeLabeler:
                     "Failed to assign labels for variants",
                     candidates_group, truth_group,
                 )
+            self._update_metrics(labeling)
             for labeled in labeling.candidates_with_assigned_genotypes():
                 yield VariantLabel(
                     is_confident=self._confident_regions.variant_overlaps(

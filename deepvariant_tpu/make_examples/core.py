@@ -736,6 +736,16 @@ def make_examples_runner(
         )
     if runtime_by_region_path:
         _write_runtime_tsv(runtime_by_region_path, runtime_rows)
+    # Labeling-metrics sidecar (run_info.labeling_metrics,
+    # make_examples_core.py:3734-3740): JSON of summable counts.
+    labeler = getattr(processor, "_labeler", None) or getattr(
+        processor, "labeler", None
+    ) if options.mode == "training" else None
+    metrics = getattr(labeler, "metrics", None)
+    if metrics is not None and options.examples_filename:
+        metrics_path = writer.examples_path + ".labeling_metrics.json"
+        with open(metrics_path, "w") as f:
+            json.dump(metrics.as_dict(), f, indent=2)
     return counts
 
 

@@ -262,3 +262,125 @@ class TestCustomizedClassesLabeler:
                 assert got == want, (tv.start, got, want)
                 n_classed += got > 0
         assert n_classed > 0
+
+
+class TestLabelingMetrics:
+    """Metric counting scenarios (haplotype_labeler_test.py:790+ style)."""
+
+    def test_exact_tp(self):
+        truth = variant(5, "C", ["A"], gt=(0, 1))
+        labeler = make_labeler([truth])
+        list(labeler.label_variants(
+            [variant(5, "C", ["A"])], Range(CHROM, 0, 20)
+        ))
+        m = labeler.metrics
+        assert m.n_truth_variant_sites == 1
+        assert m.n_truth_variant_alleles == 1
+        assert m.n_candidate_variant_sites == 1
+        assert m.n_true_positive_sites == 1
+        assert m.n_true_positive_alleles == 1
+        assert m.n_false_positive_sites == 0
+        assert m.n_false_negative_sites == 0
+        assert m.n_exact_position_matches == 1
+        assert m.n_exact_position_and_allele_matches == 1
+        assert m.n_exact_position_and_allele_and_genotype_matches == 1
+
+    def test_false_positive_candidate(self):
+        labeler = make_labeler([])
+        list(labeler.label_variants(
+            [variant(5, "C", ["A"])], Range(CHROM, 0, 20)
+        ))
+        m = labeler.metrics
+        assert m.n_candidate_variant_sites == 1
+        assert m.n_false_positive_sites == 1
+        assert m.n_false_positive_alleles == 1
+        assert m.n_truth_variant_sites == 0
+        assert m.n_true_positive_sites == 0
+
+    def test_false_negative_truth(self):
+        # Truth exists; candidate misses the allele entirely (different
+        # position, different allele).
+        truth = variant(5, "C", ["A"], gt=(1, 1))
+        labeler = make_labeler([truth])
+        list(labeler.label_variants(
+            [variant(13, "C", ["G"])], Range(CHROM, 0, 20)
+        ))
+        m = labeler.metrics
+        assert m.n_truth_variant_sites == 1
+        assert m.n_false_negative_sites == 1
+        assert m.n_false_negative_alleles == 2
+        assert m.n_false_positive_sites == 1  # the spurious candidate
+
+    def test_non_confident_candidate_counted_separately(self):
+        truth = variant(5, "C", ["A"], gt=(0, 1))
+        labeler = make_labeler(
+            [truth], confident=RangeSet([Range(CHROM, 0, 10)])
+        )
+        list(labeler.label_variants(
+            [variant(5, "C", ["A"]), variant(17, "C", ["G"])],
+            Range(CHROM, 0, 20),
+        ))
+        m = labeler.metrics
+        assert m.n_candidate_variant_sites == 1
+        assert m.n_non_confident_candidate_variant_sites == 1
+
+    def test_metrics_accumulate_and_serialize(self):
+        truth = variant(5, "C", ["A"], gt=(0, 1))
+        labeler = make_labeler([truth])
+        list(labeler.label_variants(
+            [variant(5, "C", ["A"])], Range(CHROM, 0, 20)
+        ))
+        list(labeler.label_variants(
+            [variant(5, "C", ["A"])], Range(CHROM, 0, 20)
+        ))
+        m = labeler.metrics.as_dict()
+        assert m["n_truth_variant_sites"] == 2
+        assert set(m) == {
+            "n_truth_variant_sites", "n_truth_variant_alleles",
+            "n_candidate_variant_sites", "n_candidate_variant_alleles",
+            "n_non_confident_candidate_variant_sites",
+            "n_true_positive_sites", "n_true_positive_alleles",
+            "n_false_negative_sites", "n_false_negative_alleles",
+            "n_false_positive_sites", "n_false_positive_alleles",
+            "n_inexact_position_matches", "n_exact_position_matches",
+            "n_exact_position_and_allele_matches",
+            "n_exact_position_and_allele_and_genotype_matches",
+            "n_truth_multiallelics_sites_with_missed_alleles",
+        }
+
+
+@pytest.mark.integration
+def test_labeling_metrics_sidecar(testdata_dir, tmp_path):
+    """Training run writes <examples>.labeling_metrics.json."""
+    import json
+
+    from deepvariant_tpu.make_examples.core import (
+        MakeExamplesOptions,
+        make_examples_runner,
+    )
+
+    options = MakeExamplesOptions(
+        reads_filename=os.path.join(
+            testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+        ),
+        ref_filename=os.path.join(
+            testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+        ),
+        examples_filename=str(tmp_path / "t.tfrecord"),
+        mode="training",
+        regions=["chr20:10,000,000-10,004,000"],
+        truth_variants_filename=os.path.join(
+            testdata_dir, "input/test_nist.b37_chr20_100kbp_at_10mb.vcf.gz"
+        ),
+        confident_regions_filename=os.path.join(
+            testdata_dir, "input/test_nist.b37_chr20_100kbp_at_10mb.bed"
+        ),
+    )
+    make_examples_runner(options)
+    metrics_path = str(tmp_path / "t.tfrecord.labeling_metrics.json")
+    assert os.path.exists(metrics_path)
+    with open(metrics_path) as f:
+        m = json.load(f)
+    assert m["n_truth_variant_sites"] > 0
+    assert m["n_candidate_variant_sites"] > 0
+    assert m["n_true_positive_sites"] > 0
