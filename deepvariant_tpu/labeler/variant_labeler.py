@@ -187,6 +187,14 @@ def make_labeler(options, ref_reader):
                 "customized_classes_labeler_info_field_name", "type",
             ),
         )
+    if options.labeler_algorithm == "combined_labeler":
+        from deepvariant_tpu.labeler.combined_labeler import (
+            CombinedLabeler,
+        )
+
+        if confident is None:
+            return PositionalVariantLabeler(truth, confident)
+        return CombinedLabeler(truth, ref_reader, confident)
     if options.labeler_algorithm == "haplotype_labeler":
         from deepvariant_tpu.labeler.haplotype_labeler import (
             HaplotypeLabeler,
