@@ -170,6 +170,56 @@ class BgzfReader:
         return False
 
 
+def read_gzi(path: str):
+    """Parse a .gzi index: (n, 2) int64 array of (compressed_offset,
+    uncompressed_offset) block starts, with the implicit (0, 0) first
+    block prepended (htslib bgzf_index_dump format: u64 count then
+    count little-endian u64 pairs)."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        data = f.read()
+    (count,) = struct.unpack_from("<Q", data, 0)
+    pairs = np.frombuffer(
+        data, dtype="<u8", count=2 * count, offset=8
+    ).reshape(-1, 2).astype(np.int64)
+    out = np.zeros((count + 1, 2), np.int64)
+    out[1:] = pairs
+    return out
+
+
+def decompress_range(path: str, index, ustart: int, uend: int) -> bytes:
+    """Inflate only the BGZF blocks covering uncompressed byte range
+    [ustart, uend) using a .gzi index (read_gzi). Returns exactly
+    uend - ustart bytes (short only at physical EOF)."""
+    import numpy as np
+
+    if uend <= ustart:
+        return b""
+    uoffs = index[:, 1]
+    first = int(np.searchsorted(uoffs, ustart, side="right")) - 1
+    first = max(first, 0)
+    out = []
+    produced = int(uoffs[first])
+    with open(path, "rb") as f:
+        f.seek(int(index[first, 0]))
+        while produced < uend:
+            header = f.read(18)
+            if len(header) < 18:
+                break
+            bsize = _parse_block_header(header)
+            body = f.read(bsize - 18)
+            cdata = body[: bsize - 26]
+            chunk = zlib.decompress(cdata, -15)
+            out.append(chunk)
+            produced += len(chunk)
+            if len(chunk) == 0:  # EOF marker block
+                break
+    data = b"".join(out)
+    rel = ustart - int(uoffs[first])
+    return data[rel : rel + (uend - ustart)]
+
+
 def decompress_all(path: str) -> bytes:
     """Decompress an entire BGZF (or plain gzip) file."""
     with open(path, "rb") as f:

@@ -5,9 +5,11 @@ Equivalent of nucleus's IndexedFastaReader / InMemoryFastaReader
 as numpy uint8 ASCII arrays — the natural form for vectorized allele counting
 and pileup encoding.
 
-For bgzipped FASTA we decompress the whole file once into memory (a 3 Gbp
-genome is ~3 GB — fine on TPU hosts, and it makes every query an O(1) slice);
-the .gzi index is therefore not needed.
+For bgzipped FASTA with a .gzi sidecar (htslib bgzf index), contigs
+load lazily by inflating only the BGZF blocks that cover them —
+partial loads like the reference's GetBases path. Without a .gzi the
+whole file decompresses once into memory (a 3 Gbp genome is ~3 GB —
+fine on TPU hosts, and it makes every query an O(1) slice).
 """
 
 from __future__ import annotations
@@ -49,16 +51,25 @@ def read_fai(path: str) -> List[FaidxRecord]:
 class FastaReader:
     """Random-access reference reader; contigs held as uint8 arrays."""
 
-    def __init__(self, path: str, fai_path: Optional[str] = None):
+    def __init__(self, path: str, fai_path: Optional[str] = None,
+                 gzi_path: Optional[str] = None):
+        import os
+
         self._path = path
         fai_path = fai_path or path + ".fai"
         self._records = read_fai(fai_path)
-        if path.endswith(".gz") or bgzf.is_bgzf(path):
-            data = bgzf.decompress_all(path)
+        self._raw: Optional[np.ndarray] = None
+        self._gzi = None
+        is_gz = path.endswith(".gz") or bgzf.is_bgzf(path)
+        gzi_path = gzi_path or path + ".gzi"
+        if is_gz and os.path.exists(gzi_path):
+            # Partial loads: inflate only the blocks covering a contig.
+            self._gzi = bgzf.read_gzi(gzi_path)
+        elif is_gz:
+            self._raw = np.frombuffer(bgzf.decompress_all(path), np.uint8)
         else:
             with open(path, "rb") as f:
-                data = f.read()
-        self._raw = np.frombuffer(data, np.uint8)
+                self._raw = np.frombuffer(f.read(), np.uint8)
         # Contigs materialize lazily on first query — a whole-genome
         # FASTA holds ~3Gbp and most processes touch few contigs.
         self._contigs: Dict[str, np.ndarray] = {}
@@ -70,11 +81,19 @@ class FastaReader:
             return bases
         rec = self._rec_by_name[name]
         n_lines = (rec.length + rec.line_bases - 1) // rec.line_bases
-        span = self._raw[
-            rec.offset : rec.offset
-            + rec.length
-            + n_lines * (rec.line_width - rec.line_bases)
-        ]
+        span_len = rec.length + n_lines * (
+            rec.line_width - rec.line_bases
+        )
+        if self._raw is not None:
+            span = self._raw[rec.offset : rec.offset + span_len]
+        else:
+            span = np.frombuffer(
+                bgzf.decompress_range(
+                    self._path, self._gzi, rec.offset,
+                    rec.offset + span_len,
+                ),
+                np.uint8,
+            )
         mat_len = n_lines * rec.line_width
         padded = np.full(mat_len, ord("\n"), np.uint8)
         padded[: len(span)] = span[:mat_len]

@@ -247,3 +247,75 @@ def test_example_info_roundtrip(tmp_path):
     info = examples.read_example_info(path)
     assert info["shape"] == [100, 221, 7]
     assert info["channels"] == [1, 2, 3, 4, 5, 6, 19]
+
+
+class TestGziPartialLoads:
+    """.gzi-indexed partial FASTA loads (htslib bgzf index)."""
+
+    def test_partial_equals_full(self, testdata_dir):
+        import numpy as np
+
+        from deepvariant_tpu.core.types import Range
+        from deepvariant_tpu.io.fasta import FastaReader
+
+        p = os.path.join(
+            testdata_dir, "input/grch38.chr20_and_21_10M.fa.gz"
+        )
+        partial = FastaReader(p)
+        assert partial._gzi is not None
+        full = FastaReader(p, gzi_path="/nonexistent")
+        for contig in partial.contig_names():
+            r = Range(contig, 0, partial.contig_length(contig))
+            np.testing.assert_array_equal(
+                partial.bases(r), full.bases(r)
+            )
+
+    def test_decompress_range_spans_blocks(self, tmp_path):
+        import numpy as np
+
+        from deepvariant_tpu.io import bgzf
+
+        # Write multi-block bgzf + hand-build the .gzi.
+        payload = bytes(range(256)) * 2048  # 512 KiB > one 64K block
+        path = str(tmp_path / "x.gz")
+        with bgzf.BgzfWriter(path) as w:
+            for i in range(0, len(payload), 60000):
+                w.write(payload[i : i + 60000])
+        # Build gzi by walking blocks.
+        import struct, zlib
+
+        entries = []
+        data = open(path, "rb").read()
+        off = 0
+        uoff = 0
+        while off < len(data):
+            xlen = struct.unpack_from("<H", data, off + 10)[0]
+            xoff = off + 12
+            bsize = None
+            while xoff < off + 12 + xlen:
+                si1, si2, slen = data[xoff], data[xoff + 1], \
+                    struct.unpack_from("<H", data, xoff + 2)[0]
+                if si1 == 66 and si2 == 67:
+                    bsize = struct.unpack_from(
+                        "<H", data, xoff + 4
+                    )[0] + 1
+                xoff += 4 + slen
+            isize = struct.unpack_from("<I", data, off + bsize - 4)[0]
+            off += bsize
+            uoff += isize
+            if off < len(data):
+                entries.append((off, uoff))
+        gzi = str(tmp_path / "x.gz.gzi")
+        with open(gzi, "wb") as f:
+            f.write(struct.pack("<Q", len(entries)))
+            for c, u in entries:
+                f.write(struct.pack("<QQ", c, u))
+        index = bgzf.read_gzi(gzi)
+        # Range crossing block boundaries.
+        got = bgzf.decompress_range(path, index, 59000, 190000)
+        assert got == payload[59000:190000]
+        assert bgzf.decompress_range(path, index, 0, 10) == payload[:10]
+        tail = bgzf.decompress_range(
+            path, index, len(payload) - 7, len(payload)
+        )
+        assert tail == payload[-7:]
