@@ -237,12 +237,23 @@ class RegionProcessor:
         self.ref_reader = FastaReader(options.ref_filename)
         from deepvariant_tpu.io.bam import ReadRequirements
 
-        self.bam_reader = BamReader(
-            options.reads_filename,
-            requirements=ReadRequirements(
-                min_mapping_quality=options.min_mapping_quality,
-            ),
-        ) if options.reads_filename else None
+        requirements = ReadRequirements(
+            min_mapping_quality=options.min_mapping_quality,
+        )
+        if not options.reads_filename:
+            self.bam_reader = None
+        elif options.reads_filename.endswith(".cram"):
+            from deepvariant_tpu.io.cram import CramBatchReader
+
+            self.bam_reader = CramBatchReader(
+                options.reads_filename,
+                ref_reader=self.ref_reader,
+                requirements=requirements,
+            )
+        else:
+            self.bam_reader = BamReader(
+                options.reads_filename, requirements=requirements
+            )
         if options.sort_by_haplotypes:
             options.pileup_options.sort_by_haplotypes = True
         if options.proposed_variants_filename:
