@@ -86,6 +86,7 @@ class BamWriter:
             mate_ref_id=mate_ref_id,
             mate_pos=mate_pos,
             tlen=read.fragment_length,
+            aux=getattr(read, "aux", b"") or b"",
         )
 
     def write_batch(self, batch: ReadBatch):
@@ -173,3 +174,85 @@ def _reg2bin(beg: int, end: int) -> int:
     if beg >> 26 == end >> 26:
         return ((1 << 3) - 1) // 7 + (beg >> 26)
     return 0
+
+
+def build_bam_index(bam_path: str, output_path: str = "") -> str:
+    """Build a .bai index for a BAM (SAM spec section 5: R-tree bins
+    over BGZF virtual offsets + 16 kb linear index) — the equivalent
+    of `samtools index` for BamWriter output."""
+    import struct
+
+    from deepvariant_tpu.io.bgzf import BgzfReader
+
+    output_path = output_path or bam_path + ".bai"
+    f = BgzfReader(bam_path)
+    magic = f.read(4)
+    if magic != b"BAM\x01":
+        raise ValueError(f"not a BAM: {bam_path}")
+    (l_text,) = struct.unpack("<i", f.read_exact(4))
+    f.read_exact(l_text)
+    (n_ref,) = struct.unpack("<i", f.read_exact(4))
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack("<i", f.read_exact(4))
+        f.read_exact(l_name + 4)
+
+    # Per ref: {bin: [(vbeg, vend), ...]}, linear window -> min voffset.
+    bins = [dict() for _ in range(n_ref)]
+    linear = [dict() for _ in range(n_ref)]
+    while True:
+        vbeg = f.virtual_offset
+        hdr = f.read(4)
+        if len(hdr) < 4:
+            break
+        (block_size,) = struct.unpack("<i", hdr)
+        rec = f.read_exact(block_size)
+        vend = f.virtual_offset
+        rid, pos = struct.unpack_from("<ii", rec, 0)
+        if rid < 0 or pos < 0:
+            continue
+        flag_nc = struct.unpack_from("<i", rec, 12)[0]
+        n_cigar = flag_nc & 0xFFFF
+        l_read_name = struct.unpack_from("<i", rec, 8)[0] & 0xFF
+        cigar = struct.unpack_from(
+            f"<{n_cigar}I", rec, 32 + l_read_name
+        )
+        span = sum(
+            (c >> 4) for c in cigar if (c & 0xF) in (0, 2, 3, 7, 8)
+        ) or 1
+        end = pos + span
+        b = _reg2bin(pos, end)
+        chunks = bins[rid].setdefault(b, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1] = (chunks[-1][0], vend)
+        else:
+            chunks.append((vbeg, vend))
+        for w in range(pos >> 14, ((end - 1) >> 14) + 1):
+            if w not in linear[rid] or vbeg < linear[rid][w]:
+                linear[rid][w] = vbeg
+    f.close()
+
+    with open(output_path, "wb") as out:
+        out.write(b"BAI\x01")
+        out.write(struct.pack("<i", n_ref))
+        for rid in range(n_ref):
+            out.write(struct.pack("<i", len(bins[rid])))
+            for b in sorted(bins[rid]):
+                chunks = bins[rid][b]
+                out.write(struct.pack("<Ii", b, len(chunks)))
+                for vbeg, vend in chunks:
+                    out.write(struct.pack("<QQ", vbeg, vend))
+            if linear[rid]:
+                n_intv = max(linear[rid]) + 1
+                # Fill gaps with the previous window's offset.
+                vals = []
+                prev = 0
+                for w in range(n_intv):
+                    prev = linear[rid].get(w, prev)
+                    vals.append(prev)
+            else:
+                n_intv = 0
+                vals = []
+            out.write(struct.pack("<i", n_intv))
+            for v in vals:
+                out.write(struct.pack("<Q", v))
+    return output_path

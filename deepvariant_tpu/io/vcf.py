@@ -59,6 +59,18 @@ _FORMAT_LINES = [
      'Median DP observed within the GVCF block rounded to the nearest '
      'integer.'),
     ('PS', '1', 'Integer', 'Phase set'),
+    ('MF', 'R', 'Float',
+     'Methylation fraction for each of the reference and alternate '
+     'allele'),
+    ('MD', 'R', 'Integer',
+     'Methylation depth for each of the reference and alternate allele'),
+    ('MT', '1', 'String',
+     'Methylation type: 0/0=Unmethylated, 0/1=Heterozygous, '
+     '1/1=Methylated'),
+    ('MI', '1', 'Float',
+     'Allele-specific methylation score: p-value for Wilcoxon '
+     'Rank-Sum test based on the observed difference in methylation '
+     'between haplotypes.'),
 ]
 
 
@@ -158,7 +170,7 @@ def _format_gt(call: VariantCall) -> str:
 # writer emits PL (phred-scaled) and never GL (see
 # golden.postprocess_single_site_output.vcf: GT:GQ:DP:AD:VAF:PL).
 _FORMAT_ORDER = ["GT", "GQ", "DP", "MIN_DP", "AD", "VAF", "PL",
-                 "MED_DP", "PS"]
+                 "MED_DP", "PS", "MF", "MD", "MT", "MI"]
 
 
 def format_variant_line(variant: Variant) -> str:
@@ -210,6 +222,16 @@ def format_variant_line(variant: Variant) -> str:
             fields["MED_DP"] = str(int(ci["MED_DP"][0]))
         if "PS" in ci:
             fields["PS"] = str(int(ci["PS"][0]))
+        if "MF" in ci:
+            fields["MF"] = ",".join(
+                format_float(float(v)) for v in ci["MF"]
+            )
+        if "MD" in ci:
+            fields["MD"] = ",".join(str(int(v)) for v in ci["MD"])
+        if "MT" in ci:
+            fields["MT"] = str(ci["MT"][0])
+        if "MI" in ci:
+            fields["MI"] = format_float(float(ci["MI"][0]))
         keys = [k for k in _FORMAT_ORDER if k in fields]
         line.append(":".join(keys))
         line.append(":".join(fields[k] for k in keys))

@@ -85,6 +85,10 @@ class MakeExamplesOptions:
     # 5mC Wilcoxon phase completion after DirectPhasing
     # (make_examples_core.py:3046-3072 + methylation_aware_phasing.cc).
     enable_methylation_aware_phasing: bool = False
+    # Per-allele methylation stats (MF/MD FORMAT fields;
+    # ComputeMethylationStats, variant_calling_multisample.cc:1499).
+    enable_methylation_calling: bool = False
+    methylation_calling_threshold: float = 0.5
     sort_by_haplotypes: bool = False
     track_ref_reads: bool = False
     min_mapping_quality: int = 5
@@ -338,7 +342,8 @@ class RegionProcessor:
         )
 
         chans = set(self.options.pileup_options.channels)
-        if chans & {CH_BASE_METHYLATION, CH_BASE_6MA}:
+        if (chans & {CH_BASE_METHYLATION, CH_BASE_6MA}
+                or self.options.enable_methylation_calling):
             self.bam_reader.parse_methylation(batch)
         if chans & {CH_HOMOPOLYMER_INSERTION_QUALITY,
                     CH_HOMOPOLYMER_DELETION_QUALITY,
@@ -395,6 +400,48 @@ class RegionProcessor:
             counter, include_med_dp=self.options.include_med_dp
         )) if include_gvcfs else []
         return candidates, gvcfs, counter
+
+    def _add_methylation_stats(self, batch, candidates) -> None:
+        """FORMAT MF (methylation fraction) + MD (methylated depth)
+        per allele, ref first (ComputeMethylationStats,
+        variant_calling_multisample.cc:1499-1560). A read is
+        methylated at the site when its 5mC probability there clears
+        methylation_calling_threshold; reverse-strand reads carry the
+        CpG mark one base right (on the G)."""
+        if not getattr(batch, "meth", None):
+            return
+        from deepvariant_tpu.io.bam import FLAG_REVERSE
+        from deepvariant_tpu.core.types import VariantCall
+
+        threshold = self.options.methylation_calling_threshold * 255.0
+
+        def is_methylated(read_idx: int, pos: int) -> bool:
+            meth = batch.meth[read_idx]
+            if meth is None:
+                return False
+            if batch.flag[read_idx] & FLAG_REVERSE:
+                pos += 1
+            off = _ref_to_read_offset(batch, read_idx, pos)
+            return off is not None and float(meth[off]) >= threshold
+
+        for candidate in candidates:
+            variant = candidate.variant
+            mf, md = [], []
+            groups = [list(candidate.ref_support)] + [
+                list(candidate.allele_support.get(alt, []))
+                for alt in variant.alternate_bases
+            ]
+            for ids in groups:
+                n_meth = sum(
+                    1 for rid in ids if is_methylated(rid, variant.start)
+                )
+                mf.append(n_meth / len(ids) if ids else 0.0)
+                md.append(n_meth)
+            if any(f > 0 for f in mf):
+                if not variant.calls:
+                    variant.calls.append(VariantCall())
+                variant.calls[0].info["MF"] = mf
+                variant.calls[0].info["MD"] = md
 
     def _add_phasing_to_candidates(
         self, dp, candidates, phases, region: Range
@@ -492,6 +539,9 @@ class RegionProcessor:
                 self.ref_reader,
             ))
 
+        if self.options.enable_methylation_calling and candidates:
+            self._add_methylation_stats(batch, candidates)
+
         if self.options.phase_reads and candidates:
             t0 = time.perf_counter()
             from deepvariant_tpu.phasing.direct_phasing import DirectPhasing
@@ -511,9 +561,19 @@ class RegionProcessor:
                     batch, region.start, region.end
                 )
                 if sites:
-                    phases, _ = perform_methylation_aware_phasing(
+                    phases, p_values = perform_methylation_aware_phasing(
                         len(batch), phases, sites
                     )
+                    # MI: Wilcoxon p-value on candidates at informative
+                    # sites (set_mi, make_examples_core.py:3078-3084).
+                    p_by_pos = {
+                        s.position: p
+                        for s, p in zip(sites, p_values) if p > 0
+                    }
+                    for candidate in candidates:
+                        p = p_by_pos.get(candidate.variant.start)
+                        if p is not None and candidate.variant.calls:
+                            candidate.variant.calls[0].info["MI"] = [p]
             batch.hp = np.asarray(phases, np.int8)
             self._add_phasing_to_candidates(
                 dp, candidates, phases, region
@@ -707,6 +767,27 @@ def load_candidate_positions(paths: Sequence[str]) -> np.ndarray:
     """Load per-shard sweep outputs (make_examples_core.py:3328)."""
     arrays = [np.fromfile(p, np.int32) for p in paths]
     return np.concatenate(arrays) if arrays else np.empty(0, np.int32)
+
+
+def _ref_to_read_offset(batch, read_idx: int, ref_pos: int):
+    """Read offset aligned to ref_pos via the CIGAR (M/=/X only)."""
+    co = batch.cigar_offsets
+    ops = batch.cigar_ops[co[read_idx] : co[read_idx + 1]]
+    lens = batch.cigar_lens[co[read_idx] : co[read_idx + 1]]
+    ref_i = int(batch.pos[read_idx])
+    read_i = 0
+    for op, op_len in zip(ops, lens):
+        op_len = int(op_len)
+        if op in (1, 8, 9):  # M/=/X
+            if ref_i <= ref_pos < ref_i + op_len:
+                return read_i + (ref_pos - ref_i)
+            ref_i += op_len
+            read_i += op_len
+        elif op in (2, 5):  # I/S
+            read_i += op_len
+        elif op in (3, 4):  # D/N
+            ref_i += op_len
+    return None
 
 
 def make_examples_runner(

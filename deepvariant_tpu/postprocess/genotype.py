@@ -176,6 +176,22 @@ def maybe_phase_genotype(
     return is_phased, genotype
 
 
+def determine_methylation_type(
+    mf_values, low_threshold: float = 0.2, high_threshold: float = 0.8
+) -> str:
+    """MT from MF values (variantcall_utils.py:461-486): '0/1' when one
+    allele is low and another high, '1/1' fully methylated, else '0/0'."""
+    if not mf_values:
+        return ""
+    below_low = any(mf <= low_threshold for mf in mf_values)
+    above_high = any(mf >= high_threshold for mf in mf_values)
+    if below_low and above_high:
+        return "0/1"
+    if above_high:
+        return "1/1"
+    return "0/0"
+
+
 def uncall_gt_if_no_ad(variant: Variant) -> None:
     call = only_call(variant)
     ad = call.info.get("AD", [])
@@ -209,6 +225,14 @@ def add_call_to_variant(
     gq, variant.quality = compute_quals(predictions, index)
     call.call_set_name = sample_name or call.call_set_name
     call.is_phased, genotype = maybe_phase_genotype(variant, genotype)
+    if any(float(f) > 0 for f in call.info.get("MF", [])):
+        # Methylation type from per-allele fractions
+        # (postprocess_variants.py:593-598, is_methylated :864).
+        call.info["MT"] = [
+            determine_methylation_type(
+                [float(f) for f in call.info["MF"]]
+            )
+        ]
     call.genotype = genotype
     call.info["GQ"] = [gq]
     call.genotype_likelihood = [

@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_preset", default="",
                    help="apply a model type's calling flags "
                         "(WGS/WES/PACBIO/ONT_R104/...)")
+    p.add_argument("--enable_methylation_calling",
+                   action="store_true",
+                   help="emit per-allele MF/MD methylation FORMAT "
+                        "stats from MM/ML tags")
+    p.add_argument("--methylation_calling_threshold", type=float,
+                   default=0.5)
     p.add_argument("--enable_methylation_aware_phasing",
                    action="store_true",
                    help="complete read phasing with 5mC Wilcoxon "
@@ -122,6 +128,10 @@ def options_from_args(args) -> MakeExamplesOptions:
         labeler_algorithm=args.labeler_algorithm,
         enable_methylation_aware_phasing=(
             args.enable_methylation_aware_phasing
+        ),
+        enable_methylation_calling=args.enable_methylation_calling,
+        methylation_calling_threshold=(
+            args.methylation_calling_threshold
         ),
     )
 
