@@ -46,6 +46,17 @@ class SampleSpec:
     reads_filename: str
     sample_name: str = ""
     pileup_height: int = 100
+    # Pangenome-panel semantics (make_examples_pangenome_aware_dv.py
+    # :239-264 SampleOptions): keep only haplotypes spanning the full
+    # example window; blank uninformative channels; optionally blank
+    # the whole plane for given variant types ("SNP"/"INDEL").
+    keep_only_window_spanning_reads: bool = False
+    channels_to_blank: Tuple[int, ...] = ()
+    variant_types_to_blank: Tuple[str, ...] = ()
+    # Contig-name prefix present in the calling regions but absent in
+    # this sample's BAM (SamReader chrom_prefix,
+    # make_examples_core.py:1618): "chr" maps chr20 -> 20.
+    chrom_prefix: str = ""
 
 
 def trio_samples(
@@ -63,6 +74,59 @@ def trio_samples(
         SampleSpec("parent2", reads_parent2, sample_name_parent2,
                    TRIO_HEIGHT_PARENT),
     ]
+
+
+def pangenome_samples(
+    reads: str, pangenome: str,
+    sample_name_reads: str = "reads",
+    sample_name_pangenome: str = "pangenome",
+    variant_types_to_blank: Sequence[str] = (),
+    keep_only_window_spanning_haplotypes: bool = True,
+) -> List[SampleSpec]:
+    """[pangenome, reads] with reads as the calling sample
+    (make_examples_pangenome_aware_dv.py:285-289 samples_in_order).
+
+    The pangenome panel is a set of haplotype alignments (BAM; the
+    reference also accepts GBZ graphs via a shared-memory loader —
+    convert with `vg paths -x pangenome.gbz --extract-gam | ...` or
+    equivalent; native GBZ parsing is not implemented). Haplotype rows
+    render with haplotype-tag / diff / base-quality / mapping-quality
+    channels blanked (:252-258 channels_enum_to_blank)."""
+    from deepvariant_tpu.make_examples.pileup import (
+        CH_BASE_QUALITY,
+        CH_HAPLOTYPE_TAG,
+        CH_MAPPING_QUALITY,
+    )
+
+    # Alt-aligned diff channels occupy enum slots 9/10; in plain
+    # channel pileups the blanking applies to whichever configured
+    # channels match.
+    blank = (CH_HAPLOTYPE_TAG, 9, 10, CH_BASE_QUALITY,
+             CH_MAPPING_QUALITY)
+    return [
+        SampleSpec(
+            "pangenome", pangenome, sample_name_pangenome, 100,
+            keep_only_window_spanning_reads=(
+                keep_only_window_spanning_haplotypes
+            ),
+            channels_to_blank=blank,
+            variant_types_to_blank=tuple(
+                v.upper() for v in variant_types_to_blank
+            ),
+        ),
+        SampleSpec("reads", reads, sample_name_reads, 100),
+    ]
+
+
+PANGENOME_MAIN_SAMPLE_INDEX = 1
+
+
+def _variant_type(variant: Variant) -> str:
+    if len(variant.reference_bases) == 1 and all(
+        len(a) == 1 for a in variant.alternate_bases
+    ):
+        return "SNP"
+    return "INDEL"
 
 
 def somatic_samples(
@@ -141,8 +205,18 @@ class MultiSampleRegionProcessor:
         runtimes: Dict[str, float] = {}
         t0 = time.perf_counter()
         batches: List[ReadBatch] = []
-        for reader in self.readers:
-            batches.append(self._downsample(reader.query(region)))
+        for reader, spec in zip(self.readers, self.samples):
+            sample_region = region
+            if spec.chrom_prefix and region.reference_name.startswith(
+                spec.chrom_prefix
+            ):
+                sample_region = Range(
+                    region.reference_name[len(spec.chrom_prefix):],
+                    region.start, region.end,
+                )
+            batches.append(
+                self._downsample(reader.query(sample_region))
+            )
         runtimes["get reads"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -223,9 +297,31 @@ class MultiSampleRegionProcessor:
                     batch, variant,
                     builder.pileup_options.read_overlap_buffer_bp,
                 )
-                planes.append(builder.encoder.build_pileup(
+                spec = self.samples[sample_i]
+                if spec.keep_only_window_spanning_reads and len(indices):
+                    image_start = variant.start - \
+                        builder.pileup_options.half_width
+                    image_end = image_start + \
+                        builder.pileup_options.width
+                    ends = batch.reference_ends()
+                    indices = [
+                        i for i in indices
+                        if batch.pos[i] <= image_start
+                        and ends[i] >= image_end
+                    ]
+                plane = builder.encoder.build_pileup(
                     call_for_sample, ref_window, batch, indices, combo
-                ))
+                )
+                if spec.variant_types_to_blank and \
+                        _variant_type(variant) in \
+                        spec.variant_types_to_blank:
+                    plane = np.zeros_like(plane)
+                elif spec.channels_to_blank:
+                    chans = builder.pileup_options.channels
+                    for ci, ch in enumerate(chans):
+                        if ch in spec.channels_to_blank:
+                            plane[:, :, ci] = 0
+                planes.append(plane)
             image = np.concatenate(planes, axis=0)
             indices_sorted = sorted(
                 alt_index[a] for a in combo if a in alt_index

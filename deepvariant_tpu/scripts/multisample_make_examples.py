@@ -58,6 +58,33 @@ def build_parser() -> argparse.ArgumentParser:
     somatic.add_argument("--reads_normal", required=True)
     somatic.add_argument("--sample_name_tumor", default="tumor")
     somatic.add_argument("--sample_name_normal", default="normal")
+
+    pangenome = sub.add_parser(
+        "pangenome",
+        help="pangenome-aware examples: haplotype panel stacked above "
+             "the sample reads (make_examples_pangenome_aware_dv.py)",
+    )
+    _common_args(pangenome)
+    pangenome.add_argument("--reads", required=True)
+    pangenome.add_argument(
+        "--pangenome", required=True,
+        help="haplotype-panel alignments (BAM). GBZ graphs must be "
+             "surjected to BAM first; native GBZ parsing is not "
+             "implemented.")
+    pangenome.add_argument("--sample_name_reads", default="reads")
+    pangenome.add_argument("--sample_name_pangenome",
+                           default="pangenome")
+    pangenome.add_argument(
+        "--variant_types_to_blank", default="",
+        help="comma-separated SNP,INDEL: blank the pangenome plane "
+             "for these variant types")
+    pangenome.add_argument(
+        "--keep_only_window_spanning_haplotypes",
+        action=argparse.BooleanOptionalAction, default=True)
+    pangenome.add_argument(
+        "--ref_chrom_prefix", default="",
+        help="contig prefix present in --ref but absent in the "
+             "pangenome panel (e.g. 'chr')")
     return p
 
 
@@ -72,7 +99,7 @@ def main(argv=None) -> int:
         main_index = TRIO_MAIN_SAMPLE_INDEX
         main_reads = args.reads_child
         sample_name = args.sample_name_child
-    else:
+    elif args.product == "somatic":
         samples = somatic_samples(
             args.reads_tumor, args.reads_normal,
             args.sample_name_tumor, args.sample_name_normal,
@@ -80,6 +107,26 @@ def main(argv=None) -> int:
         main_index = 1
         main_reads = args.reads_tumor
         sample_name = args.sample_name_tumor
+    else:
+        from deepvariant_tpu.make_examples.multisample import (
+            PANGENOME_MAIN_SAMPLE_INDEX,
+            pangenome_samples,
+        )
+
+        samples = pangenome_samples(
+            args.reads, args.pangenome,
+            args.sample_name_reads, args.sample_name_pangenome,
+            variant_types_to_blank=[
+                v for v in args.variant_types_to_blank.split(",") if v
+            ],
+            keep_only_window_spanning_haplotypes=(
+                args.keep_only_window_spanning_haplotypes
+            ),
+        )
+        samples[0].chrom_prefix = args.ref_chrom_prefix
+        main_index = PANGENOME_MAIN_SAMPLE_INDEX
+        main_reads = args.reads
+        sample_name = args.sample_name_reads
     options = MakeExamplesOptions(
         reads_filename=main_reads,
         ref_filename=args.ref,

@@ -68,3 +68,98 @@ def test_real_ceph_trio(testdata_dir, tmp_path):
                 sub = ex.image[band * 100:(band + 1) * 100]
                 assert sub.any(), f"sample band {band} empty"
             break
+
+
+class TestPangenomeAware:
+    """Pangenome-aware sample semantics
+    (make_examples_pangenome_aware_dv.py:207-289)."""
+
+    def test_sample_spec(self):
+        from deepvariant_tpu.make_examples.multisample import (
+            PANGENOME_MAIN_SAMPLE_INDEX,
+            pangenome_samples,
+        )
+        from deepvariant_tpu.make_examples.pileup import (
+            CH_BASE_QUALITY,
+            CH_HAPLOTYPE_TAG,
+            CH_MAPPING_QUALITY,
+        )
+
+        samples = pangenome_samples(
+            "reads.bam", "pangenome.bam",
+            variant_types_to_blank=["snp"],
+        )
+        assert [s.role for s in samples] == ["pangenome", "reads"]
+        assert PANGENOME_MAIN_SAMPLE_INDEX == 1
+        pangenome = samples[0]
+        assert pangenome.keep_only_window_spanning_reads
+        assert CH_HAPLOTYPE_TAG in pangenome.channels_to_blank
+        assert CH_BASE_QUALITY in pangenome.channels_to_blank
+        assert CH_MAPPING_QUALITY in pangenome.channels_to_blank
+        assert pangenome.variant_types_to_blank == ("SNP",)
+        assert not samples[1].channels_to_blank
+
+    def test_variant_type(self):
+        from deepvariant_tpu.core.types import Variant
+        from deepvariant_tpu.make_examples.multisample import (
+            _variant_type,
+        )
+
+        snp = Variant(reference_name="c", start=0, end=1,
+                      reference_bases="A", alternate_bases=["T"])
+        indel = Variant(reference_name="c", start=0, end=3,
+                        reference_bases="ACG", alternate_bases=["A"])
+        assert _variant_type(snp) == "SNP"
+        assert _variant_type(indel) == "INDEL"
+
+    @pytest.mark.integration
+    def test_stacked_examples_real(self, testdata_dir, tmp_path):
+        """Panel rows stack above read rows; panel bq/mapq blanked;
+        chrom_prefix maps chr20 -> 20 for the b37-named panel."""
+        import numpy as np
+
+        from deepvariant_tpu.io import examples as ec
+        from deepvariant_tpu.io.tfrecord import TFRecordReader
+        from deepvariant_tpu.make_examples.core import (
+            MakeExamplesOptions,
+        )
+        from deepvariant_tpu.make_examples.multisample import (
+            PANGENOME_MAIN_SAMPLE_INDEX,
+            make_multisample_examples_runner,
+            pangenome_samples,
+        )
+
+        samples = pangenome_samples(
+            os.path.join(
+                testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+            ),
+            os.path.join(
+                testdata_dir,
+                "input/HG002_NIST_150bp_downsampled_30x."
+                "chr20.10_10p1mb.bam",
+            ),
+            keep_only_window_spanning_haplotypes=False,
+        )
+        samples[0].chrom_prefix = "chr"
+        options = MakeExamplesOptions(
+            reads_filename=samples[1].reads_filename,
+            ref_filename=os.path.join(
+                testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+            ),
+            examples_filename=str(tmp_path / "pang.tfrecord"),
+            mode="calling",
+            regions=["chr20:10,000,000-10,003,000"],
+            realigner_enabled=False,
+        )
+        counts = make_multisample_examples_runner(
+            options, samples, PANGENOME_MAIN_SAMPLE_INDEX
+        )
+        assert counts["examples"] > 5
+        with TFRecordReader(str(tmp_path / "pang.tfrecord")) as r:
+            img = ec.parse_example(next(iter(r))).image
+        assert img.shape[0] == 200
+        top, bottom = img[:100], img[100:]
+        assert (top[5:, :, 0].sum(axis=1) > 0).sum() > 5
+        assert not top[:, :, 1].any()      # base_quality blanked
+        assert not top[:, :, 2].any()      # mapping_quality blanked
+        assert bottom[:, :, 1].any()
