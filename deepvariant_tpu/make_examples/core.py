@@ -795,6 +795,9 @@ def make_examples_runner(
     runtime_by_region_path: Optional[str] = None,
 ) -> Dict[str, int]:
     """Main per-shard loop (make_examples_core.py:3481). Returns counts."""
+    from deepvariant_tpu.utils.resources import ResourceMonitor
+
+    monitor = ResourceMonitor().start()
     processor = RegionProcessor(options)
     if options.mode == "training":
         from deepvariant_tpu.labeler.variant_labeler import make_labeler
@@ -838,6 +841,16 @@ def make_examples_runner(
         metrics_path = writer.examples_path + ".labeling_metrics.json"
         with open(metrics_path, "w") as f:
             json.dump(metrics.as_dict(), f, indent=2)
+    # Run-info sidecar with resource metrics
+    # (MakeExamplesRunInfo.resource_metrics, resources.proto).
+    if options.examples_filename:
+        run_info = {
+            "counts": counts,
+            "resource_metrics": monitor.metrics(),
+            "num_regions": len(regions),
+        }
+        with open(writer.examples_path + ".run_info.json", "w") as f:
+            json.dump(run_info, f, indent=2)
     return counts
 
 

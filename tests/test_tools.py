@@ -93,3 +93,61 @@ class TestRuntimeVis:
         write_runtime_report(str(tsv), out)
         html = open(out).read()
         assert "chr1:1-100" in html and "<svg" in html
+
+
+class TestResourceMonitor:
+    def test_metrics(self):
+        import time
+
+        from deepvariant_tpu.utils.resources import ResourceMonitor
+
+        with ResourceMonitor() as monitor:
+            time.sleep(0.02)
+            m = monitor.metrics()
+        assert m["wall_time_seconds"] >= 0.02
+        assert m["cpu_user_time_seconds"] >= 0
+        assert m["memory_peak_rss_mb"] > 0
+        assert m["host_name"]
+
+    def test_requires_start(self):
+        import pytest as _pytest
+
+        from deepvariant_tpu.utils.resources import ResourceMonitor
+
+        with _pytest.raises(RuntimeError):
+            ResourceMonitor().metrics()
+
+    def test_run_info_sidecar(self, tmp_path):
+        import json
+
+        import numpy as np
+
+        from deepvariant_tpu.make_examples.core import (
+            MakeExamplesOptions,
+            make_examples_runner,
+        )
+
+        # No reads/regions: zero-work run still writes run_info.
+        ref = tmp_path / "ref.fa"
+        ref.write_text(">c1\nACGTACGTACGTACGTACGT\n")
+        (tmp_path / "ref.fa.fai").write_text("c1\t20\t4\t20\t21\n")
+        import deepvariant_tpu.io.bam_writer as bw
+        from deepvariant_tpu.core.types import ContigInfo
+
+        bam = str(tmp_path / "r.bam")
+        with bw.BamWriter(bam, [ContigInfo("c1", 20, 0)]):
+            pass
+        bw.build_bam_index(bam)
+        options = MakeExamplesOptions(
+            reads_filename=bam,
+            ref_filename=str(ref),
+            examples_filename=str(tmp_path / "x.tfrecord"),
+            mode="calling",
+            realigner_enabled=False,
+        )
+        make_examples_runner(options)
+        with open(str(tmp_path / "x.tfrecord.run_info.json")) as f:
+            info = json.load(f)
+        assert "resource_metrics" in info
+        assert info["resource_metrics"]["wall_time_seconds"] > 0
+        assert info["counts"]["examples"] == 0
