@@ -605,6 +605,7 @@ class CramReader:
     """Random-access-free CRAM 3.0 reader (sequential container scan)."""
 
     def __init__(self, path: str, ref_reader=None):
+        self._path = path
         with open(path, "rb") as f:
             self._data = f.read()
         if self._data[:4] != CRAM_MAGIC:
@@ -654,9 +655,44 @@ class CramReader:
                 yield from self._decode_container(container)
             pos = nxt
 
+    def _load_crai(self):
+        """Parse the .crai (gzipped TSV: seq_id, start, span, container
+        file offset, slice header offset, slice size) once."""
+        if getattr(self, "_crai", None) is not None:
+            return self._crai
+        import gzip
+        import os
+
+        crai_path = self._path + ".crai"
+        entries = []
+        if os.path.exists(crai_path):
+            with gzip.open(crai_path, "rt") as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 6:
+                        entries.append(tuple(int(x) for x in parts[:6]))
+        self._crai = entries
+        return entries
+
     def query(self, region: Range) -> List[Read]:
+        """Reads overlapping region; random access via .crai when the
+        sidecar exists, else a full sequential scan."""
+        try:
+            ref_id = self.ref_names.index(region.reference_name)
+        except ValueError:
+            return []
+        crai = self._load_crai()
+        if crai:
+            offsets = sorted({
+                off for (sid, start, span, off, _so, _sl) in crai
+                if sid == ref_id and start - 1 < region.end
+                and start - 1 + span > region.start
+            })
+            source = self._iterate_containers_at(offsets)
+        else:
+            source = self.iterate()
         out = []
-        for read in self.iterate():
+        for read in source:
             if (
                 read.reference_name == region.reference_name
                 and read.position < region.end
@@ -664,6 +700,15 @@ class CramReader:
             ):
                 out.append(read)
         return out
+
+    def _iterate_containers_at(
+        self, offsets: Sequence[int]
+    ) -> Iterator[Read]:
+        data = self._data
+        for off in offsets:
+            container, _ = _read_container_header(data, off)
+            if container.n_records:
+                yield from self._decode_container(container)
 
     # -- container decode --------------------------------------------------
 

@@ -129,3 +129,28 @@ class TestBamParity:
         assert set(ck) == set(bk)
         for key in ck:
             assert ck[key] == bk[key], key
+
+
+@pytest.mark.integration
+def test_crai_random_access(testdata_dir):
+    """.crai-indexed query touches only overlapping containers and
+    agrees with a full scan."""
+    from deepvariant_tpu.io.fasta import FastaReader
+
+    ref = FastaReader(os.path.join(
+        testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+    ))
+    path = os.path.join(
+        testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.cram"
+    )
+    cram = CramReader(path, ref_reader=ref)
+    assert cram._load_crai(), "crai sidecar should parse"
+    region = Range("chr20", 10_050_000, 10_052_000)
+    via_crai = cram.query(region)
+    assert len(via_crai) > 100
+    # Same query with the index disabled.
+    cram2 = CramReader(path, ref_reader=ref)
+    cram2._crai = []
+    full = cram2.query(region)
+    keyfn = lambda r: (r.fragment_name, int(r.position))
+    assert sorted(map(keyfn, via_crai)) == sorted(map(keyfn, full))
