@@ -37,6 +37,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--allow_uninitialized_model", action="store_true")
     p.add_argument("--realign_reads",
                    action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--channel_list", default="",
+                   help="override the preset's pileup channel set")
+    p.add_argument("--enable_methylation_calling", action="store_true")
+    p.add_argument("--enable_methylation_aware_phasing",
+                   action="store_true")
+    p.add_argument("--use_multiallelic_model", action="store_true")
+    p.add_argument("--call_small_model_examples", action="store_true")
+    p.add_argument("--trained_small_model_path", default="")
     return p
 
 
@@ -86,6 +94,22 @@ def main(argv=None) -> int:
         me_argv += ["--regions", args.regions]
     if not args.realign_reads:
         me_argv += ["--no-realign_reads"]
+    if args.channel_list:
+        me_argv += ["--channel_list", args.channel_list]
+    if args.enable_methylation_calling:
+        me_argv += ["--enable_methylation_calling"]
+    if args.enable_methylation_aware_phasing:
+        me_argv += ["--enable_methylation_aware_phasing"]
+    small_model_cvo_spec = ""
+    if args.call_small_model_examples:
+        small_model_cvo_spec = os.path.join(
+            outdir, f"small_model_cvos.tfrecord@{n}.gz"
+        )
+        me_argv += ["--call_small_model_examples",
+                    "--small_model_cvo_records", small_model_cvo_spec]
+        if args.trained_small_model_path:
+            me_argv += ["--trained_small_model_path",
+                        args.trained_small_model_path]
     t0 = time.time()
     if n == 1:
         rc, out = _run_make_examples_shard((me_argv, 0))
@@ -133,6 +157,10 @@ def main(argv=None) -> int:
         "--outfile", args.output_vcf,
         "--sample_name", args.sample_name,
     ]
+    if args.use_multiallelic_model:
+        pp_argv += ["--use_multiallelic_model"]
+    if small_model_cvo_spec:
+        pp_argv += ["--small_model_cvo_records", small_model_cvo_spec]
     if args.output_gvcf:
         pp_argv += [
             "--nonvariant_site_tfrecord_path", gvcf_spec,
