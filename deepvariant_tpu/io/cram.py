@@ -231,6 +231,11 @@ def _rans_decode_1(buf: bytes, out_size: int) -> bytes:
 
 
 def rans_decode(buf: bytes) -> bytes:
+    from deepvariant_tpu.io.native import rans_decode_native
+
+    native = rans_decode_native(buf)
+    if native is not None:
+        return native
     order = buf[0]
     (comp_size, out_size) = struct.unpack_from("<II", buf, 1)
     payload = buf[9 : 9 + comp_size]

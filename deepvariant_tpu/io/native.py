@@ -34,6 +34,12 @@ def _load() -> ctypes.CDLL:
     lib.dv_bgzf_inflate_all.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
     ]
+    if hasattr(lib, "dv_rans_decode"):
+        lib.dv_rans_decode.restype = ctypes.c_int64
+        lib.dv_rans_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
     if hasattr(lib, "dv_fast_pass_align"):
         lib.dv_fast_pass_align.restype = ctypes.c_int
         lib.dv_fast_pass_align.argtypes = [
@@ -193,3 +199,21 @@ def bgzf_decompress_all(raw: bytes) -> bytes:
     if got != size:
         raise ValueError("BGZF inflate failed")
     return out.tobytes()
+
+
+def rans_decode_native(buf: bytes):
+    """CRAM rANS 4x8 block decode via dv_rans_decode; None if the
+    native library is unavailable or decode fails."""
+    import struct
+
+    lib = _LIB
+    if lib is None or not hasattr(lib, "dv_rans_decode"):
+        return None
+    if len(buf) < 9:
+        return None
+    (out_size,) = struct.unpack_from("<I", buf, 5)
+    out = ctypes.create_string_buffer(out_size or 1)
+    n = lib.dv_rans_decode(buf, len(buf), out, max(out_size, 1))
+    if n < 0:
+        return None
+    return out.raw[:n]

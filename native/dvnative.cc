@@ -561,3 +561,176 @@ extern "C" int dv_fast_pass_align(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// CRAM rANS 4x8 decoder (hts-specs CRAMv3 section 13): order-0 and
+// order-1, 12-bit normalized frequencies, 4 interleaved states.
+// Mirrors deepvariant_tpu/io/cram.py rans_decode (the Python fallback).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint32_t kTfShift = 12;
+constexpr uint32_t kTotFreq = 1u << kTfShift;
+constexpr uint32_t kRansLow = 1u << 23;
+
+// itf8 read; returns value, advances *pos. Bounds are the caller's duty.
+static inline int64_t rans_itf8(const uint8_t* buf, int64_t* pos) {
+  uint8_t b0 = buf[(*pos)++];
+  if (b0 < 0x80) return b0;
+  if (b0 < 0xC0) {
+    int64_t v = ((int64_t)(b0 & 0x7F) << 8) | buf[(*pos)];
+    *pos += 1;
+    return v;
+  }
+  if (b0 < 0xE0) {
+    int64_t v = ((int64_t)(b0 & 0x3F) << 16) | ((int64_t)buf[*pos] << 8) |
+                buf[*pos + 1];
+    *pos += 2;
+    return v;
+  }
+  if (b0 < 0xF0) {
+    int64_t v = ((int64_t)(b0 & 0x1F) << 24) | ((int64_t)buf[*pos] << 16) |
+                ((int64_t)buf[*pos + 1] << 8) | buf[*pos + 2];
+    *pos += 3;
+    return v;
+  }
+  int64_t v = ((int64_t)(b0 & 0x0F) << 28) | ((int64_t)buf[*pos] << 20) |
+              ((int64_t)buf[*pos + 1] << 12) |
+              ((int64_t)buf[*pos + 2] << 4) | (buf[*pos + 3] & 0x0F);
+  *pos += 4;
+  return v;
+}
+
+// Order-0 frequency table (RLE symbol list) -> freq/cum arrays.
+static void rans_read_freqs0(const uint8_t* buf, int64_t* pos,
+                             uint32_t freq[256], uint32_t cum[257]) {
+  for (int i = 0; i < 256; ++i) freq[i] = 0;
+  int sym = buf[(*pos)++];
+  int last = sym;
+  int rle = 0;
+  for (;;) {
+    freq[sym] = (uint32_t)rans_itf8(buf, pos);
+    if (rle > 0) {
+      --rle;
+      ++sym;
+    } else {
+      sym = buf[(*pos)++];
+      if (sym == last + 1) rle = buf[(*pos)++];
+      last = sym;
+    }
+    if (sym == 0 && rle == 0) break;
+  }
+  cum[0] = 0;
+  for (int i = 0; i < 256; ++i) cum[i + 1] = cum[i] + freq[i];
+}
+
+}  // namespace
+
+// Decode one rANS 4x8 block (starting at the order byte). Returns the
+// number of output bytes, or -1 on error. out must hold the block's
+// declared uncompressed size.
+extern "C" int64_t dv_rans_decode(const uint8_t* buf, int64_t buf_len,
+                                  uint8_t* out, int64_t out_cap) {
+  if (buf_len < 9) return -1;
+  int order = buf[0];
+  uint32_t comp_size, out_size;
+  memcpy(&comp_size, buf + 1, 4);
+  memcpy(&out_size, buf + 5, 4);
+  if (out_size == 0) return 0;
+  if ((int64_t)out_size > out_cap) return -1;
+  const uint8_t* p = buf + 9;
+  int64_t n = comp_size;
+  if (9 + n > buf_len) n = buf_len - 9;
+  int64_t pos = 0;
+
+  if (order == 0) {
+    uint32_t freq[256], cum[257];
+    rans_read_freqs0(p, &pos, freq, cum);
+    static thread_local uint8_t lookup0[kTotFreq];
+    for (int s = 0; s < 256; ++s)
+      for (uint32_t k = cum[s]; k < cum[s + 1] && k < kTotFreq; ++k)
+        lookup0[k] = (uint8_t)s;
+    uint32_t st[4];
+    memcpy(st, p + pos, 16);
+    pos += 16;
+    for (uint32_t i = 0; i < out_size; ++i) {
+      int j = i & 3;
+      uint32_t x = st[j];
+      uint32_t slot = x & (kTotFreq - 1);
+      uint8_t s = lookup0[slot];
+      out[i] = s;
+      x = freq[s] * (x >> kTfShift) + slot - cum[s];
+      while (x < kRansLow && pos < n) x = (x << 8) | p[pos++];
+      st[j] = x;
+    }
+    return out_size;
+  }
+
+  if (order == 1) {
+    // Per-context tables; heap-allocate the 256x4096 lookup.
+    static thread_local uint32_t freq[256][256];
+    static thread_local uint32_t cum[256][257];
+    static thread_local uint8_t lookup[256][kTotFreq];
+    for (int c = 0; c < 256; ++c) {
+      for (int s = 0; s < 256; ++s) freq[c][s] = 0;
+    }
+    int ctx = p[pos++];
+    int last_ctx = ctx;
+    int rle_ctx = 0;
+    for (;;) {
+      rans_read_freqs0(p, &pos, freq[ctx], cum[ctx]);
+      for (int s = 0; s < 256; ++s)
+        for (uint32_t k = cum[ctx][s];
+             k < cum[ctx][s + 1] && k < kTotFreq; ++k)
+          lookup[ctx][k] = (uint8_t)s;
+      if (rle_ctx > 0) {
+        --rle_ctx;
+        ++ctx;
+      } else {
+        ctx = p[pos++];
+        if (ctx == last_ctx + 1) rle_ctx = p[pos++];
+        last_ctx = ctx;
+      }
+      if (ctx == 0 && rle_ctx == 0) break;
+    }
+    uint32_t st[4];
+    memcpy(st, p + pos, 16);
+    pos += 16;
+    int64_t q = out_size >> 2;
+    int64_t idx[4] = {0, q, 2 * q, 3 * q};
+    int64_t end[4] = {q, 2 * q, 3 * q, (int64_t)out_size};
+    int ctxs[4] = {0, 0, 0, 0};
+    for (int64_t step = 0; step < q; ++step) {
+      for (int j = 0; j < 4; ++j) {
+        int64_t i = idx[j];
+        if (i >= end[j]) continue;
+        uint32_t x = st[j];
+        int c = ctxs[j];
+        uint32_t slot = x & (kTotFreq - 1);
+        uint8_t s = lookup[c][slot];
+        out[i] = s;
+        x = freq[c][s] * (x >> kTfShift) + slot - cum[c][s];
+        while (x < kRansLow && pos < n) x = (x << 8) | p[pos++];
+        st[j] = x;
+        ctxs[j] = s;
+        idx[j] = i + 1;
+      }
+    }
+    while (idx[3] < end[3]) {
+      int64_t i = idx[3];
+      uint32_t x = st[3];
+      int c = ctxs[3];
+      uint32_t slot = x & (kTotFreq - 1);
+      uint8_t s = lookup[c][slot];
+      out[i] = s;
+      x = freq[c][s] * (x >> kTfShift) + slot - cum[c][s];
+      while (x < kRansLow && pos < n) x = (x << 8) | p[pos++];
+      st[3] = x;
+      ctxs[3] = s;
+      idx[3] = i + 1;
+    }
+    return out_size;
+  }
+  return -1;
+}

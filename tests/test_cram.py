@@ -154,3 +154,55 @@ def test_crai_random_access(testdata_dir):
     full = cram2.query(region)
     keyfn = lambda r: (r.fragment_name, int(r.position))
     assert sorted(map(keyfn, via_crai)) == sorted(map(keyfn, full))
+
+
+def test_native_rans_matches_python():
+    """dv_rans_decode agrees with the pure-Python decoder on real
+    blocks from the test CRAM."""
+    import struct
+
+    from deepvariant_tpu.io import cram as cram_mod
+    from deepvariant_tpu.io.native import rans_decode_native
+
+    if rans_decode_native(b"\x00" + b"\x00" * 8) is None:
+        pytest.skip("native library unavailable")
+    path = f"{NUCLEUS_TD}/test_cram.embed_ref_1_version_3.0.cram"
+    data = open(path, "rb").read()
+    pos = 26
+    checked = 0
+    while pos + 4 <= len(data):
+        (length,) = struct.unpack_from("<i", data, pos)
+        p2 = pos + 4
+        for _ in range(4):
+            _, p2 = cram_mod.read_itf8(data, p2)
+        _, p2 = cram_mod.read_ltf8(data, p2)
+        _, p2 = cram_mod.read_ltf8(data, p2)
+        _, p2 = cram_mod.read_itf8(data, p2)
+        nl, p2 = cram_mod.read_itf8(data, p2)
+        for _ in range(nl):
+            _, p2 = cram_mod.read_itf8(data, p2)
+        p2 += 4
+        body = data[p2 : p2 + length]
+        bpos = 0
+        while bpos < len(body):
+            method = body[bpos]
+            q = bpos + 2
+            _cid, q = cram_mod.read_itf8(body, q)
+            csize, q = cram_mod.read_itf8(body, q)
+            _rsize, q = cram_mod.read_itf8(body, q)
+            if method == 4:
+                blob = body[q : q + csize]
+                order = blob[0]
+                comp = struct.unpack_from("<I", blob, 1)[0]
+                outn = struct.unpack_from("<I", blob, 5)[0]
+                py_fn = (cram_mod._rans_decode_0 if order == 0
+                         else cram_mod._rans_decode_1)
+                assert rans_decode_native(blob) == py_fn(
+                    blob[9 : 9 + comp], outn
+                )
+                checked += 1
+            bpos = q + csize + 4
+        pos = p2 + length
+        if length == 15 or checked > 10:
+            break
+    assert checked >= 1
