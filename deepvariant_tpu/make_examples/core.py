@@ -89,6 +89,9 @@ class MakeExamplesOptions:
     # ComputeMethylationStats, variant_calling_multisample.cc:1499).
     enable_methylation_calling: bool = False
     methylation_calling_threshold: float = 0.5
+    # Left-align per-read indels before allele counting
+    # (--normalize_reads, allelecounter.cc NormalizeAndAdd).
+    normalize_reads: bool = False
     sort_by_haplotypes: bool = False
     track_ref_reads: bool = False
     min_mapping_quality: int = 5
@@ -394,6 +397,14 @@ class RegionProcessor:
         self, region: Range, batch: ReadBatch, include_gvcfs: bool
     ) -> Tuple[List[DeepVariantCall], List[Variant], AlleleCounter]:
         counter = self._allele_counter(region)
+        if self.options.normalize_reads and len(batch):
+            from deepvariant_tpu.make_examples.normalize import (
+                normalize_batch_cigars,
+            )
+
+            normalize_batch_cigars(
+                batch, counter.ref, region.start
+            )
         counter.add_batch(batch)
         candidates = self.caller.calls_in_region(counter)
         gvcfs = list(self.caller.make_gvcfs(

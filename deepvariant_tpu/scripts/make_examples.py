@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_preset", default="",
                    help="apply a model type's calling flags "
                         "(WGS/WES/PACBIO/ONT_R104/...)")
+    p.add_argument("--normalize_reads", action="store_true",
+                   help="left-align per-read indels before allele "
+                        "counting")
     p.add_argument("--enable_methylation_calling",
                    action="store_true",
                    help="emit per-allele MF/MD methylation FORMAT "
@@ -129,6 +132,7 @@ def options_from_args(args) -> MakeExamplesOptions:
         enable_methylation_aware_phasing=(
             args.enable_methylation_aware_phasing
         ),
+        normalize_reads=args.normalize_reads,
         enable_methylation_calling=args.enable_methylation_calling,
         methylation_calling_threshold=(
             args.methylation_calling_threshold
