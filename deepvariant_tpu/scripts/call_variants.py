@@ -9,6 +9,7 @@ deepvariant_tpu.training (or a fresh-init model for smoke runs with
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import jax.numpy as jnp
@@ -28,6 +29,26 @@ def load_variables_for_examples(checkpoint: str, examples_path: str,
         from deepvariant_tpu.training import train as train_lib
         from deepvariant_tpu.training.config import TrainConfig
 
+        # Data-contract check (check_example_info,
+        # call_variants.py:490): fail with a clear message instead of
+        # a flax shape error when the checkpoint's channel set differs
+        # from the examples'.
+        ckpt_info_path = os.path.join(
+            os.path.dirname(checkpoint), "example_info.json"
+        )
+        if os.path.exists(ckpt_info_path):
+            import json
+
+            with open(ckpt_info_path) as f:
+                ckpt_info = json.load(f)
+            if list(ckpt_info.get("shape", [])) and                     list(ckpt_info["shape"]) != list(info["shape"]):
+                raise SystemExit(
+                    "example shape mismatch: checkpoint was trained "
+                    f"on {ckpt_info['shape']} "
+                    f"(channels {ckpt_info.get('channels')}), examples "
+                    f"are {info['shape']} "
+                    f"(channels {info.get('channels')})"
+                )
         tx, _ = train_lib.make_optimizer(TrainConfig(), 100)
         state = train_lib.init_state(model, variables, tx)
         state = train_lib.load_checkpoint(checkpoint, state)
