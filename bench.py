@@ -99,10 +99,9 @@ def main():
     best_dt = float("inf")
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(BENCH_STEPS):
-            out = fused(*args)
-        out.block_until_ready()
+        outs = [fused(*args) for _ in range(BENCH_STEPS)]
+        for out in outs:
+            out.block_until_ready()
         best_dt = min(best_dt, time.perf_counter() - t0)
     rate = BENCH_STEPS * BATCH / best_dt
 
