@@ -64,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--examples", required=True)
     p.add_argument("--outfile", required=True)
     p.add_argument("--checkpoint", default="")
-    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=2048)
     p.add_argument("--use_ema", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--allow_uninitialized_model", action="store_true",

@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--regions", default=None)
     p.add_argument("--sample_name", default="default")
     p.add_argument("--intermediate_results_dir", default="")
-    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=2048)
     p.add_argument("--allow_uninitialized_model", action="store_true")
     p.add_argument("--realign_reads",
                    action=argparse.BooleanOptionalAction, default=True)
