@@ -274,7 +274,8 @@ class HaplotypeMatch:
     """(:968-1107)."""
 
     def __init__(self, haplotypes, candidates, candidate_genotypes,
-                 truths, truth_genotypes):
+                 truths, truth_genotypes, truth_mod_penalties=None,
+                 is_soft_label=False, candidate_probabilities=None):
         if len(haplotypes) not in {1, 2}:
             raise ValueError("Expected 1 or 2 haplotypes")
         self.haplotypes = sorted(haplotypes)
@@ -282,6 +283,16 @@ class HaplotypeMatch:
         self.truths = truths
         self.candidate_genotypes = candidate_genotypes
         self.truth_genotypes = truth_genotypes
+        # Soft-labeling extras (soft_labeler.py:988-1025): penalty per
+        # truth for allele modifications, and per-candidate
+        # (HomRef, Het, HomAlt) probability tuples.
+        self.truth_mod_penalties = (
+            truth_mod_penalties
+            if truth_mod_penalties is not None
+            else [0.0] * len(truths)
+        )
+        self.is_soft_label = is_soft_label
+        self.candidate_probabilities = candidate_probabilities
 
     @property
     def original_truth_genotypes(self):

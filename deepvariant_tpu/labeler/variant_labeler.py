@@ -187,6 +187,12 @@ def make_labeler(options, ref_reader):
                 "customized_classes_labeler_info_field_name", "type",
             ),
         )
+    if options.labeler_algorithm == "soft_labeler":
+        from deepvariant_tpu.labeler.soft_labeler import SoftLabeler
+
+        if confident is None:
+            return PositionalVariantLabeler(truth, confident)
+        return SoftLabeler(truth, ref_reader, confident)
     if options.labeler_algorithm == "combined_labeler":
         from deepvariant_tpu.labeler.combined_labeler import (
             CombinedLabeler,

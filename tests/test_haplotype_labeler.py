@@ -449,3 +449,80 @@ class TestCombinedLabeler:
         src = inspect.getsource(make_labeler)
         assert "combined_labeler" in src
         assert CombinedLabeler is not None
+
+
+class TestSoftLabeler:
+    def test_modify_truth_variant_insertion(self):
+        from deepvariant_tpu.labeler.soft_labeler import (
+            modify_truth_variant,
+        )
+
+        ref = hl.ReferenceRegion("ACGTACGTACGT", 0)
+        tv = variant(2, "G", ["GTT"], gt=(0, 1))
+        mods = list(modify_truth_variant(tv, ref))
+        # -2 removes too much (len 3 alt, -2 leaves 1 = "G" ok?
+        # allele[:-2] = "G" -> len 1 > 0 so allowed), -1, +1, +2.
+        assert len(mods) == 4
+        penalties = sorted(p for _, p in mods)
+        assert penalties == [0.1, 0.1, 0.2, 0.2]
+        alleles = sorted(m.alternate_bases[0] for m, _ in mods)
+        assert alleles == ["G", "GT", "GTTT", "GTTTT"]
+
+    def test_modify_truth_variant_deletion(self):
+        from deepvariant_tpu.labeler.soft_labeler import (
+            modify_truth_variant,
+        )
+
+        ref = hl.ReferenceRegion("ACGTACGTACGT", 0)
+        tv = variant(2, "GTA", ["G"], gt=(0, 1))
+        mods = list(modify_truth_variant(tv, ref))
+        refs = sorted(m.reference_bases for m, _ in mods)
+        # +1/+2 trim the ref (+2 degenerates to ref == alt, which the
+        # reference guard permits); -1/-2 extend with reference bases.
+        assert refs == ["G", "GT", "GTAC", "GTACG"]
+
+    def test_snp_not_modified(self):
+        from deepvariant_tpu.labeler.soft_labeler import (
+            modify_truth_variant,
+        )
+
+        ref = hl.ReferenceRegion("ACGTACGT", 0)
+        assert list(modify_truth_variant(
+            variant(2, "G", ["C"], gt=(0, 1)), ref
+        )) == []
+
+    def test_exact_match_still_labels(self):
+        from deepvariant_tpu.labeler.soft_labeler import SoftLabeler
+
+        truth = variant(5, "C", ["A"], gt=(0, 1))
+        ref = FakeRef("ACGTACGTACGTACGTACGT", 0)
+        labeler = SoftLabeler(
+            FakeTruth([truth]), ref,
+            RangeSet([Range(CHROM, 0, 20)]),
+        )
+        labels = list(labeler.label_variants(
+            [variant(5, "C", ["A"])], Range(CHROM, 0, 20)
+        ))
+        assert len(labels) >= 1
+        assert all(tuple(l.genotype) == (0, 1) for l in labels)
+
+    def test_near_indel_truth_matches_with_penalty(self):
+        """Candidate 2bp insertion vs truth 3bp insertion: hard
+        haplotype labeling calls it hom-ref; soft labeling finds the
+        modified-truth match."""
+        from deepvariant_tpu.labeler.soft_labeler import (
+            find_all_matching_haplotypes,
+        )
+
+        ref = hl.ReferenceRegion("ACGTACGTACGT", 0)
+        truth = variant(2, "G", ["GTTT"], gt=(1, 1))
+        cand = variant(2, "G", ["GTT"])
+        hard = hl.find_best_matching_haplotypes([cand], [truth], ref)
+        assert tuple(hard.candidate_genotypes[0]) == (0, 0)
+        matches = find_all_matching_haplotypes([cand], [truth], ref)
+        best = matches[0]
+        assert best.is_soft_label
+        assert tuple(best.candidate_genotypes[0]) == (1, 1)
+        assert best.truth_mod_penalties == [0.1]
+        # Non-ambiguous candidate keeps a hard one-hot label.
+        assert best.candidate_probabilities[0] == (0.0, 0.0, 1.0)
