@@ -118,6 +118,10 @@ class MakeExamplesOptions:
     small_model_indel_gq_threshold: float = 30.0
     small_model_vaf_context_window_size: int = 0
     small_model_cvo_filename: str = ""
+    # Training-mode small-model feature rows
+    # (--write_small_model_examples, make_examples_core.py:2015-2050).
+    write_small_model_examples: bool = False
+    small_model_examples_filename: str = ""
     # Training mode.
     truth_variants_filename: str = ""
     confident_regions_filename: str = ""
@@ -231,6 +235,9 @@ class RegionOutputs:
     gvcfs: List[Variant]
     runtimes: Dict[str, float]
     small_model_cvos: List = dataclasses.field(default_factory=list)
+    small_model_examples: List[bytes] = dataclasses.field(
+        default_factory=list
+    )
 
 
 class RegionProcessor:
@@ -286,6 +293,18 @@ class RegionProcessor:
         self.labeler = None  # set in training mode by the runner
         self.small_model_caller = None
         self.small_model_factory = None
+        if options.write_small_model_examples and \
+                not options.call_small_model_examples:
+            from deepvariant_tpu.small_model.features import (
+                SmallModelExampleFactory,
+            )
+
+            self.small_model_factory = SmallModelExampleFactory(
+                vaf_context_window_size=(
+                    options.small_model_vaf_context_window_size
+                ),
+                expand_by_haplotype=options.phase_reads,
+            )
         if options.call_small_model_examples:
             from deepvariant_tpu.small_model.features import (
                 SmallModelExampleFactory,
@@ -305,12 +324,31 @@ class RegionProcessor:
                 self.small_model_factory.model_feature_names()
             )
             model, variables = create_small_model(n_features)
+            feature_mean = feature_scale = None
             if options.trained_small_model_path:
                 from flax import serialization
 
                 with open(options.trained_small_model_path, "rb") as f:
+                    blob = f.read()
+                try:
+                    # small_model.train bundle: params + normalization.
+                    import numpy as _np
+
+                    bundle = serialization.from_bytes(
+                        {
+                            "params": variables,
+                            "mean": _np.zeros(n_features),
+                            "scale": _np.ones(n_features),
+                        },
+                        blob,
+                    )
+                    variables = bundle["params"]
+                    feature_mean = _np.asarray(bundle["mean"])
+                    feature_scale = _np.asarray(bundle["scale"])
+                except Exception:
+                    # Raw variables (legacy checkpoints).
                     variables = serialization.from_bytes(
-                        variables, f.read()
+                        variables, blob
                     )
             self.small_model_caller = SmallModelVariantCaller(
                 model, variables,
@@ -319,6 +357,8 @@ class RegionProcessor:
                     options.small_model_indel_gq_threshold
                 ),
             )
+            self.small_model_caller.feature_mean = feature_mean
+            self.small_model_caller.feature_scale = feature_scale
         self.population_vcf_readers = None
         if options.population_vcf_filenames:
             from deepvariant_tpu.make_examples.allele_frequency import (
@@ -640,6 +680,37 @@ class RegionProcessor:
             ))
             labels_by_index = dict(enumerate(labels))
 
+        # Small-model training rows from labeled candidates
+        # (write_small_model_examples_in_region, :2015-2050).
+        small_model_examples: List[bytes] = []
+        if (self.options.write_small_model_examples
+                and labels_by_index and self.small_model_factory):
+            from deepvariant_tpu.small_model.train import (
+                encode_training_example,
+            )
+
+            for idx, dv_call in enumerate(candidates):
+                label = labels_by_index.get(idx)
+                if label is None or not label.is_confident:
+                    continue
+                for alt_indices in self.small_model_factory \
+                        .alt_index_sets(dv_call):
+                    row = self.small_model_factory.encode(
+                        dv_call, alt_indices, batch
+                    )
+                    small_model_examples.append(
+                        encode_training_example(
+                            [int(v) for v in row],
+                            label.label_for_alt_alleles(
+                                list(alt_indices)
+                            ),
+                            ids=[
+                                dv_call.variant.reference_name,
+                                str(dv_call.variant.start),
+                            ],
+                        )
+                    )
+
         t0 = time.perf_counter()
         examples: List[bytes] = []
         for idx, dv_call in enumerate(candidates):
@@ -662,7 +733,8 @@ class RegionProcessor:
                 examples.append(built.encoded)
         runtimes["make pileup images"] = time.perf_counter() - t0
         return RegionOutputs(region, candidates, examples, gvcfs,
-                             runtimes, small_model_cvos)
+                             runtimes, small_model_cvos,
+                             small_model_examples)
 
 
 class OutputsWriter:
@@ -684,6 +756,12 @@ class OutputsWriter:
             self._writers["gvcfs"] = TFRecordWriter(
                 maybe_sharded_output_path(options.gvcf_filename, task)
             )
+        if options.small_model_examples_filename:
+            self._writers["small_model_examples"] = TFRecordWriter(
+                maybe_sharded_output_path(
+                    options.small_model_examples_filename, task
+                )
+            )
         if options.small_model_cvo_filename:
             self._writers["small_model_cvos"] = TFRecordWriter(
                 maybe_sharded_output_path(
@@ -692,7 +770,7 @@ class OutputsWriter:
             )
         self.counts = {name: 0 for name in
                        ("examples", "candidates", "gvcfs",
-                        "small_model_cvos")}
+                        "small_model_cvos", "small_model_examples")}
 
     def write_examples(self, *encoded: bytes):
         writer = self._writers.get("examples")
@@ -714,6 +792,13 @@ class OutputsWriter:
             for v in gvcfs:
                 writer.write(v.encode())
                 self.counts["gvcfs"] += 1
+
+    def write_small_model_examples(self, *examples):
+        writer = self._writers.get("small_model_examples")
+        if writer:
+            for buf in examples:
+                writer.write(buf)
+                self.counts["small_model_examples"] += 1
 
     def write_small_model_cvos(self, *cvos):
         writer = self._writers.get("small_model_cvos")
@@ -831,6 +916,9 @@ def make_examples_runner(
             writer.write_candidates(*outputs.candidates)
             writer.write_gvcfs(*outputs.gvcfs)
             writer.write_small_model_cvos(*outputs.small_model_cvos)
+            writer.write_small_model_examples(
+                *outputs.small_model_examples
+            )
             if runtime_by_region_path:
                 runtime_rows.append((outputs.region, outputs.runtimes))
         counts = dict(writer.counts)

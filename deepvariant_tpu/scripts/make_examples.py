@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=30.0)
     p.add_argument("--small_model_cvo_records", default="",
                    help="output TFRecord for small-model CVOs")
+    p.add_argument("--write_small_model_examples", action="store_true",
+                   help="training mode: emit small-model feature rows")
+    p.add_argument("--small_model_examples", default="",
+                   help="output TFRecord for small-model training rows")
     p.add_argument("--population_vcfs", default="",
                    help="space-separated population VCFs with AF INFO "
                         "for the allele_frequency channel")
@@ -122,6 +126,8 @@ def options_from_args(args) -> MakeExamplesOptions:
             args.small_model_indel_gq_threshold
         ),
         small_model_cvo_filename=args.small_model_cvo_records,
+        write_small_model_examples=args.write_small_model_examples,
+        small_model_examples_filename=args.small_model_examples,
         population_vcf_filenames=(
             args.population_vcfs.split() if args.population_vcfs else None
         ),

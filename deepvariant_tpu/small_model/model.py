@@ -116,12 +116,20 @@ class SmallModelVariantCaller:
     ):
         self.model = model
         self.variables = variables
+        # Optional feature normalization from a trained bundle
+        # (small_model.train writes mean/scale alongside params).
+        self.feature_mean = None
+        self.feature_scale = None
         self.snp_gq_threshold = snp_gq_threshold
         self.indel_gq_threshold = indel_gq_threshold
         self.batch_size = batch_size
         self.emit_all_candidates = emit_all_candidates
 
     def classify(self, examples: np.ndarray) -> np.ndarray:
+        if self.feature_mean is not None:
+            examples = (
+                (examples - self.feature_mean) / self.feature_scale
+            ).astype(np.float32)
         out = []
         for i in range(0, len(examples), self.batch_size):
             out.append(numpy_mlp_forward(

@@ -122,3 +122,84 @@ class TestGate:
         assert len(result.cvos) == 1
         assert result.filtered_indices == [0]
         assert abs(sum(result.cvos[0].genotype_probabilities) - 1) < 1e-9
+
+
+class TestSmallModelTraining:
+    def _write_rows(self, path, n=120, n_features=10, seed=0):
+        from deepvariant_tpu.io.tfrecord import TFRecordWriter
+        from deepvariant_tpu.small_model.train import (
+            encode_training_example,
+        )
+
+        rng = np.random.RandomState(seed)
+        with TFRecordWriter(path) as w:
+            for _ in range(n):
+                label = rng.randint(0, 3)
+                # Separable features: mean tracks the label.
+                feats = rng.randint(0, 20, n_features) + label * 40
+                w.write(encode_training_example(
+                    [int(f) for f in feats], int(label), ids=["c", "1"]
+                ))
+
+    def test_codec_roundtrip(self):
+        from deepvariant_tpu.small_model.train import (
+            decode_training_example,
+            encode_training_example,
+        )
+
+        buf = encode_training_example([1, 2, 3], 2, ids=["chr1", "5"])
+        x, y = decode_training_example(buf)
+        np.testing.assert_array_equal(x, [1, 2, 3])
+        assert y == 2
+
+    def test_train_learns_separable_data(self, tmp_path):
+        from deepvariant_tpu.small_model.train import (
+            get_config,
+            train_small_model,
+        )
+
+        rows = str(tmp_path / "rows.tfrecord")
+        self._write_rows(rows)
+        metrics = train_small_model(
+            rows, str(tmp_path / "out"), get_config("test"),
+        )
+        assert metrics["train_accuracy"] > 0.9
+        assert (tmp_path / "out" / "small_model.msgpack").exists()
+        assert (tmp_path / "out" / "small_model.json").exists()
+
+    def test_trained_bundle_loads_into_gate(self, tmp_path):
+        import flax.serialization as serialization
+
+        from deepvariant_tpu.small_model.model import (
+            SmallModelMLP,
+            SmallModelVariantCaller,
+            create_small_model,
+        )
+        from deepvariant_tpu.small_model.train import (
+            get_config,
+            train_small_model,
+        )
+
+        rows = str(tmp_path / "rows.tfrecord")
+        self._write_rows(rows)
+        train_small_model(rows, str(tmp_path / "out"),
+                          get_config("test"))
+        model, variables = create_small_model(
+            10, hidden_layer_sizes=(32, 32)
+        )
+        with open(str(tmp_path / "out" / "small_model.msgpack"),
+                  "rb") as f:
+            bundle = serialization.from_bytes(
+                {"params": variables,
+                 "mean": np.zeros(10), "scale": np.ones(10)},
+                f.read(),
+            )
+        caller = SmallModelVariantCaller(model, bundle["params"])
+        caller.feature_mean = np.asarray(bundle["mean"])
+        caller.feature_scale = np.asarray(bundle["scale"])
+        rng = np.random.RandomState(1)
+        x = (rng.randint(0, 20, (8, 10)) + 2 * 40).astype(np.float32)
+        probs = caller.classify(x)
+        assert probs.shape == (8, 3)
+        # Class-2-like rows classify as class 2.
+        assert (np.argmax(probs, axis=1) == 2).mean() > 0.8
