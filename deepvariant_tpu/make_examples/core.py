@@ -128,6 +128,86 @@ class MakeExamplesOptions:
     labeler_algorithm: str = "haplotype_labeler"
 
 
+# Common problematic human decoy/unplaced contigs skipped by default
+# (reference exclude_contigs.py EXCLUDED_HUMAN_CONTIGS: standard
+# hs37d5 / GRCh38 accession names).
+EXCLUDED_HUMAN_CONTIGS = [
+    "GL000207.1", "GL000226.1", "GL000229.1", "GL000231.1",
+    "GL000210.1", "GL000239.1", "GL000235.1", "GL000201.1",
+    "GL000247.1", "GL000245.1", "GL000197.1", "GL000203.1",
+    "GL000246.1", "GL000249.1", "GL000196.1", "GL000248.1",
+    "GL000244.1", "GL000238.1", "GL000202.1", "GL000234.1",
+    "GL000232.1", "GL000206.1", "GL000240.1", "GL000236.1",
+    "GL000241.1", "GL000243.1", "GL000242.1", "GL000230.1",
+    "GL000237.1", "GL000233.1", "GL000204.1", "GL000198.1",
+    "GL000208.1", "GL000191.1", "GL000227.1", "GL000228.1",
+    "GL000214.1", "GL000221.1", "GL000209.1", "GL000218.1",
+    "GL000220.1", "GL000213.1", "GL000211.1", "GL000199.1",
+    "GL000217.1", "GL000216.1", "GL000215.1", "GL000205.1",
+    "GL000219.1", "GL000224.1", "GL000223.1", "GL000195.1",
+    "GL000212.1", "GL000222.1", "GL000200.1", "GL000193.1",
+    "GL000194.1", "GL000225.1", "GL000192.1", "NC_007605",
+    "hs37d5", "chrEBV",
+]
+
+
+def common_contigs(contigs_list):
+    """Contigs present (same name + length) in every list
+    (make_examples_core.py:584-620)."""
+    if not contigs_list:
+        return []
+    common = list(contigs_list[0])
+    for other in contigs_list[1:]:
+        by_name = {c.name: c for c in other}
+        common = [
+            c for c in common
+            if c.name in by_name and by_name[c.name].n_bases == c.n_bases
+        ]
+    return common
+
+
+def ensure_consistent_contigs(
+    ref_contigs,
+    sam_contigs,
+    vcf_contig_names=None,
+    exclude_contig_names=EXCLUDED_HUMAN_CONTIGS,
+    min_coverage_fraction: float = 0.9,
+):
+    """Common contigs across inputs with an overlap sanity check
+    (_ensure_consistent_contigs, make_examples_core.py:540-581;
+    min_shared_contigs_basepairs default 0.9). Catches ref/BAM
+    mismatches like chr-prefix differences early, with a readable
+    error instead of an empty run."""
+    if exclude_contig_names:
+        excluded = set(exclude_contig_names)
+        ref_contigs = [
+            c for c in ref_contigs if c.name not in excluded
+        ]
+    contigs = common_contigs([ref_contigs, list(sam_contigs)])
+    if vcf_contig_names:
+        names = set(vcf_contig_names)
+        contigs = [c for c in contigs if c.name in names]
+    ref_bp = sum(c.n_bases for c in ref_contigs) or 1
+    common_bp = sum(c.n_bases for c in contigs)
+    coverage = common_bp / ref_bp
+    if not contigs or coverage < min_coverage_fraction:
+        matches = ", ".join(
+            f'"{c.name}" ({c.n_bases} bp) '
+            + ("matched" if any(
+                s.name == c.name for s in contigs
+            ) else "IS MISSING")
+            for c in ref_contigs[:30]
+        )
+        raise ValueError(
+            f"Reference contigs span {ref_bp} bases but only "
+            f"{common_bp} bases ({coverage:.2%}) were found in common "
+            "among the input files. Check that the reference and "
+            "reads (and truth VCF) use the same genome build (watch "
+            f"for chr-prefix differences). Contig matches: {matches}"
+        )
+    return contigs
+
+
 def regions_to_process(
     contigs: Sequence[ContigInfo],
     partition_size: int,
@@ -900,6 +980,22 @@ def make_examples_runner(
 
         processor.labeler = make_labeler(options, processor.ref_reader)
     contigs = processor.ref_reader.contigs
+    if processor.bam_reader is not None and hasattr(
+        processor.bam_reader, "header"
+    ):
+        vcf_names = None
+        if options.mode == "training" and \
+                options.truth_variants_filename:
+            from deepvariant_tpu.io.vcf import VcfReader
+
+            vcf_names = [
+                c.name for c in VcfReader(
+                    options.truth_variants_filename
+                ).contigs
+            ] or None
+        contigs = ensure_consistent_contigs(
+            contigs, processor.bam_reader.header.contigs, vcf_names
+        )
     calling_regions = calling_regions_from_options(options, contigs)
     regions = regions_to_process(
         contigs,

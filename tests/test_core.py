@@ -177,3 +177,50 @@ def test_sharded_files():
     ]
     assert maybe_sharded_output_path("x@4", 3) == "x-00003-of-00004"
     assert maybe_sharded_output_path("plain.vcf", 0) == "plain.vcf"
+
+
+class TestContigConsistency:
+    def _contig(self, name, n):
+        from deepvariant_tpu.core.types import ContigInfo
+
+        return ContigInfo(name, n, 0)
+
+    def test_common_contigs(self):
+        from deepvariant_tpu.make_examples.core import common_contigs
+
+        ref = [self._contig("chr1", 100), self._contig("chr2", 50)]
+        sam = [self._contig("chr1", 100), self._contig("chr2", 60)]
+        out = common_contigs([ref, sam])
+        assert [c.name for c in out] == ["chr1"]  # length must match
+
+    def test_consistent_passes(self):
+        from deepvariant_tpu.make_examples.core import (
+            ensure_consistent_contigs,
+        )
+
+        ref = [self._contig("chr1", 100)]
+        out = ensure_consistent_contigs(ref, ref)
+        assert [c.name for c in out] == ["chr1"]
+
+    def test_mismatch_raises_readable_error(self):
+        from deepvariant_tpu.make_examples.core import (
+            ensure_consistent_contigs,
+        )
+
+        ref = [self._contig("chr20", 100)]
+        sam = [self._contig("20", 100)]
+        with pytest.raises(ValueError, match="chr-prefix"):
+            ensure_consistent_contigs(ref, sam)
+
+    def test_excluded_contigs_ignored(self):
+        from deepvariant_tpu.make_examples.core import (
+            EXCLUDED_HUMAN_CONTIGS,
+            ensure_consistent_contigs,
+        )
+
+        assert "hs37d5" in EXCLUDED_HUMAN_CONTIGS
+        ref = [self._contig("chr1", 100),
+               self._contig("hs37d5", 1000)]
+        sam = [self._contig("chr1", 100)]
+        out = ensure_consistent_contigs(ref, sam)
+        assert [c.name for c in out] == ["chr1"]
