@@ -574,6 +574,75 @@ class RegionProcessor:
                 variant.calls[0].info["MF"] = mf
                 variant.calls[0].info["MD"] = md
 
+    # Contigs excluded from methylated-reference-site emission
+    # (IsExcludedMethylationContig; X/Y have allosome-specific
+    # methylation patterns, variant_calling_multisample.cc:981-1035).
+    _METHYLATION_EXCLUDED_CONTIGS = frozenset(
+        {"chrX", "chrY", "X", "Y"}
+    )
+
+    def _methylated_ref_site_candidates(
+        self, batch, region: Range, candidates
+    ) -> List["DeepVariantCall"]:
+        """Reference-only sites carrying 5mC become '.'-alt candidates
+        with MF/MD stats (CallVariant has_methylation path,
+        variant_calling_multisample.cc:1019-1118; kNoAltAllele '.',
+        GT {-1,-1})."""
+        if region.reference_name in self._METHYLATION_EXCLUDED_CONTIGS:
+            return []
+        if not getattr(batch, "meth", None) or not any(
+            m is not None for m in batch.meth
+        ):
+            if self.bam_reader is not None:
+                self.bam_reader.parse_methylation(batch)
+            if not getattr(batch, "meth", None):
+                return []
+        from deepvariant_tpu.core.types import VariantCall
+        from deepvariant_tpu.phasing.methylation_aware_phasing import (
+            extract_methylated_ref_sites,
+        )
+
+        threshold = self.options.methylation_calling_threshold
+        sites = extract_methylated_ref_sites(
+            batch, region.start, region.end,
+            threshold=threshold,
+        )
+        variant_positions = {c.variant.start for c in candidates}
+        out = []
+        for site in sites:
+            if site.position in variant_positions:
+                continue  # not a reference-only site
+            ref_base = self.ref_reader.query(Range(
+                region.reference_name, site.position,
+                site.position + 1,
+            ))
+            if ref_base not in ("A", "C", "G", "T"):
+                continue
+            n_meth = sum(
+                1 for m in site.levels.values()
+                if m >= threshold
+            )
+            ids = sorted(site.levels)
+            variant = Variant(
+                reference_name=region.reference_name,
+                start=site.position,
+                end=site.position + 1,
+                reference_bases=ref_base,
+                alternate_bases=["."],
+                calls=[VariantCall(
+                    call_set_name=self.options.sample_name,
+                    genotype=[-1, -1],
+                )],
+            )
+            variant.calls[0].info["MF"] = [n_meth / len(ids)] if ids                 else [0.0]
+            variant.calls[0].info["MD"] = [n_meth]
+            out.append(DeepVariantCall(
+                variant=variant,
+                allele_support={},
+                ref_support=ids,
+            ))
+        return out
+
     def _add_phasing_to_candidates(
         self, dp, candidates, phases, region: Range
     ) -> int:
@@ -672,6 +741,12 @@ class RegionProcessor:
 
         if self.options.enable_methylation_calling and candidates:
             self._add_methylation_stats(batch, candidates)
+        methylated_ref_sites: List[DeepVariantCall] = []
+        if (self.options.enable_methylation_calling
+                or self.options.enable_methylation_aware_phasing):
+            methylated_ref_sites = self._methylated_ref_site_candidates(
+                batch, region, candidates
+            )
 
         if self.options.phase_reads and candidates:
             t0 = time.perf_counter()
@@ -812,7 +887,9 @@ class RegionProcessor:
             ):
                 examples.append(built.encoded)
         runtimes["make pileup images"] = time.perf_counter() - t0
-        return RegionOutputs(region, candidates, examples, gvcfs,
+        all_candidates = candidates + methylated_ref_sites
+        all_candidates.sort(key=lambda c: c.variant.start)
+        return RegionOutputs(region, all_candidates, examples, gvcfs,
                              runtimes, small_model_cvos,
                              small_model_examples)
 

@@ -131,3 +131,84 @@ class TestMethylationStats:
         assert fmt.endswith("MF:MD:MT")
         assert "0.9,0.1" in sample and "9,1" in sample \
             and sample.endswith("0/1")
+
+
+class TestMethylatedRefSites:
+    def _run(self, batch, region, candidates=()):
+        from deepvariant_tpu.make_examples.core import (
+            MakeExamplesOptions,
+            RegionProcessor,
+        )
+
+        class FakeRef:
+            def query(self, r):
+                return "C"
+
+        class P(RegionProcessor):
+            def __init__(self):
+                self.options = MakeExamplesOptions(
+                    enable_methylation_calling=True, sample_name="s"
+                )
+                self.ref_reader = FakeRef()
+                self.bam_reader = None
+        proc = P()
+        return RegionProcessor._methylated_ref_site_candidates(
+            proc, batch, region, list(candidates)
+        )
+
+    def test_emits_dot_alt_candidates(self):
+        batch = _batch(3)
+        meth = []
+        for i in range(3):
+            m = np.zeros(10, np.uint8)
+            if i < 2:
+                m[1] = 220   # ref pos 101
+            meth.append(m)
+        batch.meth = meth
+        sites = self._run(batch, Range(CHROM, 100, 120))
+        assert len(sites) == 1
+        v = sites[0].variant
+        assert v.start == 101
+        assert v.alternate_bases == ["."]
+        assert v.calls[0].genotype == [-1, -1]
+        assert v.calls[0].info["MD"] == [2]
+        assert sites[0].ref_support == [0, 1]
+
+    def test_variant_positions_excluded(self):
+        from deepvariant_tpu.make_examples.variant_caller import (
+            DeepVariantCall,
+        )
+
+        batch = _batch(2)
+        m = np.zeros(10, np.uint8); m[1] = 220
+        batch.meth = [m, m.copy()]
+        cand = DeepVariantCall(
+            variant=Variant(reference_name=CHROM, start=101, end=102,
+                            reference_bases="C",
+                            alternate_bases=["T"]),
+            allele_support={}, ref_support=[],
+        )
+        sites = self._run(batch, Range(CHROM, 100, 120), [cand])
+        assert sites == []
+
+    def test_xy_contigs_excluded(self):
+        batch = _batch(2, pos=100)
+        m = np.zeros(10, np.uint8); m[1] = 220
+        batch.meth = [m, m.copy()]
+        # Rebuild batch on chrX.
+        from deepvariant_tpu.io.bam import ReadBatch
+
+        reads = [
+            Read(
+                fragment_name=f"r{i}",
+                aligned_sequence="ACGTACGTAC",
+                aligned_quality=bytes([30] * 10),
+                reference_name="chrX",
+                position=100,
+                mapping_quality=60,
+                cigar=parse_cigar_string("10M"),
+            ) for i in range(2)
+        ]
+        bx = ReadBatch.from_reads(reads, ["chrX"])
+        bx.meth = [m, m.copy()]
+        assert self._run(bx, Range("chrX", 100, 120)) == []
