@@ -99,3 +99,57 @@ def test_reference_band_always_exact(parity):
         np.testing.assert_array_equal(
             golden[key][:5], ours[key][:5], err_msg=str(key[:3])
         )
+
+
+@pytest.mark.integration
+def test_pixel_parity_with_realigner(testdata_dir, tmp_path):
+    """Full runner WITH the realigner against the golden examples:
+    the bounds ratchet hard once local-assembly realignment is in
+    (37/84 bit-exact, mean pixel diff 0.33% measured)."""
+    from deepvariant_tpu.make_examples.core import (
+        MakeExamplesOptions,
+        make_examples_runner,
+    )
+
+    golden = {}
+    for rec in tfrecord.read_tfrecords(os.path.join(
+        testdata_dir, "golden.calling_examples.tfrecord.gz"
+    )):
+        ex = exio.parse_example(rec)
+        v = ex.variant
+        golden[(v.start, v.reference_bases, tuple(v.alternate_bases),
+                tuple(ex.alt_allele_indices))] = ex.image
+
+    options = MakeExamplesOptions(
+        reads_filename=os.path.join(
+            testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+        ),
+        ref_filename=os.path.join(
+            testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+        ),
+        examples_filename=str(tmp_path / "ex.tfrecord"),
+        mode="calling",
+        regions=["chr20:10,000,000-10,010,000"],
+        realigner_enabled=True,
+    )
+    make_examples_runner(options)
+    ours = {}
+    for rec in tfrecord.read_tfrecords(str(tmp_path / "ex.tfrecord")):
+        ex = exio.parse_example(rec)
+        v = ex.variant
+        ours[(v.start, v.reference_bases, tuple(v.alternate_bases),
+              tuple(ex.alt_allele_indices))] = ex.image
+
+    common = sorted(set(golden) & set(ours))
+    assert len(common) == len(golden) == 84
+    fracs = []
+    exact = 0
+    for key in common:
+        g, o = golden[key], ours[key]
+        assert g.shape == o.shape
+        frac = float(np.mean(g != o))
+        fracs.append(frac)
+        exact += frac == 0.0
+        assert frac < 0.15, f"{key[:3]}: {frac:.4f}"
+    assert exact >= 30
+    assert float(np.mean(fracs)) < 0.01
