@@ -49,13 +49,27 @@ def load_variables_for_examples(checkpoint: str, examples_path: str,
                     f"are {info['shape']} "
                     f"(channels {info.get('channels')})"
                 )
-        tx, _ = train_lib.make_optimizer(TrainConfig(), 100)
-        state = train_lib.init_state(model, variables, tx)
-        state = train_lib.load_checkpoint(checkpoint, state)
-        params = state["ema_params"] if use_ema else state["params"]
-        variables = {
-            "params": params, "batch_stats": state["batch_stats"],
-        }
+        with open(checkpoint, "rb") as f:
+            blob = f.read()
+        from flax import serialization
+
+        try:
+            # Lean inference bundle (dv-export-model /
+            # dv-import-keras-model): params + batch_stats only.
+            variables = serialization.from_bytes(
+                {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]},
+                blob,
+            )
+        except ValueError:
+            # Full training state.
+            tx, _ = train_lib.make_optimizer(TrainConfig(), 100)
+            state = train_lib.init_state(model, variables, tx)
+            state = serialization.from_bytes(state, blob)
+            params = state["ema_params"] if use_ema else state["params"]
+            variables = {
+                "params": params, "batch_stats": state["batch_stats"],
+            }
     return model, variables, info
 
 
