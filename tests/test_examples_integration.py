@@ -153,3 +153,64 @@ def test_pixel_parity_with_realigner(testdata_dir, tmp_path):
         assert frac < 0.15, f"{key[:3]}: {frac:.4f}"
     assert exact >= 30
     assert float(np.mean(fracs)) < 0.01
+
+
+@pytest.mark.integration
+def test_pacbio_golden_parity(testdata_dir, tmp_path):
+    """Phased PacBio flow vs golden.pacbio_examples (the reference's
+    test_make_examples_training_end2end_phased_candidates config:
+    base six + haplotype + base_methylation channels, diff_channels
+    alt-align, width 147, phasing + haplotype sorting, no realigner).
+
+    Measured: 401/401 example keys match, 177 bit-exact, mean pixel
+    diff 1.8% (DirectPhasing tie-breaks move a few HP assignments)."""
+    from deepvariant_tpu.make_examples.core import (
+        MakeExamplesOptions,
+        make_examples_runner,
+    )
+    from deepvariant_tpu.make_examples.presets import apply_model_preset
+
+    def load(path):
+        out = {}
+        for rec in tfrecord.read_tfrecords(path):
+            ex = exio.parse_example(rec)
+            v = ex.variant
+            out[(v.start, v.reference_bases,
+                 tuple(v.alternate_bases),
+                 tuple(ex.alt_allele_indices))] = ex.image
+        return out
+
+    golden = load(os.path.join(
+        testdata_dir, "golden.pacbio_examples.tfrecord.gz"
+    ))
+    options = MakeExamplesOptions(
+        reads_filename=os.path.join(
+            testdata_dir, "input/test_pacbio.chr20_100kbp_at_9mb.bam"
+        ),
+        ref_filename=os.path.join(
+            testdata_dir, "input/grch38.chr20_and_21_10M.fa.gz"
+        ),
+        examples_filename=str(tmp_path / "pb.tfrecord"),
+        mode="calling",
+        regions=["chr20:9,000,000-9,100,000"],
+    )
+    apply_model_preset(options, "PACBIO")
+    options.pileup_options.channels = (1, 2, 3, 4, 5, 6, 7, 23)
+    counts = make_examples_runner(options)
+    assert counts["examples"] == len(golden) == 401
+    ours = load(str(tmp_path / "pb.tfrecord"))
+    assert set(ours) == set(golden)
+    info = exio.read_example_info(str(tmp_path / "pb.tfrecord"))
+    assert info["shape"] == [100, 147, 10]
+    assert info["channels"] == [1, 2, 3, 4, 5, 6, 7, 23, 9, 10]
+    fracs = []
+    exact = 0
+    for key in sorted(golden):
+        g, o = golden[key], ours[key]
+        assert g.shape == o.shape
+        f = float(np.mean(g != o))
+        fracs.append(f)
+        exact += f == 0.0
+        assert f < 0.25, f"{key[:3]}: {f:.4f}"
+    assert exact >= 150
+    assert float(np.mean(fracs)) < 0.03
