@@ -214,3 +214,68 @@ def test_pacbio_golden_parity(testdata_dir, tmp_path):
         assert f < 0.25, f"{key[:3]}: {f:.4f}"
     assert exact >= 150
     assert float(np.mean(fracs)) < 0.03
+
+
+@pytest.mark.integration
+@pytest.mark.parametrize("alt_mode,golden_name", [
+    ("diff_channels",
+     "golden.alt_aligned_pileup_diff_channels_examples.tfrecord.gz"),
+    ("rows", "golden.alt_aligned_pileup_rows_examples.tfrecord.gz"),
+])
+def test_alt_aligned_golden_parity(testdata_dir, tmp_path, alt_mode,
+                                   golden_name):
+    """Training-mode alt-aligned flows vs the reference goldens
+    (make_examples_test.py end2end_with_alt_aligned_pileup config).
+    Measured: 49/49 keys, 30 bit-exact, mean pixel diff ~1%."""
+    from deepvariant_tpu.make_examples.core import (
+        MakeExamplesOptions,
+        make_examples_runner,
+    )
+
+    def load(path):
+        out = {}
+        for rec in tfrecord.read_tfrecords(path):
+            ex = exio.parse_example(rec)
+            v = ex.variant
+            out[(v.start, v.reference_bases,
+                 tuple(v.alternate_bases),
+                 tuple(ex.alt_allele_indices))] = ex.image
+        return out
+
+    golden = load(os.path.join(testdata_dir, golden_name))
+    options = MakeExamplesOptions(
+        reads_filename=os.path.join(
+            testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+        ),
+        ref_filename=os.path.join(
+            testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+        ),
+        examples_filename=str(tmp_path / "aa.tfrecord"),
+        mode="training",
+        regions=["chr20:10,000,000-10,010,000"],
+        truth_variants_filename=os.path.join(
+            testdata_dir,
+            "input/test_nist.b37_chr20_100kbp_at_10mb.vcf.gz",
+        ),
+        confident_regions_filename=os.path.join(
+            testdata_dir,
+            "input/test_nist.b37_chr20_100kbp_at_10mb.bed",
+        ),
+    )
+    options.pileup_options.channels = (1, 2, 3, 4, 5, 6)
+    options.pileup_options.alt_aligned_pileup = alt_mode
+    make_examples_runner(options)
+    ours = load(str(tmp_path / "aa.tfrecord"))
+    common = set(golden) & set(ours)
+    assert len(common) == len(golden) == 49
+    fracs = []
+    exact = 0
+    for key in sorted(common):
+        g, o = golden[key], ours[key]
+        assert g.shape == o.shape
+        f = float(np.mean(g != o))
+        fracs.append(f)
+        exact += f == 0.0
+        assert f < 0.20, f"{key[:3]}: {f:.4f}"
+    assert exact >= 25
+    assert float(np.mean(fracs)) < 0.02
