@@ -279,3 +279,59 @@ def test_alt_aligned_golden_parity(testdata_dir, tmp_path, alt_mode,
         assert f < 0.20, f"{key[:3]}: {f:.4f}"
     assert exact >= 25
     assert float(np.mean(fracs)) < 0.02
+
+
+@pytest.mark.integration
+def test_allele_frequency_golden_parity(testdata_dir, tmp_path):
+    """AF-channel flow vs golden.allele_frequency_examples. The window
+    holds 2217 reads, so read downsampling RNG diverges from the
+    reference; parity is asserted at the level the feature controls:
+    candidate keys and the exact AF color values per example."""
+    from deepvariant_tpu.make_examples.core import (
+        MakeExamplesOptions,
+        make_examples_runner,
+    )
+
+    def load(path):
+        out = {}
+        for rec in tfrecord.read_tfrecords(path):
+            ex = exio.parse_example(rec)
+            v = ex.variant
+            out[(v.start, v.reference_bases,
+                 tuple(v.alternate_bases),
+                 tuple(ex.alt_allele_indices))] = ex.image
+        return out
+
+    golden = load(os.path.join(
+        testdata_dir, "golden.allele_frequency_examples.tfrecord.gz"
+    ))
+    options = MakeExamplesOptions(
+        reads_filename=os.path.join(
+            testdata_dir, "input/grch38_1k_subset_chr20_and_chr21.bam"
+        ),
+        ref_filename=os.path.join(
+            testdata_dir, "input/grch38.chr20_and_21_10M.fa.gz"
+        ),
+        examples_filename=str(tmp_path / "af.tfrecord"),
+        mode="calling",
+        regions=["chr20:61001-62000"],
+        population_vcf_filenames=[os.path.join(
+            testdata_dir, "input/cohort-chr20_and_chr21_100k.vcf.gz"
+        )],
+    )
+    options.pileup_options.channels = (1, 2, 3, 4, 5, 6, 19, 8)
+    make_examples_runner(options)
+    ours = load(str(tmp_path / "af.tfrecord"))
+    common = set(golden) & set(ours)
+    assert len(common) >= 70  # 74/78 measured (sampling-dependent tail)
+    info = exio.read_example_info(str(tmp_path / "af.tfrecord"))
+    assert info["channels"] == [1, 2, 3, 4, 5, 6, 19, 8]
+    n_active = agree = 0
+    for key in sorted(common):
+        gaf = set(np.unique(golden[key][:, :, 7]).tolist()) - {0}
+        oaf = set(np.unique(ours[key][:, :, 7]).tolist()) - {0}
+        if gaf or oaf:
+            n_active += 1
+            agree += gaf == oaf
+    assert n_active >= 5
+    assert agree == n_active  # AF encoding exact wherever active
