@@ -55,6 +55,9 @@ DEFAULT_MAX_READS_PER_PARTITION = 1500
 DEFAULT_RANDOM_SEED = 2101079370
 # Candidate-sweep constants (make_examples_core.py:125,134,874).
 END_OF_REGION = -1
+# Partitions within a shard's sweep output are separated by this
+# (make_examples_core.py:127-129).
+END_OF_PARTITION = -2
 MAX_PARTITION_LEN = 1000000
 DEFAULT_CANDIDATES_PER_PARTITION = 200
 
@@ -1007,19 +1010,71 @@ def candidate_sweep_runner(
     )
     positions: List[int] = []
     n = 0
+    calling_ends = {
+        (r.reference_name, r.end) for r in (calling_regions or [])
+    } if calling_regions else {
+        (c.name, c.n_bases) for c in contigs
+    }
     for region in regions:
         found = processor.find_candidate_positions(region)
         positions.extend(found)
-        positions.append(END_OF_REGION)
+        # End-of-partition separator, then end-of-region when this
+        # partition closes a calling region
+        # (make_examples_core.py:3592-3605 writer flow).
+        positions.append(END_OF_PARTITION)
+        if (region.reference_name, region.end) in calling_ends:
+            positions.append(END_OF_REGION)
         n += len(found)
     np.asarray(positions, np.int32).tofile(output_path)
     return n
 
 
+def merge_candidate_positions(
+    position_arrays: Sequence[np.ndarray],
+) -> np.ndarray:
+    """Round-robin merge of per-shard sweep outputs
+    (merge_ranges_from_files_sequential, make_examples_core.py:3247):
+    shards wrote partitions in round-robin region order, separated by
+    END_OF_PARTITION; the merged stream keeps only positions +
+    END_OF_REGION markers, globally sorted per contig."""
+    out: List[int] = []
+    idx = [0] * len(position_arrays)
+    if not position_arrays:
+        return np.empty(0, np.int32)
+    live = sum(1 for a in position_arrays if len(a))
+    shard = 0
+    while live > 0:
+        arr = position_arrays[shard]
+        i = idx[shard]
+        while i < len(arr):
+            val = int(arr[i])
+            if val == END_OF_PARTITION:
+                i += 1
+                if i < len(arr) and int(arr[i]) == END_OF_REGION:
+                    out.append(END_OF_REGION)
+                    i += 1
+                break
+            out.append(val)
+            i += 1
+        idx[shard] = i
+        if i >= len(arr):
+            live -= 1
+        # advance to next shard that still has data
+        for step in range(1, len(position_arrays) + 1):
+            nxt = (shard + step) % len(position_arrays)
+            if idx[nxt] < len(position_arrays[nxt]):
+                shard = nxt
+                break
+        else:
+            break
+    return np.asarray(out, np.int32)
+
+
 def load_candidate_positions(paths: Sequence[str]) -> np.ndarray:
-    """Load per-shard sweep outputs (make_examples_core.py:3328)."""
+    """Load + merge per-shard sweep outputs
+    (make_examples_core.py:3322-3334)."""
     arrays = [np.fromfile(p, np.int32) for p in paths]
-    return np.concatenate(arrays) if arrays else np.empty(0, np.int32)
+    return merge_candidate_positions(arrays)
 
 
 def _ref_to_read_offset(batch, read_idx: int, ref_pos: int):

@@ -103,3 +103,36 @@ class TestSweepAndImporter:
             if 10_000_000 <= v.start < 10_004_000
         }
         assert produced == proposed
+
+
+@pytest.mark.integration
+def test_candidate_positions_golden_byte_parity(testdata_dir, tmp_path):
+    """Sweep output is byte-identical to golden.candidate_positions
+    (END_OF_PARTITION/-2 between partitions, END_OF_REGION/-1 at the
+    calling-region close)."""
+    import numpy as np
+
+    from deepvariant_tpu.make_examples.core import (
+        MakeExamplesOptions,
+        candidate_sweep_runner,
+    )
+
+    options = MakeExamplesOptions(
+        reads_filename=os.path.join(
+            testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+        ),
+        ref_filename=os.path.join(
+            testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+        ),
+        examples_filename="",
+        mode="candidate_sweep",
+        regions=["chr20:10,000,000-10,010,000"],
+        partition_size=1000,
+    )
+    out = str(tmp_path / "cand_pos")
+    candidate_sweep_runner(options, out)
+    mine = np.fromfile(out, np.int32)
+    golden = np.fromfile(os.path.join(
+        testdata_dir, "golden.candidate_positions"
+    ), np.int32)
+    np.testing.assert_array_equal(mine, golden)
