@@ -526,3 +526,107 @@ class TestSoftLabeler:
         assert best.truth_mod_penalties == [0.1]
         # Non-ambiguous candidate keeps a hard one-hot label.
         assert best.candidate_probabilities[0] == (0.0, 0.0, 1.0)
+
+
+@pytest.mark.integration
+def test_customized_classes_golden_label_parity(testdata_dir, tmp_path):
+    """Labels match customized_classes.golden.training_examples 19/19
+    (reference make_examples_test.py customized-classes end2end)."""
+    from deepvariant_tpu.io import examples as example_codec
+    from deepvariant_tpu.io.tfrecord import TFRecordReader
+    from deepvariant_tpu.make_examples.core import (
+        MakeExamplesOptions,
+        make_examples_runner,
+    )
+
+    def load(path):
+        out = {}
+        with TFRecordReader(path) as r:
+            for buf in r:
+                ex = example_codec.parse_example(buf)
+                v = ex.variant
+                out[(v.start, v.reference_bases,
+                     tuple(v.alternate_bases),
+                     tuple(ex.alt_allele_indices))] = ex.label
+        return out
+
+    golden = load(os.path.join(
+        testdata_dir,
+        "customized_classes.golden.training_examples.tfrecord.gz",
+    ))
+    options = MakeExamplesOptions(
+        reads_filename=os.path.join(
+            testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+        ),
+        ref_filename=os.path.join(
+            testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+        ),
+        examples_filename=str(tmp_path / "cc.tfrecord"),
+        mode="training",
+        regions=["chr20:10,000,000-10,004,000"],
+        truth_variants_filename=os.path.join(
+            testdata_dir,
+            "input/with_types.test_nist.b37_chr20_4kbp_at_10mb.vcf.gz",
+        ),
+        confident_regions_filename=os.path.join(
+            testdata_dir,
+            "input/test_nist.b37_chr20_100kbp_at_10mb.bed",
+        ),
+        labeler_algorithm="customized_classes_labeler",
+    )
+    options.pileup_options.channels = (1, 2, 3, 4, 5, 6)
+    make_examples_runner(options)
+    ours = load(str(tmp_path / "cc.tfrecord"))
+    assert set(golden) == set(ours)
+    assert all(golden[k] == ours[k] for k in golden)
+    assert len(golden) == 19
+
+
+@pytest.mark.integration
+def test_training_examples_golden_label_parity(testdata_dir, tmp_path):
+    """Labels match golden.training_examples 49/49 (haplotype labeler
+    default flow)."""
+    from deepvariant_tpu.io import examples as example_codec
+    from deepvariant_tpu.io.tfrecord import TFRecordReader
+    from deepvariant_tpu.make_examples.core import (
+        MakeExamplesOptions,
+        make_examples_runner,
+    )
+
+    def load_records(path):
+        out = {}
+        from deepvariant_tpu.io import tfrecord as tfr
+
+        for buf in tfr.read_tfrecords(path):
+            ex = example_codec.parse_example(buf)
+            v = ex.variant
+            out[(v.start, v.reference_bases,
+                 tuple(v.alternate_bases),
+                 tuple(ex.alt_allele_indices))] = ex.label
+        return out
+
+    golden = load_records(os.path.join(
+        testdata_dir, "golden.training_examples.tfrecord.gz"
+    ))
+    options = MakeExamplesOptions(
+        reads_filename=os.path.join(
+            testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+        ),
+        ref_filename=os.path.join(
+            testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+        ),
+        examples_filename=str(tmp_path / "tr.tfrecord"),
+        mode="training",
+        regions=["chr20:10,000,000-10,010,000"],
+        truth_variants_filename=os.path.join(
+            testdata_dir, "input/test_nist.b37_chr20_100kbp_at_10mb.vcf.gz"
+        ),
+        confident_regions_filename=os.path.join(
+            testdata_dir, "input/test_nist.b37_chr20_100kbp_at_10mb.bed"
+        ),
+    )
+    make_examples_runner(options)
+    ours = load_records(str(tmp_path / "tr.tfrecord"))
+    common = set(golden) & set(ours)
+    assert len(common) == len(golden) == 49
+    assert all(golden[k] == ours[k] for k in common)
