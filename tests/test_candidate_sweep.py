@@ -136,3 +136,47 @@ def test_candidate_positions_golden_byte_parity(testdata_dir, tmp_path):
         testdata_dir, "golden.candidate_positions"
     ), np.int32)
     np.testing.assert_array_equal(mine, golden)
+
+
+@pytest.mark.integration
+def test_vcf_candidate_importer_golden_bit_parity(testdata_dir, tmp_path):
+    """Importer calling flow is BIT-IDENTICAL to
+    golden.vcf_candidate_importer_calling_examples (22/22 images; the
+    flow runs without the realigner, so no heuristic divergence)."""
+    import numpy as np
+
+    from deepvariant_tpu.io import examples as exio
+    from deepvariant_tpu.io import tfrecord
+
+    def load(path):
+        out = {}
+        for rec in tfrecord.read_tfrecords(path):
+            ex = exio.parse_example(rec)
+            v = ex.variant
+            out[(v.start, v.reference_bases,
+                 tuple(v.alternate_bases),
+                 tuple(ex.alt_allele_indices))] = ex.image
+        return out
+
+    golden = load(os.path.join(
+        testdata_dir,
+        "golden.vcf_candidate_importer_calling_examples.tfrecord.gz",
+    ))
+    options = MakeExamplesOptions(
+        reads_filename=os.path.join(testdata_dir, TD_INPUT),
+        ref_filename=os.path.join(testdata_dir, TD_REF),
+        examples_filename=str(tmp_path / "vci.tfrecord"),
+        mode="calling",
+        regions=["chr20:59,777,000-60,000,000"],
+        realigner_enabled=False,
+        proposed_variants_filename=os.path.join(
+            testdata_dir,
+            "input/vcf_candidate_importer.indels.chr20.vcf.gz",
+        ),
+    )
+    make_examples_runner(options)
+    ours = load(str(tmp_path / "vci.tfrecord"))
+    assert set(golden) == set(ours)
+    assert len(golden) == 22
+    for key in golden:
+        np.testing.assert_array_equal(golden[key], ours[key])

@@ -52,3 +52,42 @@ def test_golden_vcf_and_gvcf_byte_parity(testdata_dir, tmp_path):
         testdata_dir, "golden.postprocess_gvcf_output.g.vcf"
     ))
     assert _body(out_gvcf) == golden_gvcf
+
+
+@pytest.mark.integration
+def test_vcf_candidate_importer_postprocess_byte_parity(
+    testdata_dir, tmp_path
+):
+    """postprocess --no-group_variants on the importer CVOs is
+    byte-identical to the reference golden (22/22 lines)."""
+    from deepvariant_tpu.io.fasta import FastaReader
+    from deepvariant_tpu.postprocess.pipeline import (
+        postprocess_variants,
+    )
+
+    ref = FastaReader(os.path.join(
+        testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+    ))
+    out = str(tmp_path / "vci.vcf")
+    postprocess_variants(
+        os.path.join(
+            testdata_dir,
+            "golden.vcf_candidate_importer_postprocess_single_site_"
+            "input-00000-of-00001.tfrecord.gz",
+        ),
+        out,
+        ref.contigs,
+        sample_name="NA12878",
+        group_variants=False,
+    )
+    golden_path = os.path.join(
+        testdata_dir,
+        "golden.vcf_candidate_importer_postprocess_single_site_"
+        "output.vcf",
+    )
+    golden_lines = [
+        l for l in open(golden_path) if not l.startswith("#")
+    ]
+    mine = [l for l in open(out) if not l.startswith("#")]
+    assert len(mine) == len(golden_lines) == 22
+    assert mine == golden_lines
