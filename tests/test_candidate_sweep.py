@@ -180,3 +180,52 @@ def test_vcf_candidate_importer_golden_bit_parity(testdata_dir, tmp_path):
     assert len(golden) == 22
     for key in golden:
         np.testing.assert_array_equal(golden[key], ours[key])
+
+
+@pytest.mark.integration
+def test_vcf_candidate_importer_training_golden_parity(
+    testdata_dir, tmp_path
+):
+    """Training-mode importer vs golden (223/223 keys + labels; 125
+    bit-exact images, mean pixel diff 0.43% from realigner-path
+    differences)."""
+    import numpy as np
+
+    from deepvariant_tpu.io import examples as exio
+    from deepvariant_tpu.io import tfrecord
+
+    def load(path):
+        out = {}
+        for rec in tfrecord.read_tfrecords(path):
+            ex = exio.parse_example(rec)
+            v = ex.variant
+            out[(v.start, v.reference_bases,
+                 tuple(v.alternate_bases),
+                 tuple(ex.alt_allele_indices))] = (ex.label, ex.image)
+        return out
+
+    golden = load(os.path.join(
+        testdata_dir,
+        "golden.vcf_candidate_importer.training_examples.tfrecord.gz",
+    ))
+    truth = os.path.join(
+        testdata_dir, "input/test_nist.b37_chr20_100kbp_at_10mb.vcf.gz"
+    )
+    options = MakeExamplesOptions(
+        reads_filename=os.path.join(testdata_dir, TD_INPUT),
+        ref_filename=os.path.join(testdata_dir, TD_REF),
+        examples_filename=str(tmp_path / "vcit.tfrecord"),
+        mode="training",
+        proposed_variants_filename=truth,
+        truth_variants_filename=truth,
+    )
+    make_examples_runner(options)
+    ours = load(str(tmp_path / "vcit.tfrecord"))
+    assert set(golden) == set(ours)
+    assert len(golden) == 223
+    assert all(golden[k][0] == ours[k][0] for k in golden)  # labels
+    fracs = [
+        float(np.mean(golden[k][1] != ours[k][1])) for k in golden
+    ]
+    assert sum(f == 0 for f in fracs) >= 100
+    assert float(np.mean(fracs)) < 0.01
