@@ -202,9 +202,11 @@ def all_diploid_haplotypes(variants_and_genotypes, genotypes2haplotype):
 def extend_haplotypes(prefix_haplotypes_list, haplotypes):
     """(:759-792)."""
     if not prefix_haplotypes_list:
-        raise ValueError("prefix_haplotypes_list cannot be empty")
+        raise ValueError("need at least one prefix haplotype set to extend")
     if len(haplotypes) not in {1, 2}:
-        raise ValueError("haplotypes must have 1 or 2 elements")
+        raise ValueError(
+            f"expected 1 or 2 extension haplotypes, got {len(haplotypes)}"
+        )
     for prefix_haplotypes in prefix_haplotypes_list:
         if len(prefix_haplotypes) == 1:
             (f,) = prefix_haplotypes

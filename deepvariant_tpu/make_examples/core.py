@@ -218,28 +218,26 @@ def regions_to_process(
     task_id: Optional[int] = None,
     num_shards: Optional[int] = None,
 ) -> List[Range]:
-    """Partition + round-robin shard (make_examples_core.py:799-889)."""
+    """Chop the calling space into fixed-size windows, keeping this task's
+    round-robin share when sharded (behavior of make_examples_core.py:799-889).
+    """
     if (task_id is None) != (num_shards is None):
         raise ValueError(
-            "Both task_id and num_shards must be present if either is"
+            f"sharding requires a task_id / num_shards pair; got "
+            f"task_id={task_id}, num_shards={num_shards}"
         )
     if num_shards:
         if num_shards < 0:
-            raise ValueError(f"num_shards={num_shards} must be >= 0")
-        if task_id < 0 or task_id >= num_shards:
+            raise ValueError(f"negative shard count: {num_shards}")
+        if not 0 <= task_id < num_shards:
             raise ValueError(
-                f"task_id={task_id} should be >= 0 and < {num_shards}"
+                f"task_id {task_id} is outside [0, {num_shards})"
             )
     regions = RangeSet.from_contigs(contigs)
     if calling_regions:
         regions = regions.intersection(calling_regions)
-    partitioned = list(regions.partition(partition_size))
-    if num_shards:
-        return [
-            r for i, r in enumerate(partitioned)
-            if i % num_shards == task_id
-        ]
-    return partitioned
+    windows = list(regions.partition(partition_size))
+    return windows[task_id::num_shards] if num_shards else windows
 
 
 def partition_by_candidates(
@@ -252,48 +250,50 @@ def partition_by_candidates(
     MAX_PARTITION_LEN bp; per-region candidate runs end with the
     END_OF_REGION sentinel."""
     if max_size <= 0:
-        raise ValueError(f"max_size must be > 0: {max_size}")
-    partitioned: List[Range] = []
-    it = 0
-    for interval in regions:
-        num = 0
-        refname = interval.reference_name
-        partition_start = interval.start
-        partition_end = interval.start
-        while (it < len(candidate_positions)
-               and candidate_positions[it] != END_OF_REGION
-               and interval.start <= candidate_positions[it]
-               < interval.end):
-            if (num == max_size
-                    or partition_end - partition_start
-                    >= MAX_PARTITION_LEN):
-                for pos in range(partition_start, partition_end,
-                                 MAX_PARTITION_LEN):
-                    partitioned.append(Range(
-                        refname, pos,
-                        min(partition_end, pos + MAX_PARTITION_LEN),
-                    ))
-                partition_start = partition_end
-                partition_end = partition_start + 1
-                num = 0
-            else:
-                partition_end = candidate_positions[it] + 1
-                num += 1
-            it += 1
-        if it < len(candidate_positions) and \
-                candidate_positions[it] == END_OF_REGION:
-            for pos in range(partition_start, interval.end,
-                             MAX_PARTITION_LEN):
-                partitioned.append(Range(
-                    refname, pos, min(interval.end,
-                                      pos + MAX_PARTITION_LEN),
-                ))
-            it += 1
-        else:
+        raise ValueError(f"partition capacity must be positive, got {max_size}")
+
+    positions = np.asarray(candidate_positions, dtype=np.int64)
+    sentinels = np.flatnonzero(positions == END_OF_REGION)
+    regions = list(regions)
+    if len(sentinels) < len(regions):
+        raise ValueError(
+            f"candidate sweep stream is truncated: {len(sentinels)} region "
+            f"terminators for {len(regions)} regions"
+        )
+
+    out: List[Range] = []
+
+    def emit(refname: str, lo: int, hi: int) -> None:
+        # Every emitted window is additionally capped at MAX_PARTITION_LEN bp.
+        for chunk in range(lo, hi, MAX_PARTITION_LEN):
+            out.append(Range(refname, chunk, min(hi, chunk + MAX_PARTITION_LEN)))
+
+    run_start = 0
+    for region, s_idx in zip(regions, sentinels):
+        run = positions[run_start:s_idx]
+        run_start = s_idx + 1
+        if run.size and not (
+            (run >= region.start) & (run < region.end)
+        ).all():
             raise ValueError(
-                "Terminating item is missing in candidates list"
+                f"sweep positions fall outside their region {region}: the "
+                "sweep output does not correspond to these regions"
             )
-    return partitioned
+        win_lo = win_hi = region.start
+        count = 0
+        for pos in run.tolist():
+            if count == max_size or win_hi - win_lo >= MAX_PARTITION_LEN:
+                emit(region.reference_name, win_lo, win_hi)
+                # The window that triggered the flush is closed; the fresh
+                # window opens at its end with a one-base seed, and this
+                # candidate is absorbed uncounted (wire-format compatible
+                # with the sweep goldens).
+                win_lo, win_hi, count = win_hi, win_hi + 1, 0
+            else:
+                win_hi = pos + 1
+                count += 1
+        emit(region.reference_name, win_lo, region.end)
+    return out
 
 
 def reservoir_sample_indices(

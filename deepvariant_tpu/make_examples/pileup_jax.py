@@ -179,10 +179,33 @@ def plan_candidate(
     )
 
 
+#: Channels the jitted device encoder implements with numerics identical to
+#: the host encoder. Anything else must go through the host path; the factory
+#: refuses to build rather than emit silently-wrong zero planes.
+DEVICE_CHANNELS = frozenset({
+    CH_READ_BASE,
+    CH_BASE_QUALITY,
+    CH_MAPPING_QUALITY,
+    CH_STRAND,
+    CH_READ_SUPPORTS_VARIANT,
+    CH_BASE_DIFFERS_FROM_REF,
+    CH_INSERT_SIZE,
+    CH_HAPLOTYPE_TAG,
+    CH_ALLELE_FREQUENCY,
+})
+
+
 def make_encode_fn(options: PileupOptions):
     """Build the jitted device encoder for a fixed channel set."""
     o = options
     channels = list(o.channels)
+    unsupported = [ch for ch in channels if ch not in DEVICE_CHANNELS]
+    if unsupported:
+        raise ValueError(
+            "device pileup encoder does not implement channel(s) "
+            f"{unsupported}; supported: {sorted(DEVICE_CHANNELS)}. Use the "
+            "host encoder (pileup.PileupEncoder) for this channel set."
+        )
     base_lut = np.zeros(256, np.uint8)
     base_lut[ord("A")] = o.base_color_offset_a_and_g + \
         o.base_color_stride * 3
@@ -304,8 +327,10 @@ def make_encode_fn(options: PileupOptions):
                     jnp.ones((1, 1, width), jnp.uint8)
                 ref_plane = jnp.zeros_like(ref_b)
             else:
-                plane = jnp.zeros_like(b)
-                ref_plane = jnp.zeros_like(ref_b)
+                raise AssertionError(
+                    f"channel {ch} passed factory validation but has no "
+                    "device implementation"
+                )
             plane = jnp.where(covered, plane, 0)
             ref_rows = jnp.broadcast_to(
                 ref_plane[:, None, :], (n, band, width)

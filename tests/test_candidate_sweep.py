@@ -42,7 +42,7 @@ class TestPartitionByCandidates:
         assert parts[0].end - parts[0].start == MAX_PARTITION_LEN
 
     def test_missing_sentinel_raises(self):
-        with pytest.raises(ValueError, match="Terminating"):
+        with pytest.raises(ValueError, match="truncated"):
             partition_by_candidates([Range("chr1", 0, 100)], [10], 2)
 
     def test_bad_max_size(self):
