@@ -1,131 +1,159 @@
-"""Benchmark: fused device pileup-encode + CNN call throughput on TPU.
+"""Benchmark: CNN call throughput on real pileup examples, one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": "encode_plus_call_examples_per_sec_per_chip", "value": N,
-   "unit": "examples/s", "vs_baseline": R}
+  {"metric": "call_examples_per_sec_per_chip", "value": N,
+   "unit": "examples/s", "vs_baseline": R, "achieved_flops": F,
+   "peak_flops": P, "mfu": M, ...}
 
-The measured pipeline is the BASELINE.json headline ("pileup encode +
-CNN call"): candidates encode to (B, 100, 221, 7) uint8 tensors on
-device (make_examples.pileup_jax.make_encode_fn) and feed the flax
-InceptionV3 classifier, all inside jit on one chip.
+Measurement contract (the round-1 number was wrong; this is why):
+ * On the tunneled `axon` platform `block_until_ready()` does NOT wait
+   for execution (measured: 8 queued 8192^3 matmuls "complete" in
+   0.7 ms => a fake 12.8 PFLOPS). The only trustworthy sync is a
+   device->host fetch of a value that data-depends on every step.
+ * We therefore run K steps inside ONE jitted `lax.scan` whose carry
+   accumulates `probs.sum()` from every step, and fetch that 4-byte
+   scalar. XLA cannot elide any step: the fetched value depends on all
+   of them.
+ * Dispatch/tunnel round-trip latency (~30 ms) is cancelled by timing
+   a 1-step executable and a K2-step scan and using the slope.
+ * Inputs are the reference's own golden calling examples
+   (84 real chr20 pileups, 100x221x7 uint8), tiled and per-step
+   permuted so every scan step sees a distinct batch; all resident in
+   HBM (production keeps examples device-side via the prefetch
+   pipeline; the dev tunnel's ~8 MB/s host link is not the hardware
+   under test).
+ * FLOPs come from XLA's own `compile().cost_analysis()` of the exact
+   single-step executable (cost_analysis cannot see inside a scan).
 
-Baseline derivation: the reference's WGS call_variants takes 15m58s on
-an n2-standard-96 for ~7.5M examples => ~7,800 examples/s for the whole
-96-vCPU machine (docs/metrics.md:68; no accelerator numbers are
-published in-tree).
+Baseline: reference WGS call_variants does ~7.5M examples in 15m58s on
+an n2-standard-96 => ~7,800 ex/s for the whole machine
+(docs/metrics.md:68; no accelerator numbers published in-tree).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_EXAMPLES_PER_SEC = 7800.0
-
-# Batch 4096 saturates the MXU (batch-scaling sweep: 256 -> 533k,
-# 1024 -> 2.2M, 4096 -> 7.0M ex/s on one chip; CNN-only cost analysis
-# shows ~5.2 PFLOPS bf16 achieved). Multiple distinct input sets are
-# cycled so no execution-level caching can short-circuit timing.
 BATCH = 4096
-READS_PER_REGION = 512
-REGION_WIDTH = 2048
-WARMUP_STEPS = 2
-BENCH_STEPS = 6
+K2 = 8
 REPEATS = 3
-N_INPUT_SETS = 3
-CHANNELS = 7
-HEIGHT, WIDTH = 100, 221
+TESTDATA = "/root/reference/deepvariant/testdata"
+
+# Advertised dense peak (bf16) by device_kind substring.
+PEAK_FLOPS_BY_KIND = {
+    "v5 lite": 197e12,   # TPU v5e
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6": 918e12,        # Trillium
+    "v6e": 918e12,
+}
+
+
+def _peak_flops(device_kind: str) -> float:
+    kind = device_kind.lower()
+    for key, peak in PEAK_FLOPS_BY_KIND.items():
+        if key in kind:
+            return peak
+    return 197e12  # conservative default: v5e
+
+
+def _load_golden_images() -> np.ndarray:
+    from deepvariant_tpu.io import examples as exio, tfrecord
+
+    path = os.path.join(TESTDATA, "golden.calling_examples.tfrecord.gz")
+    images = [
+        exio.parse_example(rec).image for rec in tfrecord.read_tfrecords(path)
+    ]
+    return np.stack(images)  # (84, 100, 221, 7) uint8
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from deepvariant_tpu.make_examples.pileup import PileupOptions
-    from deepvariant_tpu.make_examples.pileup_jax import make_encode_fn
     from deepvariant_tpu.models.inception_v3 import (
         create_model,
         normalize_pileup,
     )
 
-    options = PileupOptions(channels=(1, 2, 3, 4, 5, 6, 19))
-    encode_fn = make_encode_fn(options)
-    model, variables = create_model(CHANNELS, dtype=jnp.bfloat16)
+    golden = _load_golden_images()
+    n, h, w, c = golden.shape
+    rng = np.random.RandomState(0)
+    # K2 distinct batches of real examples: tile the goldens, then give
+    # every step its own permutation so no two steps share a batch.
+    tiled = np.tile(golden, ((BATCH + n - 1) // n, 1, 1, 1))[:BATCH]
+    batches = np.stack(
+        [tiled[rng.permutation(BATCH)] for _ in range(K2)]
+    )  # (K2, B, H, W, C) uint8
 
-    rows = HEIGHT - options.reference_band_height
+    model, variables = create_model(c, dtype=jnp.bfloat16)
 
-    def fused(variables, region_bases, region_quals, mapq, reverse, hp,
-              tlen, window_offsets, row_reads, support_codes, af_colors,
-              ref_windows):
-        images = encode_fn(
-            region_bases, region_quals, mapq, reverse, hp, tlen,
-            window_offsets, row_reads, support_codes, af_colors,
-            ref_windows,
-        )
-        return model.apply(variables, normalize_pileup(images),
-                           train=False)
+    def run_k(variables, stacked):
+        def step(acc, batch):
+            probs = model.apply(
+                variables, normalize_pileup(batch), train=False
+            )
+            return acc + probs.astype(jnp.float32).sum(), None
 
-    fused = jax.jit(fused)
+        total, _ = jax.lax.scan(step, jnp.float32(0.0), stacked)
+        return total
 
-    base_codes = np.frombuffer(b"ACGT", np.uint8)
-    variables_d = jax.device_put(variables)
+    dev_batches = jax.device_put(batches)
+    dev_vars = jax.device_put(variables)
 
-    def make_args(seed):
-        rng = np.random.RandomState(seed)
-        return (
-            variables_d,
-            jax.device_put(base_codes[rng.randint(
-                0, 4, (READS_PER_REGION, REGION_WIDTH))]),
-            jax.device_put(rng.randint(
-                20, 50, (READS_PER_REGION, REGION_WIDTH)
-            ).astype(np.uint8)),
-            jax.device_put(rng.randint(
-                30, 60, READS_PER_REGION).astype(np.uint8)),
-            jax.device_put(
-                rng.randint(0, 2, READS_PER_REGION).astype(bool)
-            ),
-            jax.device_put(rng.randint(
-                0, 3, READS_PER_REGION).astype(np.int8)),
-            jax.device_put(rng.randint(
-                100, 600, READS_PER_REGION).astype(np.int32)),
-            jax.device_put(rng.randint(
-                0, REGION_WIDTH - WIDTH, BATCH).astype(np.int32)),
-            jax.device_put(rng.randint(
-                0, READS_PER_REGION, (BATCH, rows)).astype(np.int32)),
-            jax.device_put(rng.randint(
-                0, 3, (BATCH, READS_PER_REGION)).astype(np.int8)),
-            jax.device_put(rng.randint(
-                0, 255, (BATCH, READS_PER_REGION)).astype(np.uint8)),
-            jax.device_put(base_codes[rng.randint(0, 4, (BATCH, WIDTH))]),
-        )
+    # Two executables only (device compiles through the tunnel are slow):
+    # a single-batch step (also XLA's flop oracle — cost_analysis cannot
+    # see inside a scan loop) and a K2-step scan. Both end in a scalar
+    # fetch, so their fixed dispatch overhead cancels in the slope.
+    one_step = jax.jit(
+        lambda v, b: model.apply(
+            v, normalize_pileup(b), train=False
+        ).astype(jnp.float32).sum()
+    )
+    one_compiled = one_step.lower(dev_vars, dev_batches[0]).compile()
+    flops_per_step = float(one_compiled.cost_analysis()["flops"])
 
-    arg_sets = [make_args(seed) for seed in range(N_INPUT_SETS)]
-    for _ in range(WARMUP_STEPS):
-        fused(*arg_sets[0]).block_until_ready()
+    scan = jax.jit(run_k)
+    scan_compiled = scan.lower(dev_vars, dev_batches).compile()
 
-    # Best of REPEATS timed passes: a tunneled/shared chip sees
-    # transient host-side stalls, and the minimum is the stable
-    # hardware-rate estimator. Every step's output is synced and input
-    # sets are cycled so each step does real work.
-    best_dt = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        outs = [
-            fused(*arg_sets[i % N_INPUT_SETS])
-            for i in range(BENCH_STEPS)
-        ]
-        for out in outs:
-            out.block_until_ready()
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    rate = BENCH_STEPS * BATCH / best_dt
+    def time_best(fn, *args):
+        float(jax.device_get(fn(*args)))  # warm
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            float(jax.device_get(out))  # 4-byte fetch forces execution
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = time_best(one_compiled, dev_vars, dev_batches[0])
+    t2 = time_best(scan_compiled, dev_vars, dev_batches)
+    steps = K2 - 1
+    per_step = (t2 - t1) / steps
+    rate = BATCH / per_step
+    achieved = flops_per_step / per_step
+    device = jax.devices()[0]
+    peak = _peak_flops(device.device_kind)
 
     print(json.dumps({
-        "metric": "encode_plus_call_examples_per_sec_per_chip",
+        "metric": "call_examples_per_sec_per_chip",
         "value": round(rate, 1),
         "unit": "examples/s",
         "vs_baseline": round(rate / BASELINE_EXAMPLES_PER_SEC, 3),
+        "achieved_flops": round(achieved / 1e12, 2) * 1e12,
+        "peak_flops": peak,
+        "mfu": round(achieved / peak, 4),
+        "flops_per_example": round(flops_per_step / BATCH / 1e9, 3) * 1e9,
+        "batch": BATCH,
+        "device": device.device_kind,
+        "fixed_overhead_ms": round((t1 - per_step) * 1e3, 1),
+        "timed_steps": [1, K2],
     }))
 
 

@@ -733,7 +733,10 @@ class PileupEncoder:
                 ref_i += op_len
                 read_i += op_len
             elif op in (_OP_I, _OP_S):
-                if ref_i > 0:
+                # INSERT paints the anchor base; CLIP_SOFT paints nothing
+                # (pileup_channel_lib.cc:130-143 leaves read_base 0 for
+                # CLIP_SOFT, so the `if (read_base && ...)` guard skips it).
+                if op == _OP_I and ref_i > 0:
                     c = ref_i - 1 - image_start_pos
                     if 0 <= c < width:
                         cols_l.append(np.array([c]))

@@ -105,7 +105,9 @@ def test_reference_band_always_exact(parity):
 def test_pixel_parity_with_realigner(testdata_dir, tmp_path):
     """Full runner WITH the realigner against the golden examples:
     the bounds ratchet hard once local-assembly realignment is in
-    (37/84 bit-exact, mean pixel diff 0.33% measured)."""
+    (67/84 bit-exact, mean pixel diff 0.28% measured; the realigner
+    window/haplotype layer is additionally pinned bit-exact by
+    tests/test_realigner.py TestReferenceOracleRegions)."""
     from deepvariant_tpu.make_examples.core import (
         MakeExamplesOptions,
         make_examples_runner,
@@ -151,8 +153,8 @@ def test_pixel_parity_with_realigner(testdata_dir, tmp_path):
         fracs.append(frac)
         exact += frac == 0.0
         assert frac < 0.15, f"{key[:3]}: {frac:.4f}"
-    assert exact >= 30
-    assert float(np.mean(fracs)) < 0.01
+    assert exact >= 60
+    assert float(np.mean(fracs)) < 0.005
 
 
 @pytest.mark.integration
@@ -162,7 +164,7 @@ def test_pacbio_golden_parity(testdata_dir, tmp_path):
     base six + haplotype + base_methylation channels, diff_channels
     alt-align, width 147, phasing + haplotype sorting, no realigner).
 
-    Measured: 401/401 example keys match, 177 bit-exact, mean pixel
+    Measured: 401/401 example keys match, 185 bit-exact, mean pixel
     diff 1.8% (DirectPhasing tie-breaks move a few HP assignments)."""
     from deepvariant_tpu.make_examples.core import (
         MakeExamplesOptions,
@@ -212,8 +214,8 @@ def test_pacbio_golden_parity(testdata_dir, tmp_path):
         fracs.append(f)
         exact += f == 0.0
         assert f < 0.25, f"{key[:3]}: {f:.4f}"
-    assert exact >= 150
-    assert float(np.mean(fracs)) < 0.03
+    assert exact >= 175
+    assert float(np.mean(fracs)) < 0.025
 
 
 @pytest.mark.integration
@@ -226,7 +228,7 @@ def test_alt_aligned_golden_parity(testdata_dir, tmp_path, alt_mode,
                                    golden_name):
     """Training-mode alt-aligned flows vs the reference goldens
     (make_examples_test.py end2end_with_alt_aligned_pileup config).
-    Measured: 49/49 keys, 30 bit-exact, mean pixel diff ~1%."""
+    Measured: 49/49 keys, 42 bit-exact, mean pixel diff ~1%."""
     from deepvariant_tpu.make_examples.core import (
         MakeExamplesOptions,
         make_examples_runner,
@@ -277,7 +279,7 @@ def test_alt_aligned_golden_parity(testdata_dir, tmp_path, alt_mode,
         fracs.append(f)
         exact += f == 0.0
         assert f < 0.20, f"{key[:3]}: {f:.4f}"
-    assert exact >= 25
+    assert exact >= 38
     assert float(np.mean(fracs)) < 0.02
 
 

@@ -293,3 +293,73 @@ class TestRealignerEndToEnd:
         fasta = InMemoryFasta({CHROM: REF})
         realigner = Realigner(RealignerOptions(), fasta)
         assert realigner.realign_reads([], Range(CHROM, 0, 100)) == ([], [])
+
+
+@pytest.mark.integration
+class TestReferenceOracleRegions:
+    """Window + haplotype parity against the reference's own expectations.
+
+    The cases mirror realigner_test.py test_realigner_example_region
+    (which runs with ws_use_window_selector_model=True, i.e. the
+    ALLELE_COUNT_LINEAR window selector): identical assembly window and
+    bit-identical candidate haplotype sets on real chr20 data.
+    """
+
+    CASES = [
+        # (region, expected window, expected haplotype pair)
+        (
+            (10_095_379, 10_095_500),
+            (10_095_351, 10_095_553),
+            {
+                "TAGTGATCTAGTCCTTTTTGTTGTGCAAAAGGAAGTGCTAAAATCAGAATGAGAACC"
+                "ATGGTCACCTGACATAGACACAAGTGATGATGATGATGATGATGATGATGATGATGA"
+                "TGATATCCATGTTCAAGTACTAATTCTGGGCAAGACACTGTTCTAAGTGCTATGAAT"
+                "ATATTACCTCATTTAATCATCT",
+                "TAGTGATCTAGTCCTTTTTGTTGTGCAAAAGGAAGTGCTAAAATCAGAATGAGAACC"
+                "ATGGTCACCTGACATAGACACAAGTGATGATGATGATGATGATGATGATGATGATGA"
+                "TGATGATGATGATATCCATGTTCAAGTACTAATTCTGGGCAAGACACTGTTCTAAGT"
+                "GCTATGAATATATTACCTCATTTAATCATCT",
+            },
+        ),
+        (
+            (10_046_080, 10_046_307),
+            (10_046_095, 10_046_267),
+            {
+                "CCCAAAAAAAGAGTTAGGGATGCTGGAAAGGCAGAAAGAAAAGGGAAGGGAAGAGGA"
+                "AGGGGAAAAGGAAAGAAAAAAAAGAAAGAAAGAAAGAGAAAGAAAGAGAAAGAGAAA"
+                "GAAAGAGGAAAGAGAGAAAGAGAAAGAGAAGGAAAGAGAAAGAAAGAGAAGGAAAGAG",
+                "CCCAAAAAAAGAGTTAGGGATGCTGGAAAGGCAGAAAGAAAAGGGAAGGGAAGAGGA"
+                "AGGGGAAAAGGAAAGAAAAAAAAGAAAGAAAGAAAGAGAAAGAGAAAGAAAGAGGAA"
+                "AGAGAGAAAGAGAAAGAGAAGGAAAGAGAAAGAAAGAGAAGGAAAGAG",
+            },
+        ),
+    ]
+
+    @pytest.mark.parametrize("case_idx", [0, 1])
+    def test_window_and_haplotypes_match_reference(
+        self, testdata_dir, case_idx
+    ):
+        import os
+
+        from deepvariant_tpu.io.bam import BamReader
+        from deepvariant_tpu.io.fasta import FastaReader
+        from deepvariant_tpu.realign.config import RealignerOptions
+
+        (rs, re_), (ws, we), expected_haps = self.CASES[case_idx]
+        fa = FastaReader(os.path.join(
+            testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+        ))
+        bam = BamReader(os.path.join(
+            testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+        ))
+        opts = RealignerOptions()
+        opts.ws_config.model_type = "allele_count_linear"
+        realigner = Realigner(opts, fa)
+        region = Range("chr20", rs, re_)
+        reads = bam.query(region).to_reads()
+        windows_haps, realigned = realigner.realign_reads(reads, region)
+        assert len(realigned) == len(reads)
+        assert len(windows_haps) == 1
+        wh = windows_haps[0]
+        assert (wh.span.start, wh.span.end) == (ws, we)
+        assert set(wh.haplotypes) == expected_haps
