@@ -72,29 +72,53 @@ def shardings(mesh: jax.sharding.Mesh):
     return replicated, data
 
 
-def all_gather_counts(value: int, mesh: jax.sharding.Mesh) -> np.ndarray:
-    """Gather one scalar per device position (e.g. per-shard record
-    counts) — the merge step before the global VCF write."""
-    n = mesh.devices.size
+def all_gather_counts(
+    local_counts: Sequence[int], mesh: jax.sharding.Mesh
+) -> np.ndarray:
+    """All-gather one count per mesh position over the data axis.
 
-    def gather(x):
-        return jax.lax.all_gather(x, "data")
-
+    Each device contributes ITS OWN shard's count (laid out with a
+    data-axis NamedSharding, so the values genuinely travel the ICI
+    collective), and every position receives the full (n,) vector —
+    the merge step before the global VCF write replaces the
+    reference's writer-process bookkeeping (call_variants.py:934-1053).
+    """
     try:
         from jax import shard_map  # jax >= 0.6
     except ImportError:
         from jax.experimental.shard_map import shard_map
 
-    arr = jnp.full((n,), value, jnp.int32)
-    gathered = jax.jit(
-        shard_map(
+    n = mesh.devices.size
+    counts = np.asarray(local_counts, np.int32)
+    if counts.shape != (n,):
+        raise ValueError(
+            f"need one count per mesh position: got {counts.shape}, "
+            f"mesh has {n} devices"
+        )
+    _, data_sharding = shardings(mesh)
+    arr = jax.device_put(counts, data_sharding)
+
+    def gather(x):  # x: this device's (1,) block
+        return jax.lax.all_gather(x, "data", axis=0, tiled=True)
+
+    try:
+        mapped = shard_map(
             gather, mesh=mesh,
             in_specs=jax.sharding.PartitionSpec("data"),
-            out_specs=jax.sharding.PartitionSpec("data"),
+            out_specs=jax.sharding.PartitionSpec(),
+            # The all_gather output is bitwise-identical on every shard;
+            # skip the varying-mesh-axes check that would force a pvary.
+            check_vma=False,
         )
-    )(arr)
-    return np.asarray(gathered).reshape(n, -1)[:, 0] if \
-        np.asarray(gathered).ndim > 1 else np.asarray(gathered)
+    except TypeError:  # older jax: the flag was named check_rep
+        mapped = shard_map(
+            gather, mesh=mesh,
+            in_specs=jax.sharding.PartitionSpec("data"),
+            out_specs=jax.sharding.PartitionSpec(),
+            check_rep=False,
+        )
+    gathered = jax.jit(mapped)(arr)
+    return np.asarray(gathered)
 
 
 class DevicePrefetchIterator:

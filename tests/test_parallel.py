@@ -35,9 +35,15 @@ def test_mesh_and_shardings():
 
 def test_all_gather_counts():
     mesh = data_parallel_mesh(jax.devices()[:8])
-    counts = all_gather_counts(7, mesh)
-    assert counts.shape[0] == 8
-    assert (counts == 7).all()
+    # Distinct per-position values prove a genuine per-shard gather
+    # (not a broadcast of one scalar).
+    local = np.arange(10, 18, dtype=np.int32)
+    counts = all_gather_counts(local, mesh)
+    assert counts.shape == (8,)
+    assert (counts == local).all()
+
+    with pytest.raises(ValueError, match="one count per mesh position"):
+        all_gather_counts([1, 2], mesh)
 
 
 def test_device_prefetch_iterator_order_and_error():
