@@ -669,6 +669,28 @@ class BamReader:
                 if "HP" in tags:
                     batch.hp[i] = int(tags["HP"])
 
+    def apply_original_quality_scores(self, batch: ReadBatch) -> int:
+        """Replace base qualities with the OQ aux tag where present
+        (--use_original_quality_scores; nucleus sam_reader.cc OQ
+        substitution). Returns the number of reads rewritten."""
+        wanted = frozenset(["OQ"])
+        n_applied = 0
+        so = batch.seq_offsets
+        for i, blob in enumerate(batch.aux):
+            if not blob:
+                continue
+            tags = parse_aux(blob, wanted)
+            oq = tags.get("OQ")
+            if not isinstance(oq, str):
+                continue
+            quals = np.frombuffer(
+                oq.encode("ascii"), np.uint8
+            ).astype(np.uint8) - 33
+            if len(quals) == so[i + 1] - so[i]:
+                batch.qual[so[i] : so[i + 1]] = quals
+                n_applied += 1
+        return n_applied
+
     def parse_methylation(self, batch: ReadBatch) -> int:
         """Fill batch.meth (5mC) and batch.meth6ma (6mA) with per-base
         modification probabilities from MM/ML aux tags (nucleus

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 import time
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -129,6 +130,71 @@ class MakeExamplesOptions:
     truth_variants_filename: str = ""
     confident_regions_filename: str = ""
     labeler_algorithm: str = "haplotype_labeler"
+    customized_classes_labeler_classes_list: str = ""
+    customized_classes_labeler_info_field_name: str = ""
+    # Per-class emission probabilities in training mode
+    # (--downsample_classes, make_examples_core.py label downsampling).
+    downsample_classes: Optional[List[float]] = None
+    # Regions whose labeled variants get denovo_label marking
+    # (--denovo_regions; example schema field denovo_label).
+    denovo_regions: Optional[List[str]] = None
+    # Caller selection (--variant_caller): very_sensitive_caller or
+    # vcf_candidate_importer (the latter also needs proposed_variants).
+    variant_caller: str = "very_sensitive_caller"
+    # Candidate post-filters.
+    select_variant_types: Optional[str] = None  # e.g. "snps indels"
+    exclude_variants_vcf_filename: str = ""
+    exclude_variants_af_threshold: float = 0.05
+    # Read-requirement surface (nucleus ReadRequirements flags).
+    keep_duplicates: bool = False
+    keep_secondary_alignments: bool = False
+    keep_supplementary_alignments: bool = False
+    parse_sam_aux_fields: Optional[bool] = None
+    aux_fields_to_keep: Optional[List[str]] = None
+    use_original_quality_scores: bool = False
+    use_ref_for_cram: bool = True
+    # Realignment guards.
+    max_read_length_to_realign: int = 500
+    # Phasing knobs (make_examples_core.py phase gating).
+    min_alleles_to_phase: int = 1
+    phase_max_candidates: int = 5000
+    exclude_contigs_for_methylation_phasing: List[str] = dataclasses.field(
+        default_factory=lambda: ["chrX", "chrY"]
+    )
+    output_local_read_phasing_filename: str = ""
+    # Region hygiene / outputs.
+    discard_non_dna_regions: bool = False
+    output_sitelist: bool = False
+    write_run_info: bool = True
+    skip_pileup_image_generation: bool = False
+    logging_every_n_candidates: int = 2000
+    # Mean coverage sampled from the BAM over calling regions
+    # (--sample_mean_coverage_on_calling_regions).
+    sample_mean_coverage_on_calling_regions: bool = False
+    # Small-model extras.
+    small_model_call_multiallelics: bool = True
+    small_model_emit_all_candidates: bool = False
+    small_model_inference_batch_size: int = 128
+    # Multisample-oriented switches carried on the options surface.
+    enable_joint_realignment: bool = False
+    assign_phase_from_normal: bool = False
+    # Low-VAF candidate filter (somatic pipelines;
+    # make_examples_core.py:1656-1711).
+    filter_low_vaf_candidates: bool = False
+    low_vaf_threshold: float = 0.05
+    low_vaf_max_base_quality: int = 30
+    low_vaf_max_mapping_quality: int = 30
+    # Trim reads to the pileup alignment region before imaging
+    # (--trim_reads_for_pileup; always on for alt alignment).
+    trim_reads_for_pileup: bool = False
+    # Merge adjacent SNP+indel evidence into complex alleles
+    # (--create_complex_alleles, variant_calling_multisample.cc
+    # complex-allele construction).
+    create_complex_alleles: bool = False
+    # Phasing outputs.
+    output_phasing_error_stats_filename: str = ""
+    output_phase_info: bool = False
+    output_debug_info: bool = False
 
 
 # Common problematic human decoy/unplaced contigs skipped by default
@@ -336,6 +402,11 @@ class RegionProcessor:
 
         requirements = ReadRequirements(
             min_mapping_quality=options.min_mapping_quality,
+            keep_duplicates=options.keep_duplicates,
+            keep_secondary_alignments=options.keep_secondary_alignments,
+            keep_supplementary_alignments=(
+                options.keep_supplementary_alignments
+            ),
         )
         if not options.reads_filename:
             self.bam_reader = None
@@ -369,11 +440,30 @@ class RegionProcessor:
             self.ref_reader,
             options.pileup_options,
             sequencing_type=options.sequencing_type,
+            trim_reads_for_pileup=options.trim_reads_for_pileup,
         )
         self.realigner = Realigner(
             options.realigner_options, self.ref_reader
         ) if options.realigner_enabled else None
         self.labeler = None  # set in training mode by the runner
+        # --select_variant_types filter set (make_examples_core.py
+        # select_variants_types semantics): names among
+        # {snps, indels, multi-allelics, all}.
+        self._downsample_rng = np.random.RandomState(options.random_seed)
+        self._select_variant_types = None
+        if options.select_variant_types:
+            names = set(options.select_variant_types.split())
+            if "all" not in names:
+                self._select_variant_types = names
+        # --exclude_variants_vcf_filename: drop candidates whose site
+        # appears in this VCF with AF above the threshold.
+        self._exclude_variants_reader = None
+        if options.exclude_variants_vcf_filename:
+            from deepvariant_tpu.io.vcf import VcfReader
+
+            self._exclude_variants_reader = VcfReader(
+                options.exclude_variants_vcf_filename
+            )
         self.small_model_caller = None
         self.small_model_factory = None
         if options.write_small_model_examples and \
@@ -457,6 +547,10 @@ class RegionProcessor:
     def region_reads(self, region: Range) -> ReadBatch:
         """Query + reservoir downsample (:2408-2449)."""
         batch = self.bam_reader.query(region)
+        if self.options.use_original_quality_scores and hasattr(
+            self.bam_reader, "apply_original_quality_scores"
+        ):
+            self.bam_reader.apply_original_quality_scores(batch)
         # Channel-driven aux decoding: only pay for MM/ML or Ultima
         # flow-tag parsing when a configured channel consumes them.
         from deepvariant_tpu.make_examples.pileup import (
@@ -468,8 +562,16 @@ class RegionProcessor:
         )
 
         chans = set(self.options.pileup_options.channels)
+        keep = set(self.options.aux_fields_to_keep or [])
+        if self.options.parse_sam_aux_fields:
+            # Eager aux parsing (--parse_sam_aux_fields): decode the
+            # kept tags now instead of on demand.
+            if "HP" in keep or not keep:
+                self.bam_reader.parse_hp_tags(batch)
         if (chans & {CH_BASE_METHYLATION, CH_BASE_6MA}
-                or self.options.enable_methylation_calling):
+                or self.options.enable_methylation_calling
+                or (self.options.parse_sam_aux_fields
+                    and keep & {"MM", "ML"})):
             self.bam_reader.parse_methylation(batch)
         if chans & {CH_HOMOPOLYMER_INSERTION_QUALITY,
                     CH_HOMOPOLYMER_DELETION_QUALITY,
@@ -491,9 +593,19 @@ class RegionProcessor:
         if self.realigner is None or len(batch) == 0:
             return batch
         reads = batch.to_reads()
+        # Reads longer than --max_read_length_to_realign keep their
+        # original alignment (make_examples_options.py:236-244).
+        cap = self.options.max_read_length_to_realign
+        if cap > 0:
+            long_reads = [
+                r for r in reads if len(r.aligned_sequence) > cap
+            ]
+            reads = [r for r in reads if len(r.aligned_sequence) <= cap]
+        else:
+            long_reads = []
         _, realigned = self.realigner.realign_reads(reads, region)
         return ReadBatch.from_reads(
-            realigned, [region.reference_name]
+            list(realigned) + long_reads, [region.reference_name]
         )
 
     # -- candidates ---------------------------------------------------------
@@ -712,6 +824,87 @@ class RegionProcessor:
 
     # -- main ---------------------------------------------------------------
 
+    @staticmethod
+    def _variant_type_name(variant) -> str:
+        if len(variant.alternate_bases) > 1:
+            return "multi-allelics"
+        if len(variant.reference_bases) == 1 and all(
+            len(a) == 1 for a in variant.alternate_bases
+        ):
+            return "snps"
+        return "indels"
+
+    def _apply_candidate_filters(self, candidates, batch):
+        """--select_variant_types / --exclude_variants_vcf_filename
+        candidate post-filters (make_examples_core.py select_variants
+        + exclude-variants hooks)."""
+        out = candidates
+        if self._select_variant_types is not None:
+            out = [
+                c for c in out
+                if self._variant_type_name(c.variant)
+                in self._select_variant_types
+            ]
+        if self._exclude_variants_reader is not None and out:
+            threshold = self.options.exclude_variants_af_threshold
+            kept = []
+            for c in out:
+                v = c.variant
+                drop = False
+                for rec in self._exclude_variants_reader.query(
+                    Range(v.reference_name, v.start, v.end)
+                ):
+                    if rec.start != v.start or \
+                            rec.reference_bases != v.reference_bases:
+                        continue
+                    afs = rec.info.get("AF", [])
+                    if any(
+                        alt in rec.alternate_bases
+                        and float(afs[rec.alternate_bases.index(alt)])
+                        >= threshold
+                        for alt in v.alternate_bases
+                        if afs and alt in rec.alternate_bases
+                    ):
+                        drop = True
+                        break
+                if not drop:
+                    kept.append(c)
+            out = kept
+        return out
+
+    def should_filter_low_vaf(self, candidate, batch) -> bool:
+        """Low-VAF candidate filter (make_examples_core.py:1656-1711).
+
+        Applied by multisample (somatic) pipelines: a candidate is
+        dropped when every alt allele has VAF <= low_vaf_threshold AND
+        fails the rescue criteria (supporting reads' average base
+        quality and mapping quality both clearing the configured
+        maxima keeps the allele)."""
+        o = self.options
+        if not getattr(o, "filter_low_vaf_candidates", False):
+            return False
+        n_ref = len(candidate.ref_support)
+        so = batch.seq_offsets
+        for alt, read_ids in candidate.allele_support.items():
+            if not read_ids:
+                continue
+            dp = len(read_ids) + n_ref
+            if dp == 0:
+                continue
+            vaf = len(read_ids) / dp
+            if vaf > o.low_vaf_threshold:
+                return False
+            avg_bq = float(np.mean([
+                batch.qual[so[r] : so[r + 1]].mean() for r in read_ids
+            ]))
+            avg_mapq = float(np.mean([
+                batch.mapq[r] for r in read_ids
+            ]))
+            if (avg_bq >= o.low_vaf_max_base_quality
+                    and avg_mapq >= o.low_vaf_max_mapping_quality):
+                return False
+        return True
+
     def process(self, region: Range) -> RegionOutputs:
         runtimes: Dict[str, float] = {}
         self.region_number += 1
@@ -728,6 +921,8 @@ class RegionProcessor:
         candidates, gvcfs, _ = self.candidates_in_region(
             region, batch, include_gvcfs
         )
+        if candidates:
+            candidates = self._apply_candidate_filters(candidates, batch)
         runtimes["find candidates"] = time.perf_counter() - t0
 
         if self.population_vcf_readers is not None and candidates:
@@ -751,7 +946,20 @@ class RegionProcessor:
                 batch, region, candidates
             )
 
+        phaseable = candidates
         if self.options.phase_reads and candidates:
+            # Gating knobs (--min_alleles_to_phase /
+            # --phase_max_candidates): skip phasing when the region has
+            # too few phaseable SNP alleles or absurdly many candidates.
+            n_snps = sum(
+                1 for c in candidates
+                if self._variant_type_name(c.variant) == "snps"
+            )
+            if (n_snps < self.options.min_alleles_to_phase
+                    or len(candidates)
+                    > self.options.phase_max_candidates):
+                phaseable = None
+        if self.options.phase_reads and candidates and phaseable:
             t0 = time.perf_counter()
             from deepvariant_tpu.phasing.direct_phasing import DirectPhasing
 
@@ -766,9 +974,13 @@ class RegionProcessor:
 
                 if not batch.meth:
                     self.bam_reader.parse_methylation(batch)
-                sites = extract_methylated_ref_sites(
-                    batch, region.start, region.end
-                )
+                sites = []
+                if region.reference_name not in set(
+                    self.options.exclude_contigs_for_methylation_phasing
+                ):
+                    sites = extract_methylated_ref_sites(
+                        batch, region.start, region.end
+                    )
                 if sites:
                     phases, p_values = perform_methylation_aware_phasing(
                         len(batch), phases, sites
@@ -871,7 +1083,11 @@ class RegionProcessor:
 
         t0 = time.perf_counter()
         examples: List[bytes] = []
-        for idx, dv_call in enumerate(candidates):
+        build_images = not self.options.skip_pileup_image_generation
+        downsample = self.options.downsample_classes
+        for idx, dv_call in enumerate(
+            candidates if build_images else ()
+        ):
             if idx in skip_for_cnn:
                 continue
             label = labels_by_index.get(idx)
@@ -879,6 +1095,14 @@ class RegionProcessor:
                 label is None or not label.is_confident
             ):
                 continue
+            if downsample and label is not None:
+                # --downsample_classes: per-class emission probability.
+                cls = label.label_for_alt_alleles(
+                    list(range(len(dv_call.variant.alternate_bases)))
+                ) if hasattr(label, "label_for_alt_alleles") else 0
+                keep_p = downsample[cls] if cls < len(downsample) else 1.0
+                if self._downsample_rng.random_sample() >= keep_p:
+                    continue
             label_fn = None
             if label is not None:
                 label_fn = (
@@ -1136,10 +1360,48 @@ def make_examples_runner(
         options.task_id if options.num_shards else None,
         options.num_shards if options.num_shards else None,
     )
+    if options.sample_mean_coverage_on_calling_regions and \
+            processor.bam_reader is not None and regions:
+        # Estimate mean coverage by sampling up to 16 regions
+        # (--sample_mean_coverage_on_calling_regions).
+        sampled = regions[:: max(1, len(regions) // 16)][:16]
+        bases = 0
+        span = 0
+        for r in sampled:
+            b = processor.bam_reader.query(r)
+            bases += int(b.read_lengths().sum())
+            span += r.end - r.start
+        if span:
+            options.pileup_options.mean_coverage = bases / span
     runtime_rows = []
+    sitelist: List[str] = []
+    n_candidates_logged = 0
     with OutputsWriter(options) as writer:
         for region in regions:
+            if options.discard_non_dna_regions:
+                ref = processor.ref_reader.bases(region)
+                ref_b = ref.encode() if isinstance(ref, str) else \
+                    ref.tobytes()
+                if not ref_b.strip(b"Nn"):
+                    continue
             outputs = processor.process(region)
+            if options.output_sitelist:
+                sitelist.extend(
+                    f"{c.variant.reference_name}\t{c.variant.start}"
+                    f"\t{c.variant.end}"
+                    for c in outputs.candidates
+                )
+            if options.logging_every_n_candidates > 0:
+                prev = n_candidates_logged
+                n_candidates_logged += len(outputs.candidates)
+                if (n_candidates_logged
+                        // options.logging_every_n_candidates
+                        > prev // options.logging_every_n_candidates):
+                    logging.info(
+                        "task %d: %d candidates (region %s:%d-%d)",
+                        options.task_id, n_candidates_logged,
+                        region.reference_name, region.start, region.end,
+                    )
             writer.write_examples(*outputs.examples)
             writer.write_candidates(*outputs.candidates)
             writer.write_gvcfs(*outputs.gvcfs)
@@ -1168,17 +1430,141 @@ def make_examples_runner(
         metrics_path = writer.examples_path + ".labeling_metrics.json"
         with open(metrics_path, "w") as f:
             json.dump(metrics.as_dict(), f, indent=2)
-    # Run-info sidecar with resource metrics
-    # (MakeExamplesRunInfo.resource_metrics, resources.proto).
-    if options.examples_filename:
+    if options.output_sitelist and options.examples_filename:
+        # --output_sitelist: candidate positions next to the examples
+        # (make_examples_core.py sitelist output).
+        with open(writer.examples_path + ".sitelist.tsv", "w") as f:
+            f.write("\n".join(sitelist) + ("\n" if sitelist else ""))
+    # Run-info sidecar with resource metrics AND the full serialized
+    # options (the reference's MakeExamplesRunInfo carries the options
+    # proto; --write_run_info gates it, make_examples_core.py:3715-48).
+    if options.write_run_info and options.examples_filename:
         run_info = {
             "counts": counts,
             "resource_metrics": monitor.metrics(),
             "num_regions": len(regions),
+            "options": serialize_options(options),
         }
         with open(writer.examples_path + ".run_info.json", "w") as f:
             json.dump(run_info, f, indent=2)
     return counts
+
+
+class OptionsError(ValueError):
+    """An invalid flag/option combination."""
+
+
+def check_options_are_valid(options: MakeExamplesOptions) -> None:
+    """Cross-flag consistency validation (behavioral mirror of
+    make_examples_options.py:1386-1539's check_options_are_valid)."""
+    def bail(msg: str) -> None:
+        raise OptionsError(msg)
+
+    if not options.ref_filename:
+        bail("a reference FASTA (--ref) is required")
+    if not options.examples_filename:
+        bail("an output path (--examples) is required")
+    if not options.reads_filename:
+        bail("an input BAM/CRAM (--reads) is required")
+    if options.variant_caller not in (
+        "very_sensitive_caller", "vcf_candidate_importer"
+    ):
+        bail(f"unknown --variant_caller {options.variant_caller!r}")
+
+    importer = options.variant_caller == "vcf_candidate_importer" or \
+        bool(options.proposed_variants_filename)
+    if options.mode == "candidate_sweep":
+        pass
+    elif options.mode == "training":
+        if not options.truth_variants_filename:
+            bail("training mode needs --truth_variants")
+        if not options.confident_regions_filename and not importer:
+            bail("training mode needs --confident_regions (optional "
+                 "only with vcf_candidate_importer)")
+        if options.gvcf_filename:
+            bail("gVCF output is a calling-mode feature; drop --gvcf "
+                 "in training mode")
+        if importer and options.proposed_variants_filename:
+            bail("vcf_candidate_importer takes its training candidates "
+                 "from --truth_variants; --proposed_variants is a "
+                 "calling-mode flag")
+    elif options.mode == "calling":
+        if options.truth_variants_filename:
+            bail("--truth_variants is a training-mode flag")
+        if options.variant_caller_options.gq_resolution < 1:
+            bail("--gvcf_gq_binsize must be >= 1")
+        if options.variant_caller == "vcf_candidate_importer" and \
+                not options.proposed_variants_filename:
+            bail("vcf_candidate_importer in calling mode needs "
+                 "--proposed_variants")
+    else:
+        bail(f"unknown --mode {options.mode!r}")
+
+    vco = options.variant_caller_options
+    size_flags = [
+        vco.min_indel_fraction_for_small_indels > 0,
+        vco.min_indel_fraction_for_large_indels > 0,
+        vco.small_indel_threshold > 0,
+    ]
+    if any(size_flags) and not all(size_flags):
+        bail("the indel-size fraction knobs "
+             "(--vsc_min_indel_fraction_for_{small,large}_indels, "
+             "--vsc_small_indel_threshold) must be set together")
+    if all(size_flags):
+        if not 0 < vco.min_indel_fraction_for_small_indels < 1:
+            bail("--vsc_min_indel_fraction_for_small_indels must be "
+                 "in (0, 1)")
+        if not 0 < vco.min_indel_fraction_for_large_indels < 1:
+            bail("--vsc_min_indel_fraction_for_large_indels must be "
+                 "in (0, 1)")
+
+    mult = vco.min_fraction_multiplier
+    if (mult <= 0 or mult > 1.0) and mult != float("inf"):
+        bail(f"--vsc_min_fraction_multiplier must be in (0, 1] or inf; "
+             f"got {mult}")
+
+    height = options.pileup_options.height
+    if not 75 <= height <= 362:
+        bail(f"pileup height {height} is outside the CNN's supported "
+             "75-362 range")
+    if options.pileup_options.width % 2 != 1 or \
+            options.pileup_options.width < 3:
+        bail(f"pileup width must be odd and >= 3, got "
+             f"{options.pileup_options.width}")
+    if options.downsample_classes is not None and any(
+        not 0.0 <= p <= 1.0 for p in options.downsample_classes
+    ):
+        bail("--downsample_classes probabilities must be within [0, 1]")
+    if options.select_variant_types:
+        allowed = {"snps", "indels", "multi-allelics", "all"}
+        bad = set(options.select_variant_types.split()) - allowed
+        if bad:
+            bail(f"--select_variant_types: unknown type(s) {sorted(bad)}; "
+                 f"allowed: {sorted(allowed)}")
+
+
+def serialize_options(options: MakeExamplesOptions) -> dict:
+    """JSON-safe dump of the full options tree (the single serialized
+    options artifact; equivalent of the reference's options proto in
+    MakeExamplesRunInfo)."""
+
+    def convert(value):
+        if dataclasses.is_dataclass(value) and not isinstance(value, type):
+            return {
+                f.name: convert(getattr(value, f.name))
+                for f in dataclasses.fields(value)
+            }
+        if isinstance(value, (list, tuple)):
+            return [convert(v) for v in value]
+        if isinstance(value, (np.integer,)):
+            return int(value)
+        if isinstance(value, (np.floating,)):
+            return float(value)
+        if isinstance(value, (str, int, float, bool)) or value is None:
+            return value
+        return repr(value)
+
+    return convert(options)
 
 
 def _write_runtime_tsv(path: str, rows) -> None:

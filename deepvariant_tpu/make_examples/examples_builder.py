@@ -77,11 +77,13 @@ class ExamplesBuilder:
         ref_reader,
         pileup_options: Optional[PileupOptions] = None,
         sequencing_type: int = 0,
+        trim_reads_for_pileup: bool = False,
     ):
         self.ref = ref_reader
         self.pileup_options = pileup_options or PileupOptions()
         self.encoder = PileupEncoder(self.pileup_options)
         self.sequencing_type = sequencing_type
+        self.trim_reads_for_pileup = trim_reads_for_pileup
 
     def reference_window(self, variant: Variant) -> Optional[np.ndarray]:
         """Pileup-width ref bases centered at variant.start, N-padded at
@@ -191,7 +193,28 @@ class ExamplesBuilder:
         locus = f"{variant.reference_name}:{variant.start + 1}-{variant.end}"
         needs_alt = self.need_alt_alignment(variant)
         mode = self.pileup_options.alt_aligned_pileup
-        for combo in alt_allele_combinations(variant):
+        if self.trim_reads_for_pileup and len(batch):
+            # --trim_reads_for_pileup: image from reads trimmed to the
+            # pileup alignment region (TrimReads,
+            # alt_aligned_pileup_lib.cc:250-268; min_overlap 15).
+            from deepvariant_tpu.make_examples import alt_aligned as aa
+            from deepvariant_tpu.io.bam import ReadBatch
+
+            region = aa.calculate_alignment_region(
+                variant, self.pileup_options.half_width,
+                self.ref.contig_length(variant.reference_name),
+            )
+            trimmed, _ = aa.trim_reads(batch.to_reads(), region)
+            batch = ReadBatch.from_reads(
+                trimmed, [variant.reference_name]
+            )
+            read_indices = reads_overlapping_variant(
+                batch, variant,
+                self.pileup_options.read_overlap_buffer_bp,
+            )
+        for combo in alt_allele_combinations(
+            variant, self.pileup_options.multi_allelic_mode
+        ):
             image = self.encoder.build_pileup(
                 dv_call, ref_window, batch, read_indices, combo
             )

@@ -211,6 +211,17 @@ class PileupOptions:
     sort_by_haplotypes: bool = False
     sort_by_alt_allele_support: bool = False
     hp_tag_for_assembly_polishing: int = 0
+    # Swap HP1/HP2 sort order (--reverse_haplotypes).
+    reverse_haplotypes: bool = False
+    # Multiallelic image policy (--multi_allelic_mode):
+    # add_het_alt (default) also emits composite het-alt images.
+    multi_allelic_mode: str = "add_het_alt"
+    # Guarantee a minimum per-allele read count when a crowded window
+    # is downsampled (--use_non_uniform_downsampling,
+    # DownsampleReadIndicesWithMinsPerAllele,
+    # pileup_image_native.cc:153-240).
+    use_non_uniform_downsampling: bool = False
+    non_uniform_downsampling_threshold: int = 3
     # Per-sample mean coverage for CH_MEAN_COVERAGE
     # (SampleOptions.mean_coverage default, deepvariant.proto:693).
     mean_coverage: float = 14.0
@@ -467,6 +478,40 @@ class PileupEncoder:
         probability = min(max(float(supporting), 0.0), float(total)) / total
         return int(MAX_PIXEL_FLOAT * math.sqrt(probability))
 
+    @staticmethod
+    def _downsample_with_allele_mins(
+        dv_call, indices, max_reads: int, min_per_allele: int, rng
+    ):
+        """Crowded-window downsample that guarantees up to
+        `min_per_allele` reads per alt allele before uniform fill
+        (DownsampleReadIndicesWithMinsPerAllele,
+        pileup_image_native.cc:286-294). Returns None when the
+        guarantees cannot fit in `max_reads` (caller falls back to
+        uniform sampling, matching the reference's warning path)."""
+        index_set = set(int(i) for i in indices)
+        picked: List[int] = []
+        picked_set: set = set()
+        for alt in dv_call.variant.alternate_bases:
+            ids = [
+                int(r) for r in dv_call.allele_support.get(alt, [])
+                if int(r) in index_set and int(r) not in picked_set
+            ]
+            take = ids if len(ids) <= min_per_allele else [
+                ids[k] for k in rng.choice(
+                    len(ids), size=min_per_allele, replace=False
+                )
+            ]
+            picked.extend(take)
+            picked_set.update(take)
+        if len(picked) > max_reads:
+            return None
+        rest = [int(i) for i in indices if int(i) not in picked_set]
+        fill = max_reads - len(picked)
+        if len(rest) > fill:
+            order = rng.permutation(len(rest))[:fill]
+            rest = [rest[k] for k in order]
+        return picked + rest
+
     def _hap_index(self, hp: int) -> int:
         """Sort key from HP tag (pileup_image_native.cc:449-475)."""
         o = self.options
@@ -477,6 +522,8 @@ class PileupEncoder:
             and hp == o.hp_tag_for_assembly_polishing
         ):
             return -1
+        if o.reverse_haplotypes and hp in (1, 2):
+            hp = 3 - hp
         return max(0, hp)
 
     def _hp_channel_value(self, hp: int) -> int:
@@ -794,8 +841,19 @@ class PileupEncoder:
         indices = list(read_indices)
         if len(indices) > max_reads:
             rng = np.random.Generator(np.random.Philox(o.random_seed))
-            order = rng.permutation(len(indices))
-            indices = [indices[k] for k in order]
+            if o.use_non_uniform_downsampling:
+                picked = self._downsample_with_allele_mins(
+                    dv_call, indices, max_reads,
+                    o.non_uniform_downsampling_threshold, rng,
+                )
+                if picked is not None:
+                    indices = picked
+                else:
+                    order = rng.permutation(len(indices))
+                    indices = [indices[k] for k in order]
+            else:
+                order = rng.permutation(len(indices))
+                indices = [indices[k] for k in order]
 
         # Precompute allele-support groups for sorting.
         alt_order = {

@@ -55,6 +55,21 @@ class VariantCallerOptions:
     min_fraction_snps: float = 0.12
     min_fraction_indels: float = 0.06
     min_fraction_multiplier: float = 1.0
+    # Indel-size-dependent fractions (deepvariant.proto:481-488): when
+    # the threshold and both fractions are set, alleles with bases
+    # length <= threshold+1 use the small-indel fraction, longer ones
+    # the large-indel fraction; otherwise min_fraction_indels applies.
+    min_indel_fraction_for_small_indels: float = 0.0
+    min_indel_fraction_for_large_indels: float = 0.0
+    small_indel_threshold: int = 0
+    # Multisample caps: drop an allele when the NON-target samples
+    # carry it above these fractions (variant_calling_multisample.cc
+    # AlleleFilter :264-286). 0 disables.
+    max_fraction_snps_for_non_target_sample: float = 0.0
+    max_fraction_indels_for_non_target_sample: float = 0.0
+    # Keep read support from rejected alleles for downstream consumers
+    # (deepvariant.proto:479 use_rejected_alleles).
+    use_rejected_alleles: bool = False
     fraction_reference_sites_to_emit: float = 0.0
     random_seed: int = 1400605801
     sample_name: str = "default"
@@ -63,6 +78,9 @@ class VariantCallerOptions:
     gq_resolution: int = 5
     ploidy: int = 2
     haploid_contigs: Tuple[str, ...] = ()
+    # BED of pseudoautosomal regions that stay diploid on haploid
+    # contigs (--par_regions_bed).
+    par_regions_bed: str = ""
     skip_uncalled_genotypes: bool = False
     small_model_vaf_context_window_size: int = 0
 
@@ -198,6 +216,17 @@ class VerySensitiveCaller:
         self._rng = np.random.Generator(
             np.random.Philox(self.options.random_seed)
         )
+        self._par_regions_cache = None
+
+    def _par_regions(self):
+        if self._par_regions_cache is None and \
+                self.options.par_regions_bed:
+            from deepvariant_tpu.core.ranges import RangeSet
+
+            self._par_regions_cache = RangeSet.from_regions(
+                [self.options.par_regions_bed]
+            )
+        return self._par_regions_cache
 
     # -- allele selection ---------------------------------------------------------
 
@@ -207,9 +236,17 @@ class VerySensitiveCaller:
         return self.options.min_count_indels
 
     def _min_fraction(self, allele: Allele) -> float:
+        """variant_calling_multisample.h:357-372."""
+        o = self.options
         if allele.type == SUBSTITUTION:
-            return self.options.min_fraction_snps
-        return self.options.min_fraction_indels
+            return o.min_fraction_snps
+        if (o.small_indel_threshold > 0
+                and o.min_indel_fraction_for_small_indels > 0.0
+                and o.min_indel_fraction_for_large_indels > 0.0):
+            if len(allele.bases) <= o.small_indel_threshold + 1:
+                return o.min_indel_fraction_for_small_indels
+            return o.min_indel_fraction_for_large_indels
+        return o.min_fraction_indels
 
     def is_good_alt_allele(self, allele: Allele, total_count: int) -> bool:
         """variant_calling_multisample.cc:235."""
@@ -334,6 +371,15 @@ class VerySensitiveCaller:
         is_haploid_contig = (
             interval.reference_name in self.options.haploid_contigs
         )
+        if is_haploid_contig and self.options.par_regions_bed:
+            # PAR regions on haploid contigs stay diploid
+            # (--par_regions_bed; postprocess_variants.py:1070 analog).
+            par = self._par_regions()
+            if par is not None and any(
+                par.overlaps(interval.reference_name, pos)
+                for pos in (interval.start, interval.end - 1)
+            ):
+                is_haploid_contig = False
         opts = self.options
         width = len(interval)
 

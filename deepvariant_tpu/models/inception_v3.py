@@ -46,6 +46,9 @@ class ConvBN(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     padding: str = "SAME"
     dtype: Any = jnp.bfloat16
+    # keras InceptionV3's value; short fine-tuning runs want a faster
+    # constant (e.g. 0.9) so running stats converge within the run.
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -62,7 +65,7 @@ class ConvBN(nn.Module):
             use_running_average=not train,
             use_scale=False,  # keras InceptionV3 uses scale=False
             epsilon=1e-3,
-            momentum=0.9997,
+            momentum=self.bn_momentum,
             dtype=jnp.float32,
             name="bn",
         )(x.astype(jnp.float32))
@@ -82,10 +85,11 @@ class InceptionA(nn.Module):
 
     pool_features: int
     dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cb = functools.partial(ConvBN, dtype=self.dtype)
+        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum)
         b1 = cb(64, (1, 1), name="b1x1")(x, train)
         b5 = cb(48, (1, 1), name="b5x5_1")(x, train)
         b5 = cb(64, (5, 5), name="b5x5_2")(b5, train)
@@ -102,10 +106,11 @@ class ReductionA(nn.Module):
     """Grid reduction 35->17 (keras mixed3)."""
 
     dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cb = functools.partial(ConvBN, dtype=self.dtype)
+        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum)
         b3 = cb(384, (3, 3), strides=(2, 2), padding="VALID", name="b3x3")(
             x, train
         )
@@ -121,10 +126,11 @@ class InceptionB(nn.Module):
 
     c7: int  # 128 / 160 / 160 / 192
     dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cb = functools.partial(ConvBN, dtype=self.dtype)
+        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum)
         b1 = cb(192, (1, 1), name="b1x1")(x, train)
         b7 = cb(self.c7, (1, 1), name="b7x7_1")(x, train)
         b7 = cb(self.c7, (1, 7), name="b7x7_2")(b7, train)
@@ -142,10 +148,11 @@ class ReductionB(nn.Module):
     """Grid reduction 17->8 (keras mixed8)."""
 
     dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cb = functools.partial(ConvBN, dtype=self.dtype)
+        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum)
         b3 = cb(192, (1, 1), name="b3x3_1")(x, train)
         b3 = cb(320, (3, 3), strides=(2, 2), padding="VALID", name="b3x3_2")(
             b3, train
@@ -162,10 +169,11 @@ class InceptionC(nn.Module):
     """8x8-grid block with expanded filter banks (keras mixed9/10)."""
 
     dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cb = functools.partial(ConvBN, dtype=self.dtype)
+        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum)
         b1 = cb(320, (1, 1), name="b1x1")(x, train)
         b3 = cb(384, (1, 1), name="b3x3_1")(x, train)
         b3a = cb(384, (1, 3), name="b3x3_2a")(b3, train)
@@ -191,10 +199,11 @@ class InceptionV3(nn.Module):
     num_classes: int = NUM_CLASSES
     dropout_rate: float = DEFAULT_BACKBONE_DROPOUT_RATE
     dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def backbone(self, x, train: bool = False):
-        cb = functools.partial(ConvBN, dtype=self.dtype)
+        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum)
         x = x.astype(self.dtype)
         # Stem (keras InceptionV3 lines before mixed0).
         x = cb(32, (3, 3), strides=(2, 2), padding="VALID", name="stem1")(
@@ -206,17 +215,17 @@ class InceptionV3(nn.Module):
         x = cb(80, (1, 1), padding="VALID", name="stem4")(x, train)
         x = cb(192, (3, 3), padding="VALID", name="stem5")(x, train)
         x = _max_pool_v(x)
-        x = InceptionA(32, dtype=self.dtype, name="mixed0")(x, train)
-        x = InceptionA(64, dtype=self.dtype, name="mixed1")(x, train)
-        x = InceptionA(64, dtype=self.dtype, name="mixed2")(x, train)
-        x = ReductionA(dtype=self.dtype, name="mixed3")(x, train)
-        x = InceptionB(128, dtype=self.dtype, name="mixed4")(x, train)
-        x = InceptionB(160, dtype=self.dtype, name="mixed5")(x, train)
-        x = InceptionB(160, dtype=self.dtype, name="mixed6")(x, train)
-        x = InceptionB(192, dtype=self.dtype, name="mixed7")(x, train)
-        x = ReductionB(dtype=self.dtype, name="mixed8")(x, train)
-        x = InceptionC(dtype=self.dtype, name="mixed9")(x, train)
-        x = InceptionC(dtype=self.dtype, name="mixed10")(x, train)
+        x = InceptionA(32, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed0")(x, train)
+        x = InceptionA(64, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed1")(x, train)
+        x = InceptionA(64, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed2")(x, train)
+        x = ReductionA(dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed3")(x, train)
+        x = InceptionB(128, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed4")(x, train)
+        x = InceptionB(160, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed5")(x, train)
+        x = InceptionB(160, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed6")(x, train)
+        x = InceptionB(192, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed7")(x, train)
+        x = ReductionB(dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed8")(x, train)
+        x = InceptionC(dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed9")(x, train)
+        x = InceptionC(dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed10")(x, train)
         # pooling='avg' backbone output (keras_modeling.py:252-257).
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
@@ -247,12 +256,13 @@ def create_model(
     width: int = 221,
     dtype: Any = jnp.bfloat16,
     rng: Optional[jax.Array] = None,
+    bn_momentum: float = 0.9997,
 ):
     """Build the model and init variables for a (H, W, C) pileup input.
 
     Returns (module, variables) where variables = {params, batch_stats}.
     """
-    model = InceptionV3(dtype=dtype)
+    model = InceptionV3(dtype=dtype, bn_momentum=bn_momentum)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, height, width, num_channels), jnp.bfloat16)

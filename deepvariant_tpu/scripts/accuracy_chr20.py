@@ -50,7 +50,7 @@ def run(
     train_region: str = TRAIN_REGION,
     eval_region: str = EVAL_REGION,
     batch_size: int = 32,
-    num_epochs: int = 40,
+    num_epochs: int = 120,
     learning_rate: float = 0.002,
     log_fn=print,
 ) -> dict:
@@ -104,6 +104,9 @@ def run(
     config.learning_rate = learning_rate
     config.early_stopping_patience = num_epochs  # run all epochs
     config.num_validation_examples = 0
+    # The slice run is ~10^3 steps; keras' bn momentum 0.9997 would
+    # leave running stats near init and wreck held-out inference.
+    config.bn_momentum = 0.90
 
     exp_dir = os.path.join(workdir, "experiment")
     results = train_lib.train(config, exp_dir, log_fn=log_fn)
@@ -190,7 +193,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--train_region", default=TRAIN_REGION)
     p.add_argument("--eval_region", default=EVAL_REGION)
     p.add_argument("--batch_size", type=int, default=32)
-    p.add_argument("--num_epochs", type=int, default=40)
+    p.add_argument("--num_epochs", type=int, default=120)
     p.add_argument("--learning_rate", type=float, default=0.002)
     p.add_argument("--report", default="")
     args = p.parse_args(argv)

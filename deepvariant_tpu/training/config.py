@@ -39,6 +39,9 @@ class TrainConfig:
 
     early_stopping_patience: int = 100
     learning_rate: float = 0.01
+    # BatchNorm running-average momentum: keras InceptionV3's 0.9997
+    # needs thousands of steps to converge; short runs should lower it.
+    bn_momentum: float = 0.9997
     learning_rate_num_epochs_per_decay: float = 2.25
     learning_rate_decay_rate: float = 0.9999
     warmup_steps: int = 0

@@ -335,7 +335,7 @@ def train(
     dtype = jnp.bfloat16 if config.use_mixed_precision else jnp.float32
     model, variables = create_model(
         input_shape[2], height=input_shape[0], width=input_shape[1],
-        dtype=dtype,
+        dtype=dtype, bn_momentum=config.bn_momentum,
     )
     tx, schedule = make_optimizer(config, steps_per_epoch)
     state = init_state(model, variables, tx)
