@@ -54,6 +54,12 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+    if hasattr(lib, "dv_shuffle_indices"):
+        lib.dv_shuffle_indices.restype = None
+        lib.dv_shuffle_indices.argtypes = [
+            ctypes.c_int32, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     if hasattr(lib, "dv_fast_align_strings"):
         lib.dv_fast_align_strings.restype = ctypes.c_int32
         lib.dv_fast_align_strings.argtypes = [
@@ -95,6 +101,23 @@ def has_fast_align() -> bool:
 
 def has_fast_pass() -> bool:
     return hasattr(_LIB, "dv_fast_pass_align")
+
+
+def has_shuffle() -> bool:
+    return hasattr(_LIB, "dv_shuffle_indices")
+
+
+def shuffle_indices(n: int, seed: int):
+    """libstdc++ std::shuffle(iota(n), mt19937_64(seed)) — the exact
+    crowded-pileup downsample permutation (pileup_image_native.cc:153)."""
+    import numpy as np
+
+    out = np.empty(n, np.int32)
+    _LIB.dv_shuffle_indices(
+        n, ctypes.c_uint64(seed),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
 
 
 def fast_pass_align(reads, haplotypes, ref_hap_index: int, k: int,

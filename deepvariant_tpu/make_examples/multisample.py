@@ -64,15 +64,21 @@ def trio_samples(
     sample_name_child: str = "child",
     sample_name_parent1: str = "parent1",
     sample_name_parent2: str = "parent2",
+    height_child: int = TRIO_HEIGHT_CHILD,
+    height_parent: int = TRIO_HEIGHT_PARENT,
 ) -> List[SampleSpec]:
-    """[parent1, child, parent2] (deeptrio/make_examples.py:229-250)."""
+    """[parent1, child, parent2] (deeptrio/make_examples.py:229-250).
+
+    Heights default to the dt_constants 100/100/100; the run_deeptrio
+    WGS/PacBio presets use child 60 / parent 40 (run_deeptrio.py:392).
+    """
     return [
         SampleSpec("parent1", reads_parent1, sample_name_parent1,
-                   TRIO_HEIGHT_PARENT),
+                   height_parent),
         SampleSpec("child", reads_child, sample_name_child,
-                   TRIO_HEIGHT_CHILD),
+                   height_child),
         SampleSpec("parent2", reads_parent2, sample_name_parent2,
-                   TRIO_HEIGHT_PARENT),
+                   height_parent),
     ]
 
 
@@ -229,16 +235,48 @@ class MultiSampleRegionProcessor:
         t0 = time.perf_counter()
         include_gvcfs = bool(self.options.gvcf_filename)
         main_batch = batches[self.main_sample_index]
-        candidates, gvcfs, _ = self._main.candidates_in_region(
-            region, main_batch, include_gvcfs
-        )
+        if hasattr(self._main.caller, "select_alt_alleles_multisample"):
+            # Pooled-sample candidate calling: the target sample's
+            # alleles can be rescued by evidence across all samples
+            # (AlleleFilter + min_fraction_multiplier,
+            # variant_calling_multisample.cc:264-308).
+            counters = []
+            for b in batches:
+                counter = self._main._allele_counter(region)
+                if self.options.normalize_reads and len(b):
+                    from deepvariant_tpu.make_examples.normalize import (
+                        normalize_batch_cigars,
+                    )
+
+                    normalize_batch_cigars(b, counter.ref, region.start)
+                counter.add_batch(b)
+                counters.append(counter)
+            target = counters[self.main_sample_index]
+            candidates = self._main.caller.calls_in_region(
+                target, context_counters=counters
+            )
+            gvcfs = list(self._main.caller.make_gvcfs(
+                target, include_med_dp=self.options.include_med_dp
+            )) if include_gvcfs else []
+        else:
+            counters = None
+            candidates, gvcfs, _ = self._main.candidates_in_region(
+                region, main_batch, include_gvcfs
+            )
+        if candidates and self.options.filter_low_vaf_candidates:
+            candidates = [
+                c for c in candidates
+                if not self._main.should_filter_low_vaf(c, main_batch)
+            ]
         runtimes["find candidates"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         examples: List[bytes] = []
         for dv_call in candidates:
             examples.extend(
-                self._stacked_examples_for_candidate(dv_call, batches)
+                self._stacked_examples_for_candidate(
+                    dv_call, batches, counters
+                )
             )
         runtimes["make pileup images"] = time.perf_counter() - t0
         return RegionOutputs(region, candidates, examples, gvcfs, runtimes)
@@ -256,7 +294,8 @@ class MultiSampleRegionProcessor:
         return batch
 
     def _stacked_examples_for_candidate(
-        self, dv_call: DeepVariantCall, batches: Sequence[ReadBatch]
+        self, dv_call: DeepVariantCall, batches: Sequence[ReadBatch],
+        counters=None,
     ) -> List[bytes]:
         """One example per alt combo; image = vertical stack of
         per-sample pileups in sample order."""
@@ -287,11 +326,20 @@ class MultiSampleRegionProcessor:
                 if sample_i == self.main_sample_index:
                     call_for_sample = dv_call
                 else:
-                    # Non-target samples have no per-read support info;
-                    # their reads render as non-supporting.
+                    # Each sample's reads are colored by THEIR support
+                    # for the candidate's alleles (per-sample
+                    # AddSupportingReads semantics).
+                    support, refs = ({}, [])
+                    if counters is not None:
+                        support, refs = (
+                            self._main.caller.support_from_counter(
+                                counters[sample_i], dv_call
+                            )
+                        )
                     call_for_sample = DeepVariantCall(
-                        variant=variant, allele_support={},
-                        ref_support=[],
+                        variant=variant, allele_support=support,
+                        ref_support=refs,
+                        allele_keys=dv_call.allele_keys,
                     )
                 indices = reads_overlapping_variant(
                     batch, variant,

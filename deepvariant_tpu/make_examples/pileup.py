@@ -841,19 +841,34 @@ class PileupEncoder:
         indices = list(read_indices)
         if len(indices) > max_reads:
             rng = np.random.Generator(np.random.Philox(o.random_seed))
+
+            def permute():
+                # Crowded window: the reference shuffles the index list
+                # with std::shuffle + mt19937_64(random_seed)
+                # (DownsampleReadIndices, pileup_image_native.cc:153).
+                # The native path reproduces it bit-exactly; the Philox
+                # fallback is only for environments without the library.
+                try:
+                    from deepvariant_tpu.io import native
+
+                    if native.has_shuffle():
+                        order = native.shuffle_indices(
+                            len(indices), o.random_seed
+                        )
+                        return [indices[k] for k in order]
+                except Exception:
+                    pass
+                order = rng.permutation(len(indices))
+                return [indices[k] for k in order]
+
             if o.use_non_uniform_downsampling:
                 picked = self._downsample_with_allele_mins(
                     dv_call, indices, max_reads,
                     o.non_uniform_downsampling_threshold, rng,
                 )
-                if picked is not None:
-                    indices = picked
-                else:
-                    order = rng.permutation(len(indices))
-                    indices = [indices[k] for k in order]
+                indices = picked if picked is not None else permute()
             else:
-                order = rng.permutation(len(indices))
-                indices = [indices[k] for k in order]
+                indices = permute()
 
         # Precompute allele-support groups for sorting.
         alt_order = {

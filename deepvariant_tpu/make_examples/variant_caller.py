@@ -96,6 +96,12 @@ class DeepVariantCall:
     allele_frequencies: Dict[str, float] = dataclasses.field(
         default_factory=dict
     )
+    # (allele bases, allele type) -> vcf alt string, kept so other
+    # samples' read support can be computed for the same candidate
+    # (multisample pileups color every sample's reads by support).
+    allele_keys: Dict[Tuple[str, int], str] = dataclasses.field(
+        default_factory=dict
+    )
 
 
 def _quantize_gq(raw_gq: int, binsize: int) -> int:
@@ -269,6 +275,51 @@ class VerySensitiveCaller:
             a for a in alleles if self.is_good_alt_allele(a, total_count)
         ]
 
+    def select_alt_alleles_multisample(
+        self,
+        target_alleles: Sequence[Allele],
+        target_total: int,
+        all_alleles_by_key: Dict[Tuple[str, int], Allele],
+        all_total: int,
+        non_target_by_key: Dict[Tuple[str, int], Allele],
+        non_target_total: int,
+    ) -> List[Allele]:
+        """Multisample AlleleFilter (variant_calling_multisample.cc
+        :264-308): a target-sample allele that fails the ratio/support
+        thresholds is rescued when the allele pooled over ALL samples
+        passes them with min_fraction * min_fraction_multiplier (the
+        trio coefficient); an allele is dropped outright when the
+        NON-target samples carry it above the configured caps."""
+        o = self.options
+        out: List[Allele] = []
+        for allele in target_alleles:
+            if allele.type == REFERENCE:
+                continue
+            key = (allele.bases, allele.type)
+            nt = non_target_by_key.get(key)
+            if nt is not None and non_target_total > 0:
+                cap = (
+                    o.max_fraction_snps_for_non_target_sample
+                    if allele.type == SUBSTITUTION
+                    else o.max_fraction_indels_for_non_target_sample
+                )
+                if cap > 0 and nt.count / non_target_total > cap:
+                    continue
+            if self.is_good_alt_allele(allele, target_total):
+                out.append(allele)
+                continue
+            if allele.type == SOFT_CLIP:
+                continue
+            pooled = all_alleles_by_key.get(key)
+            if pooled is None or all_total == 0:
+                continue
+            mult = o.min_fraction_multiplier
+            if (pooled.count >= self._min_count(pooled)
+                    and pooled.count / all_total
+                    >= self._min_fraction(pooled) * mult):
+                out.append(allele)
+        return out
+
     def keep_reference_site(self) -> bool:
         f = self.options.fraction_reference_sites_to_emit
         return f > 0.0 and self._rng.random() < f
@@ -279,14 +330,45 @@ class VerySensitiveCaller:
         self,
         counter: AlleleCounter,
         interval_pos: int,
+        context_counters: Optional[Sequence[AlleleCounter]] = None,
     ) -> Optional[DeepVariantCall]:
-        """CallVariant for one position (variant_calling_multisample.cc:972)."""
+        """CallVariant for one position (variant_calling_multisample.cc:972).
+        `context_counters` (multisample): ALL samples' counters over the
+        same interval, enabling the pooled-sample allele rescue."""
         ref_byte = counter.ref[interval_pos]
         if ref_byte not in CANONICAL_DNA_BASES:
             return None
         alleles = counter.sum_allele_counts(interval_pos)
         total_count = counter.total_allele_count(interval_pos)
-        alt_alleles = self.select_alt_alleles(alleles, total_count)
+        if context_counters:
+            all_by_key: Dict[Tuple[str, int], Allele] = {}
+            all_total = 0
+            nt_by_key: Dict[Tuple[str, int], Allele] = {}
+            nt_total = 0
+            for c in context_counters:
+                is_target = c is counter
+                all_total += c.total_allele_count(interval_pos)
+                if not is_target:
+                    nt_total += c.total_allele_count(interval_pos)
+                for a in c.sum_allele_counts(interval_pos):
+                    key = (a.bases, a.type)
+                    for acc, use in ((all_by_key, True),
+                                     (nt_by_key, not is_target)):
+                        if not use:
+                            continue
+                        prev = acc.get(key)
+                        if prev is None:
+                            acc[key] = dataclasses.replace(
+                                a, read_ids=list(a.read_ids)
+                            )
+                        else:
+                            prev.count += a.count
+            alt_alleles = self.select_alt_alleles_multisample(
+                alleles, total_count, all_by_key, all_total,
+                nt_by_key, nt_total,
+            )
+        else:
+            alt_alleles = self.select_alt_alleles(alleles, total_count)
         if not alt_alleles and not self.keep_reference_site():
             return None
 
@@ -340,11 +422,34 @@ class VerySensitiveCaller:
             list(pc.ref_supporting_read_ids) if pc is not None else []
         )
         return DeepVariantCall(
-            variant=variant, allele_support=support, ref_support=ref_ids
+            variant=variant, allele_support=support, ref_support=ref_ids,
+            allele_keys=dict(mapped),
         )
 
+    def support_from_counter(
+        self, counter: AlleleCounter, dv_call: DeepVariantCall
+    ) -> Tuple[Dict[str, List[int]], List[int]]:
+        """(allele_support, ref_support) of THIS counter's sample for an
+        existing candidate (AddSupportingReads per sample,
+        variant_calling_multisample.cc:1180)."""
+        pos = dv_call.variant.start - counter.interval.start
+        if not 0 <= pos < len(counter.interval):
+            return {}, []
+        support: Dict[str, List[int]] = {}
+        pc = counter.position_count(pos)
+        if pc is None:
+            return {}, []
+        for rid, rec in pc.read_alleles.items():
+            if rec.is_low_quality:
+                continue
+            alt = dv_call.allele_keys.get((rec.bases, rec.type))
+            key = alt if alt is not None else SUPPORTING_UNCALLED_ALLELE
+            support.setdefault(key, []).append(rid)
+        return support, list(pc.ref_supporting_read_ids)
+
     def calls_in_region(
-        self, counter: AlleleCounter
+        self, counter: AlleleCounter,
+        context_counters: Optional[Sequence[AlleleCounter]] = None,
     ) -> List[DeepVariantCall]:
         out = []
         width = len(counter.interval)
@@ -352,7 +457,9 @@ class VerySensitiveCaller:
         if self.options.fraction_reference_sites_to_emit > 0.0:
             candidates = set(range(width))
         for pos in sorted(candidates):
-            call = self.call_position(counter, pos)
+            call = self.call_position(
+                counter, pos, context_counters=context_counters
+            )
             if call is not None:
                 out.append(call)
         return out

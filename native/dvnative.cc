@@ -734,3 +734,24 @@ extern "C" int64_t dv_rans_decode(const uint8_t* buf, int64_t buf_len,
   }
   return -1;
 }
+
+// ---------------------------------------------------------------------------
+// Pileup row downsampling shuffle.
+//
+// The crowded-window read downsample is a std::shuffle of read indices
+// with std::mt19937_64 seeded from the pileup options' random_seed
+// (DownsampleReadIndices, pileup_image_native.cc:153-165). std::shuffle's
+// index distribution is implementation-defined, so bit-reproducing the
+// reference's goldens requires running the same libstdc++ algorithm with
+// the same generator — which this does by construction.
+// ---------------------------------------------------------------------------
+#include <algorithm>
+#include <numeric>
+#include <random>
+
+extern "C" void dv_shuffle_indices(int32_t n, uint64_t seed, int32_t* out) {
+  std::vector<int32_t> idx(n);
+  std::iota(idx.begin(), idx.end(), 0);
+  std::shuffle(idx.begin(), idx.end(), std::mt19937_64(seed));
+  std::copy(idx.begin(), idx.end(), out);
+}

@@ -234,3 +234,39 @@ def test_cli_rejects_shm_streaming():
             "--mode", "calling", "--ref", "r.fa", "--reads", "r.bam",
             "--examples", "x", "--stream_examples",
         ])
+
+
+def test_vcf_eval_against_pipeline_outputs(tmp_path):
+    """vcf_eval classifies TP/FP/FN + zygosity correctly."""
+    from deepvariant_tpu.core.types import Variant, VariantCall
+    from deepvariant_tpu.tools.vcf_eval import evaluate_variants
+
+    def mk(pos, ref, alts, gt):
+        v = Variant(
+            reference_name="chr20", start=pos, end=pos + len(ref),
+            reference_bases=ref, alternate_bases=list(alts),
+            filter=["PASS"],
+        )
+        v.calls.append(VariantCall(call_set_name="s", genotype=list(gt)))
+        return v
+
+    truth = [
+        mk(100, "A", ["G"], [0, 1]),
+        mk(200, "C", ["T"], [1, 1]),
+        mk(300, "CAA", ["C"], [0, 1]),
+    ]
+    query = [
+        mk(100, "A", ["G"], [0, 1]),    # TP
+        mk(200, "C", ["T"], [0, 1]),    # zygosity mismatch: FP + FN
+        mk(400, "G", ["A"], [0, 1]),    # FP
+    ]
+    m = evaluate_variants(truth, query)
+    assert m["snp"]["tp"] == 1
+    assert m["snp"]["fp"] == 2
+    assert m["snp"]["fn"] == 1
+    assert m["indel"]["fn"] == 1  # 300 deletion unmatched
+    # Trimmed representations compare equal.
+    q2 = [mk(300, "CAAG", ["CG"], [0, 1])]  # same deletion, padded
+    t2 = [mk(300, "CAA", ["C"], [0, 1])]
+    m2 = evaluate_variants(t2, q2)
+    assert m2["indel"]["tp"] == 1 and m2["indel"]["fp"] == 0
