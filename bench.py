@@ -28,6 +28,11 @@ Measurement contract (the round-1 number was wrong; this is why):
 Baseline: reference WGS call_variants does ~7.5M examples in 15m58s on
 an n2-standard-96 => ~7,800 ex/s for the whole machine
 (docs/metrics.md:68; no accelerator numbers published in-tree).
+
+Stage-1 metric: make_examples (real BAM IO, realigner on) examples/s
+and bp/s on one core over chr20:10,000,000-10,010,000, compared to the
+reference's WGS make_examples leg: 46m15s across 96 vCPUs for ~3.1 Gbp
+=> ~11,600 bp/s per core (docs/metrics.md:67).
 """
 
 from __future__ import annotations
@@ -39,6 +44,7 @@ import time
 import numpy as np
 
 BASELINE_EXAMPLES_PER_SEC = 7800.0
+STAGE1_REF_BP_PER_SEC_PER_CORE = 3.1e9 / (2775.0 * 96)
 BATCH = 4096
 K2 = 8
 REPEATS = 3
@@ -71,6 +77,48 @@ def _load_golden_images() -> np.ndarray:
         exio.parse_example(rec).image for rec in tfrecord.read_tfrecords(path)
     ]
     return np.stack(images)  # (84, 100, 221, 7) uint8
+
+
+def _stage1_metrics() -> dict:
+    import tempfile
+    import time as _time
+
+    from deepvariant_tpu.make_examples.core import (
+        MakeExamplesOptions,
+        make_examples_runner,
+    )
+
+    span_bp = 10_000
+    with tempfile.TemporaryDirectory() as tmp:
+        options = MakeExamplesOptions(
+            reads_filename=os.path.join(
+                TESTDATA, "input/NA12878_S1.chr20.10_10p1mb.bam"
+            ),
+            ref_filename=os.path.join(
+                TESTDATA, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+            ),
+            examples_filename=os.path.join(tmp, "ex.tfrecord"),
+            mode="calling",
+            regions=["chr20:10,000,000-10,010,000"],
+            realigner_enabled=True,
+            write_run_info=False,
+        )
+        t0 = _time.perf_counter()
+        counts = make_examples_runner(options)
+        dt = _time.perf_counter() - t0
+    bp_per_sec = span_bp / dt
+    return {
+        "stage1_examples_per_sec_per_core": round(
+            counts["examples"] / dt, 2
+        ),
+        "stage1_bp_per_sec_per_core": round(bp_per_sec, 1),
+        "stage1_vs_ref_per_core": round(
+            bp_per_sec / STAGE1_REF_BP_PER_SEC_PER_CORE, 3
+        ),
+        "stage1_genome_hours_at_96_cores": round(
+            3.1e9 / (bp_per_sec * 96) / 3600, 2
+        ),
+    }
 
 
 def main():
@@ -154,6 +202,7 @@ def main():
         "device": device.device_kind,
         "fixed_overhead_ms": round((t1 - per_step) * 1e3, 1),
         "timed_steps": [1, K2],
+        **_stage1_metrics(),
     }))
 
 

@@ -547,6 +547,65 @@ class BamReader:
             return False
         return True
 
+    def _drop_flag_mask(self) -> int:
+        req = self.requirements
+        mask = 0
+        if not self._keep_unmapped:
+            mask |= FLAG_UNMAPPED
+        if not req.keep_secondary_alignments:
+            mask |= FLAG_SECONDARY
+        if not req.keep_supplementary_alignments:
+            mask |= FLAG_SUPPLEMENTARY
+        if not req.keep_duplicates:
+            mask |= FLAG_DUPLICATE
+        if not req.keep_failed_vendor_quality_checks:
+            mask |= FLAG_QC_FAIL
+        return mask
+
+    def _scan_records_native(
+        self, data: bytes, stop_offset: int, ref_id: int,
+        beg: int, end: int
+    ) -> ReadBatch:
+        """dv_bam_scan-backed record parse (same filters and outputs
+        as _scan_records, minus downsampling which stays in Python)."""
+        from deepvariant_tpu.io import native as _native
+
+        result = _native.bam_scan(
+            data, stop_offset, ref_id, beg, end,
+            self._drop_flag_mask(),
+            self.requirements.min_mapping_quality,
+        )
+        if result is None:
+            return None
+        (n, flags, refids, poss, mapqs, mrefs, mposs, tlens,
+         seq_off, seqs, quals, cig_off, cig_ops, cig_lens,
+         name_off, names, aux_off, auxs) = result
+        batch = ReadBatch(self.ref_names)
+        names_b = names.tobytes()
+        batch.name = [
+            names_b[name_off[i]:name_off[i + 1]].decode()
+            for i in range(n)
+        ]
+        auxs_b = auxs.tobytes()
+        batch.aux = [
+            auxs_b[aux_off[i]:aux_off[i + 1]] for i in range(n)
+        ]
+        batch.flag = flags
+        batch.ref_id = refids
+        batch.pos = poss.astype(np.int64)
+        batch.mapq = mapqs
+        batch.mate_ref_id = mrefs
+        batch.mate_pos = mposs.astype(np.int64)
+        batch.tlen = tlens
+        batch.seq = seqs
+        batch.qual = quals
+        batch.seq_offsets = seq_off
+        batch.cigar_ops = cig_ops
+        batch.cigar_lens = cig_lens
+        batch.cigar_offsets = cig_off
+        batch.hp = np.zeros(n, np.int8)
+        return batch
+
     def _scan_records(
         self,
         stop_vo: Optional[int],
@@ -772,12 +831,35 @@ class BamReader:
                 None, ref_id, region.start, region.end
             )
         chunks = index.chunks_for(ref_id, region.start, region.end)
+        use_native = self._downsample <= 0.0
+        if use_native:
+            try:
+                from deepvariant_tpu.io import native as _native
+
+                use_native = _native.has_bam_scan()
+            except Exception:
+                use_native = False
         batches = []
         for cbeg, cend in chunks:
-            self._bgzf.seek_virtual(cbeg)
-            batches.append(
-                self._scan_records(cend, ref_id, region.start, region.end)
-            )
+            if use_native:
+                margin = 1 << 17
+                while True:
+                    data, main_len = self._bgzf.read_span(
+                        cbeg, cend, tail_margin=margin
+                    )
+                    batch = self._scan_records_native(
+                        data, main_len, ref_id,
+                        region.start, region.end,
+                    )
+                    if batch is not None:
+                        break
+                    margin *= 8  # long-read tail extended past margin
+                batches.append(batch)
+            else:
+                self._bgzf.seek_virtual(cbeg)
+                batches.append(self._scan_records(
+                    cend, ref_id, region.start, region.end
+                ))
         if not batches:
             return ReadBatch(self.ref_names)
         if len(batches) == 1:

@@ -141,6 +141,42 @@ class BgzfReader:
             raise EOFError(f"wanted {n} bytes, got {len(data)}")
         return data
 
+    def read_span(self, beg_vo: int, end_vo: int,
+                  tail_margin: int = 1 << 17):
+        """(decompressed bytes, main_len): bytes from beg_vo running to
+        exactly end_vo (main_len of them) plus `tail_margin` extra —
+        a BAM record STARTING before end_vo may extend past it, so the
+        scanner consumes records whose start offset is < main_len and
+        uses the tail to finish the last one."""
+        self.seek_virtual(beg_vo)
+        chunks = []
+        main_len = 0
+        end_coff = end_vo >> 16
+        end_within = end_vo & 0xFFFF
+        while True:
+            if self._block_coffset == end_coff:
+                take = max(0, end_within - self._within)
+                chunks.append(
+                    self._block_data[self._within:self._within + take]
+                )
+                main_len += take
+                self._within += take
+                break
+            avail = len(self._block_data) - self._within
+            if avail > 0:
+                chunks.append(self._block_data[self._within:])
+                main_len += avail
+                self._within = len(self._block_data)
+            if not self._load_block(self._next_coffset):
+                break
+            if self._block_coffset > end_coff:
+                break
+            if not self._block_data and self.at_eof():
+                break
+        if tail_margin > 0:
+            chunks.append(self.read(tail_margin))
+        return b"".join(chunks), main_len
+
     def read_all(self) -> bytes:
         chunks = []
         while True:

@@ -73,6 +73,11 @@ class FastaReader:
         # Contigs materialize lazily on first query — a whole-genome
         # FASTA holds ~3Gbp and most processes touch few contigs.
         self._contigs: Dict[str, np.ndarray] = {}
+        # gzi-backed readers additionally load in ~1 Mbp chunks: with
+        # round-robin region sharding every shard touches every contig,
+        # and whole-contig loads would inflate the whole genome in
+        # every shard process (htslib-faidx-style region reads).
+        self._chunks: Dict[tuple, np.ndarray] = {}
         self._rec_by_name = {r.name: r for r in self._records}
 
     def _load_contig(self, name: str) -> np.ndarray:
@@ -123,9 +128,57 @@ class FastaReader:
             raise KeyError(name)
         return rec.length
 
+    def _chunk_size(self, rec) -> int:
+        # Chunk boundaries align to FASTA line starts so the stripped
+        # newline grid reshapes cleanly.
+        return max(rec.line_bases, rec.line_bases * ((1 << 20) // rec.line_bases))
+
+    def _load_chunk(self, rec, chunk_idx: int) -> np.ndarray:
+        key = (rec.name, chunk_idx)
+        arr = self._chunks.get(key)
+        if arr is not None:
+            return arr
+        csize = self._chunk_size(rec)
+        b0 = chunk_idx * csize
+        b1 = min(rec.length, b0 + csize)
+        byte0 = rec.offset + (b0 // rec.line_bases) * rec.line_width
+        n_lines = (b1 - b0 + rec.line_bases - 1) // rec.line_bases
+        byte1 = min(
+            byte0 + n_lines * rec.line_width,
+            rec.offset + ((rec.length + rec.line_bases - 1)
+                          // rec.line_bases) * rec.line_width,
+        )
+        span = np.frombuffer(
+            bgzf.decompress_range(self._path, self._gzi, byte0, byte1),
+            np.uint8,
+        )
+        padded = np.full(n_lines * rec.line_width, ord("\n"), np.uint8)
+        padded[: len(span)] = span[: n_lines * rec.line_width]
+        mat = padded.reshape(n_lines, rec.line_width)
+        arr = _UPPER_LUT[mat[:, : rec.line_bases].reshape(-1)[: b1 - b0]]
+        self._chunks[key] = arr
+        return arr
+
     def bases(self, region: Range) -> np.ndarray:
         """Uppercased ASCII bases for region as uint8[len(region)]."""
-        arr = self._load_contig(region.reference_name)
+        name = region.reference_name
+        arr = self._contigs.get(name)
+        if arr is None and self._gzi is not None:
+            rec = self._rec_by_name[name]
+            start = max(0, region.start)
+            end = min(rec.length, region.end)
+            if end <= start:
+                return np.empty(0, np.uint8)
+            csize = self._chunk_size(rec)
+            c0, c1 = start // csize, (end - 1) // csize
+            parts = [
+                self._load_chunk(rec, c) for c in range(c0, c1 + 1)
+            ]
+            block = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            off = start - c0 * csize
+            return block[off : off + (end - start)]
+        if arr is None:
+            arr = self._load_contig(name)
         start = max(0, region.start)
         end = min(len(arr), region.end)
         return arr[start:end]
@@ -134,10 +187,10 @@ class FastaReader:
         return self.bases(region).tobytes().decode()
 
     def is_valid(self, region: Range) -> bool:
-        arr = self._contigs.get(region.reference_name)
+        rec = self._rec_by_name.get(region.reference_name)
         return (
-            arr is not None
-            and 0 <= region.start < region.end <= len(arr)
+            rec is not None
+            and 0 <= region.start < region.end <= rec.length
         )
 
 

@@ -54,6 +54,54 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+    if hasattr(lib, "dv_bam_scan_count"):
+        I64P = ctypes.POINTER(ctypes.c_int64)
+        I32P = ctypes.POINTER(ctypes.c_int32)
+        U8P = ctypes.POINTER(ctypes.c_uint8)
+        lib.dv_bam_scan_count.restype = ctypes.c_int64
+        lib.dv_bam_scan_count.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32,
+            ctypes.c_int32, I64P,
+        ]
+        lib.dv_bam_scan_fill.restype = ctypes.c_int64
+        lib.dv_bam_scan_fill.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint16), I32P, I32P, U8P,
+            I32P, I32P, I32P,
+            I64P, U8P, U8P,
+            I64P, ctypes.POINTER(ctypes.c_int8), I32P,
+            I64P, U8P,
+            I64P, U8P,
+        ]
+    if hasattr(lib, "dv_dbg_haplotypes"):
+        lib.dv_dbg_haplotypes.restype = ctypes.c_int32
+        lib.dv_dbg_haplotypes.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+    if hasattr(lib, "dv_ssw_score_batch"):
+        lib.dv_ssw_score_batch.restype = None
+        lib.dv_ssw_score_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     if hasattr(lib, "dv_shuffle_indices"):
         lib.dv_shuffle_indices.restype = None
         lib.dv_shuffle_indices.argtypes = [
@@ -101,6 +149,139 @@ def has_fast_align() -> bool:
 
 def has_fast_pass() -> bool:
     return hasattr(_LIB, "dv_fast_pass_align")
+
+
+def has_bam_scan() -> bool:
+    return hasattr(_LIB, "dv_bam_scan_count")
+
+
+def bam_scan(data: bytes, stop_offset: int, ref_id: int, beg: int,
+             end: int, drop_flag_mask: int, min_mapq: int):
+    """Scan BAM records from a decompressed buffer into SoA arrays.
+    Returns (n, flags, refids, poss, mapqs, mrefs, mposs, tlens,
+    seq_off, seqs, quals, cig_off, cig_ops, cig_lens, name_off, names,
+    aux_off, auxs)."""
+    import numpy as np
+
+    totals = np.zeros(6, np.int64)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    _LIB.dv_bam_scan_count(
+        data, len(data), stop_offset, ref_id, beg, end,
+        drop_flag_mask, min_mapq,
+        totals.ctypes.data_as(I64P),
+    )
+    if totals[5]:
+        # The span ended mid-record (very long read); caller must
+        # retry with a larger decompressed tail.
+        return None
+    n, seq_bytes, cigar_ops, name_bytes, aux_bytes = (
+        int(totals[0]), int(totals[1]), int(totals[2]),
+        int(totals[3]), int(totals[4]),
+    )
+    flags = np.zeros(n, np.uint16)
+    refids = np.zeros(n, np.int32)
+    poss = np.zeros(n, np.int32)
+    mapqs = np.zeros(n, np.uint8)
+    mrefs = np.zeros(n, np.int32)
+    mposs = np.zeros(n, np.int32)
+    tlens = np.zeros(n, np.int32)
+    seq_off = np.zeros(n + 1, np.int64)
+    seqs = np.zeros(seq_bytes, np.uint8)
+    quals = np.zeros(seq_bytes, np.uint8)
+    cig_off = np.zeros(n + 1, np.int64)
+    cig_ops = np.zeros(cigar_ops, np.int8)
+    cig_lens = np.zeros(cigar_ops, np.int32)
+    name_off = np.zeros(n + 1, np.int64)
+    names = np.zeros(name_bytes, np.uint8)
+    aux_off = np.zeros(n + 1, np.int64)
+    auxs = np.zeros(aux_bytes, np.uint8)
+
+    def P(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    _LIB.dv_bam_scan_fill(
+        data, len(data), stop_offset, ref_id, beg, end,
+        drop_flag_mask, min_mapq,
+        P(flags, ctypes.c_uint16), P(refids, ctypes.c_int32),
+        P(poss, ctypes.c_int32), P(mapqs, ctypes.c_uint8),
+        P(mrefs, ctypes.c_int32), P(mposs, ctypes.c_int32),
+        P(tlens, ctypes.c_int32),
+        P(seq_off, ctypes.c_int64), P(seqs, ctypes.c_uint8),
+        P(quals, ctypes.c_uint8),
+        P(cig_off, ctypes.c_int64), P(cig_ops, ctypes.c_int8),
+        P(cig_lens, ctypes.c_int32),
+        P(name_off, ctypes.c_int64), P(names, ctypes.c_uint8),
+        P(aux_off, ctypes.c_int64), P(auxs, ctypes.c_uint8),
+    )
+    return (n, flags, refids, poss, mapqs, mrefs, mposs, tlens,
+            seq_off, seqs, quals, cig_off, cig_ops, cig_lens,
+            name_off, names, aux_off, auxs)
+
+
+def has_dbg() -> bool:
+    return hasattr(_LIB, "dv_dbg_haplotypes")
+
+
+def dbg_haplotypes(ref: bytes, reads, quals, mapqs,
+                   min_k: int, max_k: int, step_k: int,
+                   min_mapq: int, min_base_quality: int,
+                   min_edge_weight: int, max_num_paths: int,
+                   disable_pruning: bool = False):
+    """Native De Bruijn assembly (dv_dbg_haplotypes). Returns the
+    sorted haplotype list, [] when the graph yields none, or None when
+    no acyclic k exists (the Python build()'s None)."""
+    import numpy as np
+
+    offsets = np.zeros(len(reads) + 1, np.int32)
+    for i, rd in enumerate(reads):
+        offsets[i + 1] = offsets[i] + len(rd)
+    concat = b"".join(reads)
+    qconcat = b"".join(bytes(q) for q in quals)
+    mq = np.asarray(mapqs, np.int32)
+    cap = max(1 << 16, 8 * (len(ref) + 64) * max(1, max_num_paths))
+    buf = ctypes.create_string_buffer(cap)
+    out_len = ctypes.c_int64(0)
+    n = _LIB.dv_dbg_haplotypes(
+        ref, len(ref), concat,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(reads), qconcat,
+        mq.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        min_k, max_k, step_k, min_mapq, min_base_quality,
+        min_edge_weight, max_num_paths, int(disable_pruning),
+        buf, cap, ctypes.byref(out_len),
+    )
+    if n == -1:
+        return None
+    if n == -2:
+        raise MemoryError("dbg haplotype buffer too small")
+    if n == 0:
+        return []
+    return buf.raw[: out_len.value].decode().split("\n")[:-1]
+
+
+def has_ssw_batch() -> bool:
+    return hasattr(_LIB, "dv_ssw_score_batch")
+
+
+def ssw_score_batch(ref: bytes, reads, match: int, mismatch: int,
+                    gap_open: int, gap_extend: int):
+    """Striped local-alignment SCORES of many reads vs one reference
+    (dv_ssw_score_batch; Farrar striping, same affine-gap convention
+    as dv_ssw_align)."""
+    import numpy as np
+
+    offsets = np.zeros(len(reads) + 1, np.int32)
+    for i, rd in enumerate(reads):
+        offsets[i + 1] = offsets[i] + len(rd)
+    concat = b"".join(reads)
+    out = np.zeros(len(reads), np.int32)
+    _LIB.dv_ssw_score_batch(
+        ref, len(ref), concat,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(reads), match, mismatch, gap_open, gap_extend,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
 
 
 def has_shuffle() -> bool:

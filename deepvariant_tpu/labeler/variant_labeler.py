@@ -178,13 +178,13 @@ def make_labeler(options, ref_reader):
 
         return CustomizedClassesVariantLabeler(
             truth, confident,
-            classes_list=getattr(
-                options, "customized_classes_labeler_classes_list",
-                "ref,class1,class2",
+            classes_list=(
+                options.customized_classes_labeler_classes_list
+                or "ref,class1,class2"
             ),
-            info_field_name=getattr(
-                options,
-                "customized_classes_labeler_info_field_name", "type",
+            info_field_name=(
+                options.customized_classes_labeler_info_field_name
+                or "type"
             ),
         )
     if options.labeler_algorithm == "soft_labeler":

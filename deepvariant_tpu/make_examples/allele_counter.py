@@ -365,16 +365,20 @@ class AlleleCounter:
         opts = self.options
         # Aggregate match events.
         if len(ev_read):
-            # Drop match events superseded by indels.
+            # Drop match events superseded by indels (vectorized via
+            # packed (read, pos) keys; pos can be -1 for an anchor at
+            # the interval edge, hence the +1 shift).
             if indel_keys:
-                drop = np.fromiter(
-                    (
-                        (int(r), int(p)) in indel_keys
-                        for r, p in zip(ev_read, ev_pos)
-                    ),
-                    bool,
-                    len(ev_read),
+                stride = width + 2
+                keys = np.fromiter(
+                    (r * stride + p + 1 for r, p in indel_keys),
+                    np.int64, len(indel_keys),
                 )
+                ev_key = (
+                    ev_read.astype(np.int64) * stride
+                    + ev_pos.astype(np.int64) + 1
+                )
+                drop = np.isin(ev_key, keys)
                 ev_read, ev_pos, ev_kind, ev_payload = (
                     ev_read[~drop], ev_pos[~drop], ev_kind[~drop],
                     ev_payload[~drop],

@@ -239,3 +239,38 @@ def build(
             graph.prune()
         return graph
     return None
+
+
+def assemble_haplotypes(
+    ref: str, reads: Sequence[Read],
+    options: Optional[DeBruijnGraphOptions] = None,
+) -> Optional[List[str]]:
+    """Sorted candidate haplotypes for a window, or None when no
+    acyclic k exists. Uses the native assembler (dv_dbg_haplotypes,
+    byte-identical semantics, cross-validated in tests) and falls back
+    to the Python graph."""
+    options = options or DeBruijnGraphOptions()
+    try:
+        from deepvariant_tpu.io import native
+
+        has_native = native.has_dbg()
+    except Exception:
+        has_native = False
+    if has_native:
+        try:
+            return native.dbg_haplotypes(
+                ref.upper().encode(),
+                [r.aligned_sequence.encode() for r in reads],
+                [r.aligned_quality for r in reads],
+                [r.mapping_quality for r in reads],
+                options.min_k, options.max_k, options.step_k,
+                options.min_mapq, options.min_base_quality,
+                options.min_edge_weight, options.max_num_paths,
+                options.disable_graph_pruning,
+            )
+        except MemoryError:
+            pass
+    graph = build(ref, reads, options)
+    if graph is None:
+        return None
+    return graph.candidate_haplotypes()

@@ -198,6 +198,15 @@ def calculate_read_to_ref_alignment(
         if cur_hr[1] == 0:
             cur_hr = list(hap_to_ref.pop(0))
         while cur_rh[1] > 0 and cur_hr[1] > 0:
+            if cur_rh[0] == OP_M and cur_hr[0] == OP_M:
+                # Bulk the dominant match x match stretch: each
+                # per-base iteration would emit [M, 1] and decrement
+                # both ops, so emitting [M, n] at once is identical.
+                n = min(cur_rh[1], cur_hr[1])
+                merge_cigar_op([OP_M, n], read_len, out)
+                cur_rh[1] -= n
+                cur_hr[1] -= n
+                continue
             if (cur_rh[0] == OP_D and cur_hr[0] == OP_I) or \
                     (cur_rh[0] == OP_I and cur_hr[0] == OP_D):
                 cur_hr[1] -= 1
@@ -450,36 +459,76 @@ class FastPassAligner:
             ha.cigar_ops = cigar_string_to_ops(ha.cigar)
             set_positions_map(len(hap), ha)
 
-        # SSW fallback for unaligned reads.
-        hap_ssw: Dict[int, SswAligner] = {}
-        for read_id, read_seq in enumerate(self._reads):
-            if any(ha.read_alignments[read_id].score > 0
-                   for ha in self._hap_alignments):
-                continue
+        # SSW fallback for unaligned reads. Hot-loop design: only the
+        # best-scoring haplotype alignment of a read is ever projected
+        # back to the reference, so the all-pairs sweep needs SCORES
+        # only — computed with the striped SIMD batch kernel — and the
+        # full DP with traceback runs lazily once per read on the
+        # winner (_materialize_ssw_alignment).
+        try:
+            from deepvariant_tpu.io import native as _native
+
+            batch_scores = _native.has_ssw_batch()
+        except Exception:
+            batch_scores = None
+        fallback_ids = [
+            read_id for read_id in range(len(self._reads))
+            if not any(ha.read_alignments[read_id].score > 0
+                       for ha in self._hap_alignments)
+        ]
+        if fallback_ids and batch_scores:
+            reads_b = [self._reads[i].encode() for i in fallback_ids]
+            o = self.options
             for ha in self._hap_alignments:
                 if ha.haplotype_score == 0 and not (
-                    self.options.force_alignment and ha.is_reference
+                    o.force_alignment and ha.is_reference
                 ):
                     continue
-                aligner = hap_ssw.get(ha.haplotype_index)
-                if aligner is None:
-                    aligner = SswAligner(
-                        self.options.match, self.options.mismatch,
-                        self.options.gap_open, self.options.gap_extend,
-                    )
-                    aligner.set_reference_sequence(
-                        self.haplotypes[ha.haplotype_index]
-                    )
-                    hap_ssw[ha.haplotype_index] = aligner
-                alignment = aligner.align(read_seq)
-                if alignment.sw_score > 0 and (
-                    alignment.sw_score >= score_threshold
-                    or (self.options.force_alignment and ha.is_reference)
-                ):
-                    ra = ha.read_alignments[read_id]
-                    ra.score = alignment.sw_score
-                    ra.cigar = alignment.cigar_string
-                    ra.position = alignment.ref_begin
+                scores = _native.ssw_score_batch(
+                    self.haplotypes[ha.haplotype_index].encode(),
+                    reads_b, o.match, o.mismatch, o.gap_open,
+                    o.gap_extend,
+                )
+                for k, read_id in enumerate(fallback_ids):
+                    score = int(scores[k])
+                    if score > 0 and (
+                        score >= score_threshold
+                        or (o.force_alignment and ha.is_reference)
+                    ):
+                        ra = ha.read_alignments[read_id]
+                        ra.score = score
+                        ra.cigar = ""          # filled lazily
+                        ra.position = NOT_ALIGNED
+        elif fallback_ids:
+            hap_ssw: Dict[int, SswAligner] = {}
+            for read_id in fallback_ids:
+                read_seq = self._reads[read_id]
+                for ha in self._hap_alignments:
+                    if ha.haplotype_score == 0 and not (
+                        self.options.force_alignment and ha.is_reference
+                    ):
+                        continue
+                    aligner = hap_ssw.get(ha.haplotype_index)
+                    if aligner is None:
+                        aligner = SswAligner(
+                            self.options.match, self.options.mismatch,
+                            self.options.gap_open,
+                            self.options.gap_extend,
+                        )
+                        aligner.set_reference_sequence(
+                            self.haplotypes[ha.haplotype_index]
+                        )
+                        hap_ssw[ha.haplotype_index] = aligner
+                    alignment = aligner.align(read_seq)
+                    if alignment.sw_score > 0 and (
+                        alignment.sw_score >= score_threshold
+                        or (self.options.force_alignment
+                            and ha.is_reference)
+                    ):
+                        ra = ha.read_alignments[read_id]
+                        ra.score = alignment.sw_score
+                        ra.cigar = alignment.cigar_string
+                        ra.position = alignment.ref_begin
 
         # Sort by haplotype support (ascending, like the reference's
         # operator< on haplotype_score).
@@ -532,6 +581,27 @@ class FastPassAligner:
                 cur_read += length
         return True
 
+    def _materialize_ssw_alignment(
+        self, ha: HaplotypeReadsAlignment, ra: ReadAlignment,
+        read_id: int
+    ) -> None:
+        cache = getattr(self, "_lazy_ssw", None)
+        if cache is None:
+            cache = self._lazy_ssw = {}
+        aligner = cache.get(ha.haplotype_index)
+        if aligner is None:
+            aligner = SswAligner(
+                self.options.match, self.options.mismatch,
+                self.options.gap_open, self.options.gap_extend,
+            )
+            aligner.set_reference_sequence(
+                self.haplotypes[ha.haplotype_index]
+            )
+            cache[ha.haplotype_index] = aligner
+        alignment = aligner.align(self._reads[read_id])
+        ra.cigar = alignment.cigar_string
+        ra.position = alignment.ref_begin
+
     def _realign_reads_to_reference(
         self, reads: Sequence[Read]
     ) -> List[Read]:
@@ -545,6 +615,11 @@ class FastPassAligner:
                 continue
             ha = self._hap_alignments[best]
             ra = ha.read_alignments[read_id]
+            if ra.position == NOT_ALIGNED and not ra.cigar and \
+                    ra.score > 0:
+                # Lazy: the batch fallback stored only the score; run
+                # the full DP once for the winning haplotype.
+                self._materialize_ssw_alignment(ha, ra, read_id)
             read_to_hap_pos = ra.position
             if not (0 <= read_to_hap_pos <
                     len(ha.hap_to_ref_positions_map)):

@@ -179,13 +179,11 @@ class Realigner:
                 r for r in reads
                 if r.position < window.end and r.end() > window.start
             ]
-            graph = debruijn_graph.build(
+            candidate_haplotypes = debruijn_graph.assemble_haplotypes(
                 ref, window_reads, self.config.dbg_config
             )
-            if graph is None:
+            if candidate_haplotypes is None:
                 candidate_haplotypes = [ref]
-            else:
-                candidate_haplotypes = graph.candidate_haplotypes()
             if candidate_haplotypes and candidate_haplotypes != [ref]:
                 windows_haplotypes.append(
                     CandidateHaplotypes(window, candidate_haplotypes)

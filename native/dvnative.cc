@@ -316,29 +316,48 @@ extern "C" int dv_ssw_align(const char* ref, int32_t n, const char* query, int32
                  int32_t* out_query_begin, int32_t* out_query_end,
                  char* cigar_buf, int32_t cigar_buf_size) {
   if (n <= 0 || m <= 0) return 1;
-  const int NEG = -(1 << 28);
+  // Scores fit int16 comfortably for genomics-scale inputs (reads and
+  // windows are << 8k bases at match<=8); halving the matrix element
+  // size halves the memory traffic of this bandwidth-bound DP, and
+  // thread_local buffers avoid per-call page-fault churn.
+  const int32_t NEG = -(1 << 13);
   const int W = m + 1;
-  // Full matrices for traceback (n+1) x (m+1), int32.
-  std::vector<int32_t> H((size_t)(n + 1) * W, 0);
-  std::vector<int32_t> E((size_t)(n + 1) * W, NEG);
-  std::vector<int32_t> F((size_t)(n + 1) * W, NEG);
+  static thread_local std::vector<int16_t> H, E, F;
+  const size_t cells = (size_t)(n + 1) * W;
+  if (H.size() < cells) {
+    H.resize(cells);
+    E.resize(cells);
+    F.resize(cells);
+  }
+  std::fill(H.begin(), H.begin() + W, 0);
+  std::fill(E.begin(), E.begin() + W, (int16_t)NEG);
+  std::fill(F.begin(), F.begin() + W, (int16_t)NEG);
+  for (int i = 1; i <= n; ++i) {
+    H[(size_t)i * W] = 0;
+    E[(size_t)i * W] = (int16_t)NEG;
+    F[(size_t)i * W] = (int16_t)NEG;
+  }
   int best = 0, best_i = 0, best_j = 0;
+  const int16_t mt = (int16_t)match, mm = (int16_t)-mismatch;
+  const int16_t go = (int16_t)gap_open, ge = (int16_t)gap_extend;
   for (int i = 1; i <= n; ++i) {
     const char rc = ref[i - 1];
-    int32_t* Hrow = &H[(size_t)i * W];
-    int32_t* Hprev = &H[(size_t)(i - 1) * W];
-    int32_t* Erow = &E[(size_t)i * W];
-    int32_t* Eprev = &E[(size_t)(i - 1) * W];
-    int32_t* Frow = &F[(size_t)i * W];
-    int32_t f = NEG;
+    int16_t* Hrow = &H[(size_t)i * W];
+    int16_t* Hprev = &H[(size_t)(i - 1) * W];
+    int16_t* Erow = &E[(size_t)i * W];
+    int16_t* Eprev = &E[(size_t)(i - 1) * W];
+    int16_t* Frow = &F[(size_t)i * W];
+    int16_t f = (int16_t)NEG;
     for (int j = 1; j <= m; ++j) {
-      int32_t e = imax2(Hprev[j] - gap_open, Eprev[j] - gap_extend);
+      int16_t e = (int16_t)imax2(Hprev[j] - go, Eprev[j] - ge);
+      if (e < NEG) e = (int16_t)NEG;
       Erow[j] = e;
-      int32_t diag =
-          Hprev[j - 1] + (rc == query[j - 1] ? match : -mismatch);
-      f = imax2(Hrow[j - 1] - gap_open, f - gap_extend);
+      int16_t diag =
+          (int16_t)(Hprev[j - 1] + (rc == query[j - 1] ? mt : mm));
+      f = (int16_t)imax2(Hrow[j - 1] - go, f - ge);
+      if (f < NEG) f = (int16_t)NEG;
       Frow[j] = f;
-      int32_t h = diag > e ? diag : e;
+      int16_t h = diag > e ? diag : e;
       if (f > h) h = f;
       if (h < 0) h = 0;
       Hrow[j] = h;
@@ -754,4 +773,576 @@ extern "C" void dv_shuffle_indices(int32_t n, uint64_t seed, int32_t* out) {
   std::iota(idx.begin(), idx.end(), 0);
   std::shuffle(idx.begin(), idx.end(), std::mt19937_64(seed));
   std::copy(idx.begin(), idx.end(), out);
+}
+
+// ---------------------------------------------------------------------------
+// Striped Smith-Waterman scores (Farrar 2007), batch interface.
+//
+// The realigner's SSW fallback evaluates every unaligned read against
+// every supported haplotype, but only each read's best-scoring
+// haplotype alignment is ever projected back to the reference
+// (GetBestReadAlignment). So the hot loop only needs SCORES; the full
+// scalar DP with traceback runs once per read on the winner. This
+// kernel computes local-alignment scores for a batch of reads against
+// one haplotype with 8-lane u16 SSE2 striping (affine gaps costing
+// gap_open for the first base and gap_extend per further base, the
+// DeepVariant/libssw convention).
+// ---------------------------------------------------------------------------
+#include <emmintrin.h>
+#include <smmintrin.h>
+#include <cstring>
+
+extern "C" void dv_ssw_score_batch(
+    const char* ref, int32_t ref_len,
+    const char* reads_concat, const int32_t* read_offsets,
+    int32_t n_reads,
+    int32_t match, int32_t mismatch, int32_t gap_open,
+    int32_t gap_extend,
+    int32_t* out_scores) {
+  const int bias = mismatch;  // profile values shifted non-negative
+  for (int r = 0; r < n_reads; ++r) {
+    const char* q = reads_concat + read_offsets[r];
+    const int m = read_offsets[r + 1] - read_offsets[r];
+    if (m == 0) { out_scores[r] = 0; continue; }
+    const int seg = (m + 7) / 8;
+    // Build the striped query profile for A/C/G/T/other.
+    std::vector<__m128i> prof(5 * seg);
+    auto code = [](char c) -> int {
+      switch (c) {
+        case 'A': return 0; case 'C': return 1;
+        case 'G': return 2; case 'T': return 3;
+        default: return 4;
+      }
+    };
+    {
+      int16_t tmp[8];
+      for (int a = 0; a < 5; ++a) {
+        for (int i = 0; i < seg; ++i) {
+          for (int j = 0; j < 8; ++j) {
+            int idx = i + j * seg;
+            int v = 0;
+            if (idx < m) {
+              int qa = code(q[idx]);
+              // 'N'/other never matches (FastAlign treats N as
+              // wildcard, but SSW scores it as mismatch like libssw).
+              v = (a == qa && a != 4) ? match + bias : -mismatch + bias;
+            }
+            tmp[j] = static_cast<int16_t>(v);
+          }
+          prof[a * seg + i] =
+              _mm_loadu_si128(reinterpret_cast<__m128i*>(tmp));
+        }
+      }
+    }
+    std::vector<__m128i> H(seg), E(seg), Hstore(seg);
+    const __m128i vZero = _mm_setzero_si128();
+    for (int i = 0; i < seg; ++i) { H[i] = vZero; E[i] = vZero; }
+    const __m128i vBias = _mm_set1_epi16(static_cast<int16_t>(bias));
+    const __m128i vGapO = _mm_set1_epi16(static_cast<int16_t>(gap_open));
+    const __m128i vGapE =
+        _mm_set1_epi16(static_cast<int16_t>(gap_extend));
+    __m128i vMax = vZero;
+
+    for (int j = 0; j < ref_len; ++j) {
+      const __m128i* P = &prof[code(ref[j]) * seg];
+      __m128i vF = vZero;
+      // H[seg-1] shifted one lane left (u16) = H(i-1, j-1) feed.
+      __m128i vH = _mm_slli_si128(H[seg - 1], 2);
+      for (int i = 0; i < seg; ++i) {
+        vH = _mm_adds_epu16(vH, P[i]);
+        vH = _mm_subs_epu16(vH, vBias);
+        vH = _mm_max_epu16(vH, E[i]);
+        vH = _mm_max_epu16(vH, vF);
+        vMax = _mm_max_epu16(vMax, vH);
+        Hstore[i] = vH;
+        const __m128i vHgo = _mm_subs_epu16(vH, vGapO);
+        E[i] = _mm_max_epu16(_mm_subs_epu16(E[i], vGapE), vHgo);
+        vF = _mm_max_epu16(_mm_subs_epu16(vF, vGapE), vHgo);
+        vH = H[i];
+      }
+      // Lazy-F correction (Farrar): propagate F across segment wrap.
+      for (int k = 0; k < 8; ++k) {
+        vF = _mm_slli_si128(vF, 2);
+        bool any = false;
+        for (int i = 0; i < seg; ++i) {
+          const __m128i vHf = _mm_max_epu16(Hstore[i], vF);
+          const __m128i neq = _mm_cmpeq_epi16(vHf, Hstore[i]);
+          if (_mm_movemask_epi8(neq) != 0xFFFF) any = true;
+          Hstore[i] = vHf;
+          vMax = _mm_max_epu16(vMax, vHf);
+          vF = _mm_max_epu16(
+              _mm_subs_epu16(vF, vGapE),
+              _mm_subs_epu16(_mm_subs_epu16(vHf, vGapO), vZero));
+          vF = _mm_subs_epu16(vF, vZero);
+        }
+        if (!any) break;
+      }
+      std::swap(H, Hstore);
+    }
+    int best = 0;
+    alignas(16) int16_t lanes[8];
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(lanes), vMax);
+    for (int j = 0; j < 8; ++j) {
+      best = std::max(best, static_cast<int>(
+          static_cast<uint16_t>(lanes[j])));
+    }
+    out_scores[r] = best;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// De Bruijn window assembler (debruijn_graph.py's exact semantics,
+// natively): k-scan from the first repeat-free reference k, graph over
+// reference + high-quality read k-mer runs, cycle check, weak-edge +
+// unreachable-vertex pruning, source->sink path enumeration capped at
+// max_num_paths, haplotypes returned lexicographically sorted.
+// ---------------------------------------------------------------------------
+#include <string_view>
+#include <unordered_map>
+#include <unordered_set>
+#include <deque>
+
+namespace {
+
+struct DbgGraph {
+  // vertex ids in insertion order; adjacency as vectors of ids.
+  std::unordered_map<std::string_view, int32_t> ids;
+  std::vector<std::string_view> kmers;
+  std::vector<std::vector<int32_t>> succ, pred;
+  // edge (u,v) -> [weight, is_ref]
+  std::unordered_map<int64_t, std::pair<int32_t, bool>> edges;
+  int32_t k = 0;
+
+  int32_t ensure(std::string_view km) {
+    auto it = ids.find(km);
+    if (it != ids.end()) return it->second;
+    int32_t id = static_cast<int32_t>(kmers.size());
+    ids.emplace(km, id);
+    kmers.push_back(km);
+    succ.emplace_back();
+    pred.emplace_back();
+    return id;
+  }
+
+  static int64_t ekey(int32_t u, int32_t v) {
+    return (static_cast<int64_t>(u) << 32) | static_cast<uint32_t>(v);
+  }
+
+  void add_edge(int32_t u, int32_t v, bool is_ref) {
+    auto it = edges.find(ekey(u, v));
+    if (it == edges.end()) {
+      edges.emplace(ekey(u, v), std::make_pair(1, is_ref));
+      succ[u].push_back(v);
+      pred[v].push_back(u);
+    } else {
+      it->second.first += 1;
+      it->second.second = it->second.second || is_ref;
+    }
+  }
+
+  void add_kmers(std::string_view bases, int32_t start, int32_t end,
+                 bool is_ref) {
+    if (end <= 0) return;
+    int32_t prev = ensure(bases.substr(start, k));
+    for (int32_t i = start + 1; i <= end; ++i) {
+      int32_t cur = ensure(bases.substr(i, k));
+      add_edge(prev, cur, is_ref);
+      prev = cur;
+    }
+  }
+
+  bool has_cycle() const {
+    std::vector<uint8_t> color(kmers.size(), 0);  // 0 white 1 gray 2 black
+    std::vector<std::pair<int32_t, size_t>> stack;
+    for (size_t root = 0; root < kmers.size(); ++root) {
+      if (color[root]) continue;
+      color[root] = 1;
+      stack.clear();
+      stack.emplace_back(static_cast<int32_t>(root), 0);
+      while (!stack.empty()) {
+        auto& [node, idx] = stack.back();
+        if (idx < succ[node].size()) {
+          int32_t nxt = succ[node][idx++];
+          if (color[nxt] == 1) return true;
+          if (color[nxt] == 0) {
+            color[nxt] = 1;
+            stack.emplace_back(nxt, 0);
+          }
+        } else {
+          color[node] = 2;
+          stack.pop_back();
+        }
+      }
+    }
+    return false;
+  }
+
+  void prune(int32_t min_edge_weight, int32_t source, int32_t sink) {
+    // Weak non-ref edges out.
+    for (size_t u = 0; u < succ.size(); ++u) {
+      auto& out = succ[u];
+      out.erase(std::remove_if(out.begin(), out.end(), [&](int32_t v) {
+        auto it = edges.find(ekey(static_cast<int32_t>(u), v));
+        if (it == edges.end()) return true;
+        if (!it->second.second &&
+            it->second.first < min_edge_weight) {
+          edges.erase(it);
+          auto& pv = pred[v];
+          pv.erase(std::remove(pv.begin(), pv.end(),
+                               static_cast<int32_t>(u)), pv.end());
+          return true;
+        }
+        return false;
+      }), out.end());
+    }
+    // Keep only vertices on some source->sink path.
+    auto reach = [&](int32_t start,
+                     const std::vector<std::vector<int32_t>>& adj) {
+      std::vector<uint8_t> seen(kmers.size(), 0);
+      std::deque<int32_t> dq{start};
+      seen[start] = 1;
+      while (!dq.empty()) {
+        int32_t n = dq.front(); dq.pop_front();
+        for (int32_t nx : adj[n]) if (!seen[nx]) {
+          seen[nx] = 1; dq.push_back(nx);
+        }
+      }
+      return seen;
+    };
+    auto fwd = reach(source, succ);
+    auto rev = reach(sink, pred);
+    for (size_t v = 0; v < kmers.size(); ++v) {
+      if (!(fwd[v] && rev[v])) {
+        for (int32_t u : pred[v]) {
+          auto& out = succ[u];
+          out.erase(std::remove(out.begin(), out.end(),
+                                static_cast<int32_t>(v)), out.end());
+          edges.erase(ekey(u, static_cast<int32_t>(v)));
+        }
+        for (int32_t w : succ[v]) {
+          auto& in = pred[w];
+          in.erase(std::remove(in.begin(), in.end(),
+                               static_cast<int32_t>(v)), in.end());
+          edges.erase(ekey(static_cast<int32_t>(v), w));
+        }
+        pred[v].clear();
+        succ[v].clear();
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" int32_t dv_dbg_haplotypes(
+    const char* ref_in, int32_t ref_len,
+    const char* reads_concat, const int32_t* read_offsets,
+    int32_t n_reads,
+    const uint8_t* quals_concat, const int32_t* mapqs,
+    int32_t min_k, int32_t max_k, int32_t step_k,
+    int32_t min_mapq, int32_t min_base_quality,
+    int32_t min_edge_weight, int32_t max_num_paths,
+    int32_t disable_pruning,
+    char* out_buf, int64_t out_cap, int64_t* out_len) {
+  *out_len = 0;
+  std::string ref(ref_in, ref_len);
+  for (auto& c : ref) c = static_cast<char>(toupper(c));
+  auto canonical = [](char c) {
+    return c == 'A' || c == 'C' || c == 'G' || c == 'T';
+  };
+  // k_min_max_from_reference.
+  int32_t hi_k = std::min(max_k, ref_len - 1);
+  int32_t lo_k = -1;
+  for (int32_t k = min_k; k <= hi_k; k += step_k) {
+    std::unordered_set<std::string_view> seen;
+    seen.reserve(ref_len);
+    bool repeat = false;
+    std::string_view rv(ref);
+    for (int32_t i = 0; i + k <= ref_len; ++i) {
+      if (!seen.insert(rv.substr(i, k)).second) { repeat = true; break; }
+    }
+    if (!repeat) { lo_k = k; break; }
+  }
+  if (lo_k < 0) return -1;
+
+  // Uppercased read copies (kept alive for the string_view keys).
+  std::vector<std::string> reads_up;
+  reads_up.reserve(n_reads);
+  for (int32_t r = 0; r < n_reads; ++r) {
+    reads_up.emplace_back(reads_concat + read_offsets[r],
+                          read_offsets[r + 1] - read_offsets[r]);
+    for (auto& c : reads_up.back()) c = static_cast<char>(toupper(c));
+  }
+
+  for (int32_t k = lo_k; k <= hi_k; k += step_k) {
+    DbgGraph g;
+    g.k = k;
+    g.add_kmers(ref, 0, ref_len - k, true);
+    int32_t source = g.ensure(std::string_view(ref).substr(0, k));
+    int32_t sink =
+        g.ensure(std::string_view(ref).substr(ref_len - k, k));
+    for (int32_t r = 0; r < n_reads; ++r) {
+      if (mapqs[r] < min_mapq) continue;
+      const std::string& bases = reads_up[r];
+      const uint8_t* quals = quals_concat + read_offsets[r];
+      int32_t n = static_cast<int32_t>(bases.size());
+      int32_t stop = n - k;
+      int32_t i = 0;
+      while (i < stop) {
+        int32_t bad = i;
+        while (bad < n && canonical(bases[bad]) &&
+               quals[bad] >= min_base_quality) ++bad;
+        g.add_kmers(bases, i, bad - k, false);
+        i = bad + 1;
+      }
+    }
+    if (g.has_cycle()) continue;
+    if (disable_pruning) {
+      // prune_lite: isolated vertices are irrelevant to paths; no-op
+      // for enumeration.
+    } else {
+      g.prune(min_edge_weight, source, sink);
+    }
+    // Path enumeration (BFS with cap; terminated paths end at the sink
+    // or any dead end).
+    std::vector<std::vector<int32_t>> terminated;
+    std::deque<std::vector<int32_t>> extendable;
+    if (g.succ[source].empty()) {
+      return 0;  // graph exists, no haplotypes
+    }
+    extendable.push_back({source});
+    while (!extendable.empty()) {
+      if (static_cast<int32_t>(terminated.size() + extendable.size()) >
+          max_num_paths) {
+        return 0;
+      }
+      std::vector<int32_t> path = std::move(extendable.front());
+      extendable.pop_front();
+      int32_t last = path.back();
+      for (int32_t nxt : g.succ[last]) {
+        std::vector<int32_t> ext = path;
+        ext.push_back(nxt);
+        if (nxt == sink || g.succ[nxt].empty()) {
+          terminated.push_back(std::move(ext));
+        } else {
+          extendable.push_back(std::move(ext));
+        }
+      }
+    }
+    std::vector<std::string> haps;
+    haps.reserve(terminated.size());
+    for (const auto& path : terminated) {
+      std::string h;
+      h.reserve(path.size() + k);
+      for (int32_t v : path) h.push_back(g.kmers[v][0]);
+      h.append(g.kmers[path.back()].substr(1));
+      haps.push_back(std::move(h));
+    }
+    std::sort(haps.begin(), haps.end());
+    int64_t need = 0;
+    for (const auto& h : haps) need += h.size() + 1;
+    if (need > out_cap) return -2;  // caller retries with bigger buffer
+    char* p = out_buf;
+    for (const auto& h : haps) {
+      memcpy(p, h.data(), h.size());
+      p += h.size();
+      *p++ = '\n';
+    }
+    *out_len = need;
+    return static_cast<int32_t>(haps.size());
+  }
+  return -1;
+}
+
+// ---------------------------------------------------------------------------
+// BAM record scan: decompressed-record-buffer -> structure-of-arrays.
+//
+// Replaces the Python per-record parse loop in BamReader._scan_records
+// (htslib's sam_read1 analog). Two passes over the chunk buffer: count
+// (dv_bam_scan_count) sizes the output arrays, fill (dv_bam_scan_fill)
+// writes them. Filtering mirrors ReadRequirements: records matching
+// drop_flag_mask or below min_mapq are skipped; with a ref_id filter
+// the scan stops at the first record past `end` (BAI chunk semantics)
+// and skips reads whose reference span ends at or before `beg`.
+// ---------------------------------------------------------------------------
+namespace {
+
+const char kSeqLut[17] = "=ACMGRSVTWYHKDBN";
+
+struct BamRec {
+  int32_t rid, pos, l_seq, next_rid, next_pos, tlen;
+  uint32_t flag;
+  int32_t mapq, l_read_name, n_cigar;
+  const uint8_t* name;
+  const uint8_t* cigar;
+  const uint8_t* seq;
+  const uint8_t* qual;
+  const uint8_t* aux;
+  int64_t aux_len;
+};
+
+// Parses the record at p (block_size already read); returns ref span.
+inline int64_t bam_ref_span(const uint8_t* cigar, int32_t n_cigar) {
+  // BAM op codes: M=0 I D N S H P = X; ref-consuming: M D N = X.
+  int64_t span = 0;
+  for (int32_t i = 0; i < n_cigar; ++i) {
+    uint32_t u;
+    memcpy(&u, cigar + 4 * i, 4);
+    uint32_t op = u & 0xF;
+    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+      span += u >> 4;
+  }
+  return span;
+}
+
+template <typename Emit>
+int64_t bam_scan(const uint8_t* buf, int64_t buf_len,
+                 int64_t stop_offset, int32_t ref_id,
+                 int32_t beg, int32_t end, uint32_t drop_flag_mask,
+                 int32_t min_mapq, Emit&& emit,
+                 int64_t* truncated = nullptr) {
+  int64_t p = 0;
+  int64_t n = 0;
+  if (truncated) *truncated = 0;
+  // Records STARTING at or past stop_offset belong to the next BAI
+  // chunk (python's stop_vo rule) — without this, the decode tail
+  // would double-count reads on long-read BAMs.
+  while (p + 4 <= buf_len && p < stop_offset) {
+    int32_t block_size;
+    memcpy(&block_size, buf + p, 4);
+    if (block_size < 32 || p + 4 + block_size > buf_len) {
+      // A record header that extends beyond the buffer: the caller's
+      // decompressed span ended mid-record (possible with very long
+      // reads) — report so it can retry with a larger tail margin.
+      if (truncated && block_size >= 32 &&
+          p + 4 + block_size > buf_len) {
+        *truncated = 1;
+      }
+      break;
+    }
+    const uint8_t* rec = buf + p + 4;
+    p += 4 + block_size;
+    BamRec r;
+    memcpy(&r.rid, rec, 4);
+    memcpy(&r.pos, rec + 4, 4);
+    uint32_t lrn_mq_bin, flag_nc;
+    memcpy(&lrn_mq_bin, rec + 8, 4);
+    memcpy(&flag_nc, rec + 12, 4);
+    memcpy(&r.l_seq, rec + 16, 4);
+    memcpy(&r.next_rid, rec + 20, 4);
+    memcpy(&r.next_pos, rec + 24, 4);
+    memcpy(&r.tlen, rec + 28, 4);
+    r.l_read_name = lrn_mq_bin & 0xFF;
+    r.mapq = (lrn_mq_bin >> 8) & 0xFF;
+    r.n_cigar = flag_nc & 0xFFFF;
+    r.flag = (flag_nc >> 16) & 0xFFFF;
+    if (ref_id >= 0) {
+      if (r.rid != ref_id) {
+        if (r.rid > ref_id || r.rid < 0) break;
+        continue;
+      }
+      if (r.pos >= end) break;
+    }
+    if ((r.flag & drop_flag_mask) != 0) continue;
+    if (r.mapq < min_mapq) continue;
+    const uint8_t* q = rec + 32;
+    r.name = q;
+    q += r.l_read_name;
+    r.cigar = q;
+    q += 4 * r.n_cigar;
+    if (ref_id >= 0 && r.n_cigar) {
+      if (r.pos + bam_ref_span(r.cigar, r.n_cigar) <= beg) continue;
+    }
+    r.seq = q;
+    q += (r.l_seq + 1) / 2;
+    r.qual = q;
+    q += r.l_seq;
+    r.aux = q;
+    r.aux_len = (rec + block_size) - q;
+    if (r.aux_len < 0) continue;  // corrupt record tail
+    emit(r);
+    ++n;
+  }
+  return n;
+}
+
+}  // namespace
+
+extern "C" int64_t dv_bam_scan_count(
+    const uint8_t* buf, int64_t buf_len, int64_t stop_offset,
+    int32_t ref_id, int32_t beg,
+    int32_t end, uint32_t drop_flag_mask, int32_t min_mapq,
+    int64_t* out_totals) {
+  int64_t seq_bytes = 0, cigar_ops = 0, name_bytes = 0, aux_bytes = 0;
+  int64_t truncated = 0;
+  int64_t n = bam_scan(
+      buf, buf_len, stop_offset, ref_id, beg, end, drop_flag_mask,
+      min_mapq,
+      [&](const BamRec& r) {
+        seq_bytes += r.l_seq;
+        cigar_ops += r.n_cigar;
+        name_bytes += r.l_read_name - 1;
+        aux_bytes += r.aux_len;
+      },
+      &truncated);
+  out_totals[0] = n;
+  out_totals[1] = seq_bytes;
+  out_totals[2] = cigar_ops;
+  out_totals[3] = name_bytes;
+  out_totals[4] = aux_bytes;
+  out_totals[5] = truncated;
+  return n;
+}
+
+extern "C" int64_t dv_bam_scan_fill(
+    const uint8_t* buf, int64_t buf_len, int64_t stop_offset,
+    int32_t ref_id, int32_t beg,
+    int32_t end, uint32_t drop_flag_mask, int32_t min_mapq,
+    uint16_t* flags, int32_t* refids, int32_t* poss, uint8_t* mapqs,
+    int32_t* mrefs, int32_t* mposs, int32_t* tlens,
+    int64_t* seq_off, uint8_t* seqs, uint8_t* quals,
+    int64_t* cig_off, int8_t* cig_ops, int32_t* cig_lens,
+    int64_t* name_off, uint8_t* names,
+    int64_t* aux_off, uint8_t* auxs) {
+  int64_t i = 0;
+  seq_off[0] = 0;
+  cig_off[0] = 0;
+  name_off[0] = 0;
+  aux_off[0] = 0;
+  bam_scan(
+      buf, buf_len, stop_offset, ref_id, beg, end, drop_flag_mask,
+      min_mapq,
+      [&](const BamRec& r) {
+        flags[i] = static_cast<uint16_t>(r.flag);
+        refids[i] = r.rid;
+        poss[i] = r.pos;
+        mapqs[i] = static_cast<uint8_t>(r.mapq);
+        mrefs[i] = r.next_rid;
+        mposs[i] = r.next_pos;
+        tlens[i] = r.tlen;
+        int64_t so = seq_off[i];
+        for (int32_t b = 0; b < r.l_seq; ++b) {
+          uint8_t packed = r.seq[b >> 1];
+          uint8_t nib = (b & 1) ? (packed & 0xF) : (packed >> 4);
+          seqs[so + b] = static_cast<uint8_t>(kSeqLut[nib]);
+        }
+        memcpy(quals + so, r.qual, r.l_seq);
+        seq_off[i + 1] = so + r.l_seq;
+        int64_t co = cig_off[i];
+        for (int32_t c = 0; c < r.n_cigar; ++c) {
+          uint32_t u;
+          memcpy(&u, r.cigar + 4 * c, 4);
+          cig_ops[co + c] = static_cast<int8_t>((u & 0xF) + 1);
+          cig_lens[co + c] = static_cast<int32_t>(u >> 4);
+        }
+        cig_off[i + 1] = co + r.n_cigar;
+        int64_t no = name_off[i];
+        memcpy(names + no, r.name, r.l_read_name - 1);
+        name_off[i + 1] = no + r.l_read_name - 1;
+        int64_t ao = aux_off[i];
+        memcpy(auxs + ao, r.aux, r.aux_len);
+        aux_off[i + 1] = ao + r.aux_len;
+        ++i;
+      });
+  return i;
 }

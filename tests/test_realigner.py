@@ -5,6 +5,7 @@ Scenarios modeled on reference debruijn_graph_test.cc /
 window_selector_test.py / realigner_test.py behavior.
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -363,3 +364,44 @@ class TestReferenceOracleRegions:
         wh = windows_haps[0]
         assert (wh.span.start, wh.span.end) == (ws, we)
         assert set(wh.haplotypes) == expected_haps
+
+
+@pytest.mark.integration
+def test_native_dbg_matches_python(testdata_dir):
+    """dv_dbg_haplotypes vs the Python graph on real windows."""
+    from deepvariant_tpu.io import native
+    from deepvariant_tpu.io.bam import BamReader
+    from deepvariant_tpu.io.fasta import FastaReader
+    from deepvariant_tpu.realign import debruijn_graph
+    from deepvariant_tpu.realign.config import DeBruijnGraphOptions
+
+    if not native.has_dbg():
+        pytest.skip("native dbg unavailable")
+    fa = FastaReader(os.path.join(
+        testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+    ))
+    bam = BamReader(os.path.join(
+        testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+    ))
+    opts = DeBruijnGraphOptions()
+    n_checked = 0
+    for start in range(10_000_000, 10_010_000, 500):
+        region = Range("chr20", start, start + 500)
+        reads = bam.query(region).to_reads()
+        if not reads:
+            continue
+        ref = fa.query(region)
+        py_graph = debruijn_graph.build(ref, reads, opts)
+        py = None if py_graph is None else py_graph.candidate_haplotypes()
+        nat = native.dbg_haplotypes(
+            ref.upper().encode(),
+            [r.aligned_sequence.encode() for r in reads],
+            [r.aligned_quality for r in reads],
+            [r.mapping_quality for r in reads],
+            opts.min_k, opts.max_k, opts.step_k,
+            opts.min_mapq, opts.min_base_quality,
+            opts.min_edge_weight, opts.max_num_paths,
+        )
+        assert nat == py, f"window {start}: native != python"
+        n_checked += 1
+    assert n_checked >= 15
