@@ -92,10 +92,9 @@ def pangenome_samples(
     """[pangenome, reads] with reads as the calling sample
     (make_examples_pangenome_aware_dv.py:285-289 samples_in_order).
 
-    The pangenome panel is a set of haplotype alignments (BAM; the
-    reference also accepts GBZ graphs via a shared-memory loader —
-    convert with `vg paths -x pangenome.gbz --extract-gam | ...` or
-    equivalent; native GBZ parsing is not implemented). Haplotype rows
+    The pangenome panel is a set of haplotype alignments (BAM, or a
+    .gbz graph decoded natively by io.gbz.extract_panel_bam — the
+    reference's GbzReader/shared-memory loader analog). Haplotype rows
     render with haplotype-tag / diff / base-quality / mapping-quality
     channels blanked (:252-258 channels_enum_to_blank)."""
     from deepvariant_tpu.make_examples.pileup import (
