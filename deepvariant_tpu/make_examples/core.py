@@ -60,6 +60,41 @@ END_OF_REGION = -1
 # (make_examples_core.py:127-129).
 END_OF_PARTITION = -2
 MAX_PARTITION_LEN = 1000000
+
+# Allele-phase inference thresholds
+# (make_examples_core.py:148,153).
+MIN_DIFF_READS_FOR_ALLELE_PHASE = 3
+MAX_NUM_READS_FOR_OPPOSITE_PHASE = 2
+
+# --output_phasing_error_stats TSV columns
+# (make_examples_core.py:113-119).
+PHASING_ERROR_STATS_OUTPUT_COLUMNS = (
+    "region",
+    "num_reads_phase_1",
+    "num_reads_phase_2",
+    "num_reads_phase_0",
+    "num_phase_errors",
+)
+
+
+def _phased_genotype_from_counts(phase_1_count: int,
+                                 phase_2_count: int) -> int:
+    """1/2 when that phase wins by more than
+    MIN_DIFF_READS_FOR_ALLELE_PHASE reads with at most
+    MAX_NUM_READS_FOR_OPPOSITE_PHASE opposing, else 0
+    (_get_phased_genotype_from_counts,
+    make_examples_core.py:2636-2668)."""
+    if (phase_1_count > phase_2_count
+            and phase_1_count - phase_2_count
+            > MIN_DIFF_READS_FOR_ALLELE_PHASE
+            and phase_2_count <= MAX_NUM_READS_FOR_OPPOSITE_PHASE):
+        return 1
+    if (phase_2_count > phase_1_count
+            and phase_2_count - phase_1_count
+            > MIN_DIFF_READS_FOR_ALLELE_PHASE
+            and phase_1_count <= MAX_NUM_READS_FOR_OPPOSITE_PHASE):
+        return 2
+    return 0
 DEFAULT_CANDIDATES_PER_PARTITION = 200
 
 
@@ -397,6 +432,10 @@ class RegionProcessor:
         # Count of regions processed; the region half of PS_CONTIG
         # (make_examples_core.py:1465,2254).
         self.region_number = 0
+        # --output_phasing_error_stats / --output_local_read_phasing
+        # rows, flushed by make_examples_runner.
+        self.phasing_error_stats_rows: List[dict] = []
+        self.read_phase_rows: List[tuple] = []
         self.ref_reader = FastaReader(options.ref_filename)
         from deepvariant_tpu.io.bam import ReadRequirements
 
@@ -568,6 +607,11 @@ class RegionProcessor:
             # kept tags now instead of on demand.
             if "HP" in keep or not keep:
                 self.bam_reader.parse_hp_tags(batch)
+        elif self.options.output_phasing_error_stats_filename:
+            # --output_phasing_error_stats compares assigned phases to
+            # the input HP tags, so HP is parsed even without
+            # --parse_sam_aux_fields (make_examples_core.py:309-313).
+            self.bam_reader.parse_hp_tags(batch)
         if (chans & {CH_BASE_METHYLATION, CH_BASE_6MA}
                 or self.options.enable_methylation_calling
                 or (self.options.parse_sam_aux_fields
@@ -793,26 +837,25 @@ class RegionProcessor:
                     n_phased += 1
                 pv_index += 1
             else:
-                # Infer allele phases from supporting-read majority.
+                # Infer allele phases from supporting reads
+                # (infer_allele_phase, make_examples_core.py:2670-2699;
+                # thresholds _get_phased_genotype_from_counts,
+                # :2636-2668 with MIN_DIFF_READS_FOR_ALLELE_PHASE=3,
+                # MAX_NUM_READS_FOR_OPPOSITE_PHASE=2).
                 alleles = ["REF"] + list(variant.alternate_bases)
                 phased_genotype = [0] * len(alleles)
                 supports = {"REF": candidate.ref_support}
                 supports.update(candidate.allele_support)
-                assigned = False
                 for ai, allele in enumerate(alleles):
                     counts = [0, 0, 0]
                     for rid in supports.get(allele, []):
                         counts[phases[rid]] += 1
-                    if counts[1] > counts[2]:
-                        phased_genotype[ai] = 1
-                        assigned = True
-                    elif counts[2] > counts[1]:
-                        phased_genotype[ai] = 2
-                        assigned = True
-                if assigned:
-                    variant.info["ALT_PS"] = phased_genotype
-                    variant.info["PS_CONTIG"] = [phase_contig]
-                    variant.info["FIRST_VARIANT_IN_BLOCK"] = [False]
+                    phased_genotype[ai] = _phased_genotype_from_counts(
+                        counts[1], counts[2]
+                    )
+                variant.info["ALT_PS"] = phased_genotype
+                variant.info["PS_CONTIG"] = [phase_contig]
+                variant.info["FIRST_VARIANT_IN_BLOCK"] = [False]
         return n_phased
 
     def find_candidate_positions(self, region: Range) -> List[int]:
@@ -995,10 +1038,55 @@ class RegionProcessor:
                         p = p_by_pos.get(candidate.variant.start)
                         if p is not None and candidate.variant.calls:
                             candidate.variant.calls[0].info["MI"] = [p]
+            if self.options.output_phasing_error_stats_filename:
+                # Compare assigned phases against the input HP tags
+                # (make_examples_core.py:3083-3148). batch.hp still
+                # holds the original tags here.
+                stats = {
+                    "region": "%s:%d-%d" % (
+                        region.reference_name, region.start, region.end
+                    ),
+                    "num_phase_errors": 0,
+                    "num_reads_phase_0": 0,
+                    "num_reads_phase_1": 0,
+                    "num_reads_phase_2": 0,
+                }
+                original_hp = batch.hp
+                for rid, read_phase in enumerate(phases):
+                    original = int(original_hp[rid]) \
+                        if rid < len(original_hp) else 0
+                    if (original != read_phase and read_phase != 0
+                            and original != 0):
+                        stats["num_phase_errors"] += 1
+                    stats[f"num_reads_phase_{min(read_phase, 2)}"] += 1
+                # A whole-block phase swap is not an error: flip when
+                # the error count exceeds half the phased reads
+                # (make_examples_core.py:3128-3141).
+                n_phased_reads = (stats["num_reads_phase_1"]
+                                  + stats["num_reads_phase_2"])
+                if stats["num_phase_errors"] > n_phased_reads / 2:
+                    stats["num_phase_errors"] = (
+                        n_phased_reads - stats["num_phase_errors"]
+                    )
+                self.phasing_error_stats_rows.append(stats)
+            if self.options.output_local_read_phasing_filename:
+                # --output_local_read_phasing TSV rows
+                # (write_read_phase, make_examples_core.py:1355-1362).
+                flags = batch.flag
+                for rid, read_phase in enumerate(phases):
+                    read_number = 0 if flags[rid] & 0x40 else 1
+                    self.read_phase_rows.append((
+                        f"{batch.name[rid]}/{read_number}",
+                        int(read_phase), self.region_number,
+                    ))
             batch.hp = np.asarray(phases, np.int8)
-            self._add_phasing_to_candidates(
-                dp, candidates, phases, region
-            )
+            if self.options.output_phase_info:
+                # ALT_PS/PS_CONTIG candidate info is only attached
+                # under --output_phase_info
+                # (make_examples_core.py:3126-3128).
+                self._add_phasing_to_candidates(
+                    dp, candidates, phases, region
+                )
             runtimes["phase reads"] = time.perf_counter() - t0
 
         # Small-model short-circuit: candidates whose MLP call clears
@@ -1420,6 +1508,28 @@ def make_examples_runner(
         )
     if runtime_by_region_path:
         _write_runtime_tsv(runtime_by_region_path, runtime_rows)
+    if options.output_phasing_error_stats_filename:
+        # TSV with the reference's header/column order
+        # (PHASING_ERROR_STATS_OUTPUT_COLUMNS,
+        # make_examples_core.py:113,1248-1256).
+        with open(options.output_phasing_error_stats_filename,
+                  "w") as f:
+            f.write("\t".join(PHASING_ERROR_STATS_OUTPUT_COLUMNS)
+                    + "\n")
+            for stats in processor.phasing_error_stats_rows:
+                f.write("\t".join(
+                    str(stats.get(k, "NA"))
+                    for k in PHASING_ERROR_STATS_OUTPUT_COLUMNS
+                ) + "\n")
+    if options.output_local_read_phasing_filename:
+        # TSV (fragment_name, phase, region_order)
+        # (READ_PHASES_OUTPUT_COLUMNS,
+        # make_examples_core.py:111,1258-1266).
+        with open(options.output_local_read_phasing_filename,
+                  "w") as f:
+            f.write("fragment_name\tphase\tregion_order\n")
+            for key, read_phase, region_n in processor.read_phase_rows:
+                f.write(f"{key}\t{read_phase}\t{region_n}\n")
     # Labeling-metrics sidecar (run_info.labeling_metrics,
     # make_examples_core.py:3734-3740): JSON of summable counts.
     labeler = getattr(processor, "_labeler", None) or getattr(

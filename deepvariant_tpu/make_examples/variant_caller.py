@@ -121,12 +121,47 @@ class ReferenceConfidence:
         self._cache: Dict[bool, list] = {}
         for is_haploid in (False, True):
             self._cache[is_haploid] = [
-                [
-                    self._calc(n_ref, n_total, is_haploid)
-                    for n_ref in range(n_total + 1)
-                ]
+                self._calc_row(n_total, is_haploid)
                 for n_total in range(max_cache_coverage + 1)
             ]
+
+    def _calc_row(self, n_total: int, is_haploid: bool) -> list:
+        """All (gq, log10_probs) for n_ref in 0..n_total, vectorized.
+
+        Bit-identical to mapping _calc over n_ref (same float64 ops in
+        the same order; verified exhaustively in
+        tests/test_variant_caller.py)."""
+        if n_total == 0:
+            return [self._calc(0, 0, is_haploid)]
+        opts = self.options
+        log10 = math.log(10)
+        logp = math.log(opts.p_error) / log10
+        log1p = math.log1p(-opts.p_error) / log10
+        n_ref = np.arange(n_total + 1, dtype=np.float64)
+        n_alts = n_total - n_ref
+        p_ref = n_ref * log1p + n_alts * logp
+        if is_haploid:
+            p_het = np.full(n_total + 1, -IMPOSSIBLE_PROBABILITY_LOG10,
+                            dtype=np.float64)
+        else:
+            p_het = np.full(
+                n_total + 1, -n_total * math.log(opts.ploidy) / log10,
+                dtype=np.float64,
+            )
+        p_hom_alt = n_ref * logp + n_alts * log1p
+        probs = np.stack([p_ref, p_het, p_hom_alt], axis=1)
+        m = np.max(probs, axis=1, keepdims=True)
+        lse = m + np.log10(np.sum(10.0 ** (probs - m), axis=1,
+                                  keepdims=True))
+        norm = np.minimum(probs - lse, 0.0)
+        ptrue = 10.0 ** norm[:, 0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gq_raw = -10.0 * np.log10(1.0 - ptrue)
+        gq_raw = np.where(
+            (ptrue >= 1.0) | ~np.isfinite(gq_raw), opts.max_gq, gq_raw
+        )
+        gqs = np.minimum(np.floor(gq_raw), opts.max_gq)
+        return [(int(gqs[i]), norm[i]) for i in range(n_total + 1)]
 
     def __call__(self, n_ref: int, n_total: int,
                  is_haploid: bool = False) -> Tuple[int, np.ndarray]:

@@ -59,7 +59,7 @@ def cigar_string_to_ops(cigar: str) -> List[List[int]]:
     return ops
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class ReadAlignment:
     score: int = 0
     position: int = NOT_ALIGNED
@@ -338,15 +338,17 @@ class FastPassAligner:
             self.ref_suffix_len,
         )
         out = []
+        n_reads = len(self._reads)
+        match_cigars = [f"{len(r)}=" for r in self._reads]
+        aligned_mask = (positions >= 0) & (scores > 0)
         for h in range(len(self.haplotypes)):
-            read_alignments = []
-            for r in range(len(self._reads)):
-                ra = ReadAlignment()
-                if positions[h, r] >= 0 and scores[h, r] > 0:
-                    ra.score = int(scores[h, r])
-                    ra.position = int(positions[h, r])
-                    ra.cigar = f"{len(self._reads[r])}="
-                read_alignments.append(ra)
+            srow, prow, arow = scores[h], positions[h], aligned_mask[h]
+            read_alignments = [
+                ReadAlignment(int(srow[r]), int(prow[r]),
+                              match_cigars[r])
+                if arow[r] else ReadAlignment()
+                for r in range(n_reads)
+            ]
             out.append(HaplotypeReadsAlignment(
                 h, int(hap_scores[h]), read_alignments
             ))
@@ -419,11 +421,13 @@ class FastPassAligner:
         if self._reads:
             self.options.read_size = len(self._reads[0])
         score_threshold = self._ssw_score_threshold()
-        self._build_index()
 
         # Fast pass per haplotype (native batch path when possible).
+        # The python k-mer index is only consumed by the python
+        # fallback, so it is built lazily in that branch.
         self._hap_alignments = self._fast_pass_native()
         if self._hap_alignments is None:
+            self._build_index()
             self._hap_alignments = []
             for hap_index, haplotype in enumerate(self.haplotypes):
                 read_alignments = [ReadAlignment() for _ in self._reads]
@@ -439,25 +443,29 @@ class FastPassAligner:
                                             read_alignments)
                 )
 
-        # Align haplotypes to the reference.
-        ssw = SswAligner(self.options.match, self.options.mismatch,
-                         self.options.gap_open, self.options.gap_extend)
-        ssw.set_reference_sequence(self.reference)
+        # Align haplotypes to the reference
+        # (AlignHaplotypesToReference, fast_pass_aligner.cc:364-409).
+        # Hot-loop design: the full SSW DP with traceback is deferred
+        # until a haplotype actually wins a read projection
+        # (_ensure_hap_ref_alignment) — typically 2-3 of ~12 haps.
+        # Only `is_reference` is needed eagerly (the fallback loop and
+        # the best-alignment tie-break read it), and a haplotype is
+        # reference-identical iff it occurs verbatim in the window
+        # reference: then SSW's optimum is the unique full-length "="
+        # match, which is exactly the eager criterion
+        # `cigar == f"{len(hap)}="`.
+        self._ref_ssw = None
         for ha in self._hap_alignments:
             hap = self.haplotypes[ha.haplotype_index]
-            if hap == self.reference:
+            idx = self.reference.find(hap)
+            if idx >= 0:
                 ha.is_reference = True
                 ha.cigar = f"{len(hap)}="
-                ha.ref_pos = 0
+                ha.ref_pos = idx
+                ha.cigar_ops = cigar_string_to_ops(ha.cigar)
+                set_positions_map(len(hap), ha)
             else:
-                alignment = ssw.align(hap)
-                if alignment.sw_score > 0:
-                    ha.is_reference = \
-                        alignment.cigar_string == f"{len(hap)}="
-                    ha.cigar = alignment.cigar_string
-                    ha.ref_pos = alignment.ref_begin
-            ha.cigar_ops = cigar_string_to_ops(ha.cigar)
-            set_positions_map(len(hap), ha)
+                ha.needs_ref_alignment = True
 
         # SSW fallback for unaligned reads. Hot-loop design: only the
         # best-scoring haplotype alignment of a read is ever projected
@@ -581,6 +589,32 @@ class FastPassAligner:
                 cur_read += length
         return True
 
+    def _ensure_hap_ref_alignment(
+        self, ha: HaplotypeReadsAlignment
+    ) -> None:
+        """Run the deferred hap->ref SSW for a winning haplotype.
+
+        Produces byte-identical state to the former eager loop: the
+        sw_score>0 guard, cigar_ops, and positions_map all match
+        (AlignHaplotypesToReference, fast_pass_aligner.cc:364-409)."""
+        if not getattr(ha, "needs_ref_alignment", False):
+            return
+        ha.needs_ref_alignment = False
+        hap = self.haplotypes[ha.haplotype_index]
+        if self._ref_ssw is None:
+            self._ref_ssw = SswAligner(
+                self.options.match, self.options.mismatch,
+                self.options.gap_open, self.options.gap_extend,
+            )
+            self._ref_ssw.set_reference_sequence(self.reference)
+        alignment = self._ref_ssw.align(hap)
+        if alignment.sw_score > 0:
+            ha.is_reference = alignment.cigar_string == f"{len(hap)}="
+            ha.cigar = alignment.cigar_string
+            ha.ref_pos = alignment.ref_begin
+        ha.cigar_ops = cigar_string_to_ops(ha.cigar)
+        set_positions_map(len(hap), ha)
+
     def _materialize_ssw_alignment(
         self, ha: HaplotypeReadsAlignment, ra: ReadAlignment,
         read_id: int
@@ -614,6 +648,7 @@ class FastPassAligner:
                 out.append(Read() if self.options.force_alignment else read)
                 continue
             ha = self._hap_alignments[best]
+            self._ensure_hap_ref_alignment(ha)
             ra = ha.read_alignments[read_id]
             if ra.position == NOT_ALIGNED and not ra.cigar and \
                     ra.score > 0:

@@ -360,6 +360,10 @@ def options_from_args(args) -> MakeExamplesOptions:
         output_local_read_phasing_filename=(
             args.output_local_read_phasing or ""
         ),
+        output_phasing_error_stats_filename=(
+            args.output_phasing_error_stats or ""
+        ),
+        output_phase_info=args.output_phase_info,
         discard_non_dna_regions=args.discard_non_dna_regions,
         output_sitelist=args.output_sitelist,
         write_run_info=args.write_run_info,

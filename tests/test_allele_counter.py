@@ -308,3 +308,25 @@ def test_gvcf_quantization():
     assert _quantize_gq(5, 5) == 1
     assert _quantize_gq(6, 5) == 6
     assert _quantize_gq(50, 5) == 46
+
+
+class TestReferenceConfidenceCache:
+    def test_vectorized_table_matches_scalar_calc(self):
+        """The vectorized GQ-cache build (_calc_row) must stay
+        bit-identical to the scalar _calc it replaced."""
+        import numpy as np
+
+        from deepvariant_tpu.make_examples.variant_caller import (
+            ReferenceConfidence,
+            VariantCallerOptions,
+        )
+
+        rc = ReferenceConfidence(VariantCallerOptions(),
+                                 max_cache_coverage=40)
+        for is_haploid in (False, True):
+            for n_total in range(41):
+                for n_ref in range(n_total + 1):
+                    gq_v, probs_v = rc._cache[is_haploid][n_total][n_ref]
+                    gq_s, probs_s = rc._calc(n_ref, n_total, is_haploid)
+                    assert gq_v == gq_s
+                    assert np.array_equal(probs_v, probs_s)

@@ -114,3 +114,66 @@ class TestGoldenParity:
             str(tmp_path / "examples.tfrecord")
         )
         assert info["shape"][:2] == [100, 221]
+
+
+class TestPhasingOutputs:
+    def test_phased_genotype_from_counts_thresholds(self):
+        """_get_phased_genotype_from_counts semantics
+        (make_examples_core.py:2636-2668): needs a margin of >3 reads
+        and at most 2 opposing."""
+        from deepvariant_tpu.make_examples.core import (
+            _phased_genotype_from_counts,
+        )
+
+        assert _phased_genotype_from_counts(6, 2) == 1
+        assert _phased_genotype_from_counts(2, 6) == 2
+        # Margin of exactly 3 is not enough (strict >).
+        assert _phased_genotype_from_counts(5, 2) == 0
+        # Opposing count above 2 blocks assignment.
+        assert _phased_genotype_from_counts(10, 3) == 0
+        assert _phased_genotype_from_counts(0, 0) == 0
+        assert _phased_genotype_from_counts(4, 0) == 1
+
+    def test_phasing_tsv_outputs(self, testdata_dir, tmp_path):
+        """--output_phasing_error_stats / --output_local_read_phasing
+        produce header-bearing TSVs with one stats row per phased
+        region and one phase row per read."""
+        stats_path = str(tmp_path / "phasing_stats.tsv")
+        reads_path = str(tmp_path / "read_phases.tsv")
+        options = MakeExamplesOptions(
+            reads_filename=os.path.join(
+                testdata_dir,
+                "input/test_pacbio.chr20_100kbp_at_9mb.bam",
+            ),
+            ref_filename=os.path.join(
+                testdata_dir, "input/grch38.chr20_and_21_10M.fa.gz"
+            ),
+            examples_filename=str(tmp_path / "examples.tfrecord"),
+            mode="calling",
+            regions=["chr20:9,000,000-9,010,000"],
+            realigner_enabled=False,
+            write_run_info=False,
+            phase_reads=True,
+            sort_by_haplotypes=True,
+            output_phasing_error_stats_filename=stats_path,
+            output_local_read_phasing_filename=reads_path,
+        )
+        make_examples_runner(options)
+        stats_lines = open(stats_path).read().splitlines()
+        assert stats_lines[0] == (
+            "region\tnum_reads_phase_1\tnum_reads_phase_2"
+            "\tnum_reads_phase_0\tnum_phase_errors"
+        )
+        assert len(stats_lines) > 1
+        for line in stats_lines[1:]:
+            cols = line.split("\t")
+            assert len(cols) == 5
+            assert cols[0].startswith("chr20:")
+        read_lines = open(reads_path).read().splitlines()
+        assert read_lines[0] == "fragment_name\tphase\tregion_order"
+        assert len(read_lines) > 1
+        for line in read_lines[1:3]:
+            frag, phase, region_n = line.split("\t")
+            assert "/" in frag
+            assert phase in ("0", "1", "2")
+            assert region_n.isdigit()
