@@ -242,6 +242,12 @@ class ReadBatch:
                     secondary_alignment=bool(flag & FLAG_SECONDARY),
                     supplementary_alignment=bool(flag & FLAG_SUPPLEMENTARY),
                     next_mate_position=mate,
+                    # Keep the HP phase through Read round-trips so
+                    # downstream pileups (e.g. alt-aligned images after
+                    # to_reads -> realign -> from_reads) sort by
+                    # haplotype exactly like the originals.
+                    info={"HP": [int(self.hp[i])]}
+                    if i < len(self.hp) and self.hp[i] else {},
                 )
             )
         return out

@@ -193,6 +193,10 @@ class MakeExamplesOptions:
     # Phasing knobs (make_examples_core.py phase gating).
     min_alleles_to_phase: int = 1
     phase_max_candidates: int = 5000
+    # Percent of region length added on each side for the phasing
+    # candidate sweep (PHASE_READS_REGION_PADDING_PCT,
+    # dv_constants.py:202).
+    phase_reads_region_padding_pct: int = 20
     exclude_contigs_for_methylation_phasing: List[str] = dataclasses.field(
         default_factory=lambda: ["chrX", "chrY"]
     )
@@ -673,8 +677,13 @@ class RegionProcessor:
         )
 
     def candidates_in_region(
-        self, region: Range, batch: ReadBatch, include_gvcfs: bool
+        self, region: Range, batch: ReadBatch, include_gvcfs: bool,
+        left_padding: int = 0, right_padding: int = 0,
     ) -> Tuple[List[DeepVariantCall], List[Variant], AlleleCounter]:
+        """Candidates + gvcf over `region`; when region is the
+        phasing-padded expansion, left/right_padding crop the gvcf back
+        to the unpadded partition (candidates stay padded and are
+        filtered after phasing; make_examples_core.py:2877,2961-2963)."""
         counter = self._allele_counter(region)
         if self.options.normalize_reads and len(batch):
             from deepvariant_tpu.make_examples.normalize import (
@@ -687,7 +696,8 @@ class RegionProcessor:
         counter.add_batch(batch)
         candidates = self.caller.calls_in_region(counter)
         gvcfs = list(self.caller.make_gvcfs(
-            counter, include_med_dp=self.options.include_med_dp
+            counter, include_med_dp=self.options.include_med_dp,
+            left_padding=left_padding, right_padding=right_padding,
         )) if include_gvcfs else []
         return candidates, gvcfs, counter
 
@@ -961,9 +971,34 @@ class RegionProcessor:
 
         t0 = time.perf_counter()
         include_gvcfs = bool(self.options.gvcf_filename)
-        candidates, gvcfs, _ = self.candidates_in_region(
-            region, batch, include_gvcfs
-        )
+        # With read phasing on, candidates are called over a region
+        # expanded by phase_reads_region_padding_pct so edge reads get
+        # phasing evidence from just-outside candidates; the padded
+        # candidates are filtered back to the partition after phasing
+        # (make_examples_core.py:2308-2325, 3164-3167) and the gvcf is
+        # cropped at generation time.
+        padded_region = None
+        padding_pct = self.options.phase_reads_region_padding_pct
+        if self.options.phase_reads and padding_pct > 0:
+            pad = int((region.end - region.start) * padding_pct / 100)
+            contig_len = self.ref_reader.contig_length(
+                region.reference_name
+            )
+            padded_region = Range(
+                region.reference_name,
+                max(0, region.start - pad),
+                min(contig_len, region.end + pad),
+            )
+        if padded_region is not None:
+            candidates, gvcfs, _ = self.candidates_in_region(
+                padded_region, batch, include_gvcfs,
+                left_padding=region.start - padded_region.start,
+                right_padding=padded_region.end - region.end,
+            )
+        else:
+            candidates, gvcfs, _ = self.candidates_in_region(
+                region, batch, include_gvcfs
+            )
         if candidates:
             candidates = self._apply_candidate_filters(candidates, batch)
         runtimes["find candidates"] = time.perf_counter() - t0
@@ -991,22 +1026,26 @@ class RegionProcessor:
 
         phaseable = candidates
         if self.options.phase_reads and candidates:
-            # Gating knobs (--min_alleles_to_phase /
-            # --phase_max_candidates): skip phasing when the region has
-            # too few phaseable SNP alleles or absurdly many candidates.
-            n_snps = sum(
-                1 for c in candidates
-                if self._variant_type_name(c.variant) == "snps"
-            )
-            if (n_snps < self.options.min_alleles_to_phase
-                    or len(candidates)
+            # --phase_max_candidates region gate: skip phasing when
+            # the region has absurdly many candidates
+            # (make_examples_core.py:3021-3029).
+            if (self.options.phase_max_candidates
+                    and len(candidates)
                     > self.options.phase_max_candidates):
                 phaseable = None
         if self.options.phase_reads and candidates and phaseable:
             t0 = time.perf_counter()
-            from deepvariant_tpu.phasing.direct_phasing import DirectPhasing
+            from deepvariant_tpu.phasing.direct_phasing import (
+                DirectPhasing,
+                DirectPhasingOptions,
+            )
 
-            dp = DirectPhasing()
+            # --min_alleles_to_phase is the per-read allele threshold
+            # inside DirectPhasing (make_examples_options.py:1165-1167),
+            # NOT a region gate.
+            dp = DirectPhasing(DirectPhasingOptions(
+                min_alleles_to_phase=self.options.min_alleles_to_phase,
+            ))
             phases = dp.phase_reads(candidates, len(batch))
             if self.options.enable_methylation_aware_phasing:
                 from deepvariant_tpu.phasing.methylation_aware_phasing \
@@ -1088,6 +1127,15 @@ class RegionProcessor:
                     dp, candidates, phases, region
                 )
             runtimes["phase reads"] = time.perf_counter() - t0
+        if padded_region is not None and candidates:
+            # Padded-region candidates only contribute phasing
+            # evidence; output keeps candidates starting inside the
+            # partition (filter_candidates_by_region,
+            # make_examples_core.py:2579-2608).
+            candidates = [
+                c for c in candidates
+                if region.start <= c.variant.start < region.end
+            ]
 
         # Small-model short-circuit: candidates whose MLP call clears
         # the GQ threshold emit CVOs directly and skip the CNN

@@ -121,9 +121,16 @@ class ExamplesBuilder:
         dv_call: DeepVariantCall,
         batch: ReadBatch,
         combo: Sequence[str],
+        sort_positions=None,
     ) -> List[Optional[np.ndarray]]:
         """One pileup per alt in combo, reads realigned to the alt
-        haplotype (CreateAltAlignedImages, make_examples_native.cc:553)."""
+        haplotype (CreateAltAlignedImages, make_examples_native.cc:553).
+
+        `batch` is the already-trimmed pileup batch (the caller trims
+        whenever alt alignment is needed); `sort_positions` carries the
+        reads' original alignment positions so alt rows sort exactly
+        like the reference's (alignment_positions,
+        pileup_image_native.cc:397-401)."""
         from deepvariant_tpu.io.bam import ReadBatch as _RB
         from deepvariant_tpu.make_examples import alt_aligned as aa
 
@@ -131,11 +138,7 @@ class ExamplesBuilder:
         variant = dv_call.variant
         contig = variant.reference_name
         contig_n_bases = self.ref.contig_length(contig)
-        region = aa.calculate_alignment_region(
-            variant, o.half_width, contig_n_bases
-        )
-        reads = batch.to_reads()
-        trimmed, original_indices = aa.trim_reads(reads, region)
+        trimmed = batch.to_reads()
         alt_images: List[Optional[np.ndarray]] = []
         for alt in combo:
             haplotype, ref_start, ref_end = aa.create_haplotype(
@@ -148,8 +151,7 @@ class ExamplesBuilder:
                 haplotype, trimmed, contig, ref_start, ref_end,
                 self.ref.query, contig_n_bases,
             )
-            kept = [(r, orig) for r, orig in
-                    zip(realigned, original_indices)
+            kept = [(r, orig) for orig, r in enumerate(realigned)
                     if r.aligned_sequence]
             alt_batch = _RB.from_reads([r for r, _ in kept], [contig])
             # Remap allele support into the alt batch's index space.
@@ -165,12 +167,18 @@ class ExamplesBuilder:
                     if r in new_index
                 ],
             )
+            alt_sort_pos = None
+            if sort_positions is not None:
+                alt_sort_pos = np.array(
+                    [sort_positions[orig] for _, orig in kept], np.int64
+                )
             hap_window = np.frombuffer(
                 haplotype[: o.width].encode(), np.uint8
             )
             alt_images.append(self.encoder.build_pileup(
                 remapped, hap_window, alt_batch,
                 np.arange(len(alt_batch)), combo,
+                sort_positions=alt_sort_pos,
             ))
         return alt_images
 
@@ -193,10 +201,15 @@ class ExamplesBuilder:
         locus = f"{variant.reference_name}:{variant.start + 1}-{variant.end}"
         needs_alt = self.need_alt_alignment(variant)
         mode = self.pileup_options.alt_aligned_pileup
-        if self.trim_reads_for_pileup and len(batch):
-            # --trim_reads_for_pileup: image from reads trimmed to the
-            # pileup alignment region (TrimReads,
-            # alt_aligned_pileup_lib.cc:250-268; min_overlap 15).
+        sort_positions = None
+        if (self.trim_reads_for_pileup or needs_alt) and len(batch):
+            # Trimmed-read pileup: engaged by --trim_reads_for_pileup
+            # OR whenever the variant needs alt alignment
+            # (use_trimmed_reads, make_examples_native.cc:655-658).
+            # Reads are trimmed to the alignment region (TrimReads,
+            # alt_aligned_pileup_lib.cc:250-268; min_overlap 15),
+            # support indices are remapped, and rows keep sorting by
+            # the reads' ORIGINAL alignment positions.
             from deepvariant_tpu.make_examples import alt_aligned as aa
             from deepvariant_tpu.io.bam import ReadBatch
 
@@ -204,9 +217,25 @@ class ExamplesBuilder:
                 variant, self.pileup_options.half_width,
                 self.ref.contig_length(variant.reference_name),
             )
-            trimmed, _ = aa.trim_reads(batch.to_reads(), region)
+            reads = batch.to_reads()
+            trimmed, original_indices = aa.trim_reads(reads, region)
+            sort_positions = np.array(
+                [reads[i].position for i in original_indices], np.int64
+            )
             batch = ReadBatch.from_reads(
                 trimmed, [variant.reference_name]
+            )
+            new_index = {o: i for i, o in enumerate(original_indices)}
+            dv_call = dataclasses.replace(
+                dv_call,
+                allele_support={
+                    a: [new_index[r] for r in ids if r in new_index]
+                    for a, ids in dv_call.allele_support.items()
+                },
+                ref_support=[
+                    new_index[r] for r in dv_call.ref_support
+                    if r in new_index
+                ],
             )
             read_indices = reads_overlapping_variant(
                 batch, variant,
@@ -216,7 +245,8 @@ class ExamplesBuilder:
             variant, self.pileup_options.multi_allelic_mode
         ):
             image = self.encoder.build_pileup(
-                dv_call, ref_window, batch, read_indices, combo
+                dv_call, ref_window, batch, read_indices, combo,
+                sort_positions=sort_positions,
             )
             if mode and mode != "none":
                 # The composed shape is constant for all examples; when
@@ -224,7 +254,8 @@ class ExamplesBuilder:
                 # types_to_alt_align=indels) the alt planes are zeros
                 # (FillPileupArray's empty-alt handling).
                 alt_images = self._build_alt_images(
-                    dv_call, batch, combo
+                    dv_call, batch, combo,
+                    sort_positions=sort_positions,
                 ) if needs_alt else [None, None]
                 image = aa.compose_alt_aligned(image, alt_images, mode,
                                                combo)

@@ -824,8 +824,15 @@ class PileupEncoder:
         batch: ReadBatch,
         read_indices: Sequence[int],
         alt_alleles: Sequence[str],
+        sort_positions=None,
     ) -> np.ndarray:
-        """(H, W, C) uint8 pileup (BuildPileupForOneSample)."""
+        """(H, W, C) uint8 pileup (BuildPileupForOneSample).
+
+        sort_positions: optional per-batch-index array overriding the
+        position component of the row sort key — trimmed/realigned
+        pileups sort rows by the reads' ORIGINAL alignment positions
+        (alignment_positions, pileup_image_native.cc:397-401 fed from
+        original_start_positions, make_examples_native.cc:677-684)."""
         o = self.options
         variant = dv_call.variant
         image_start_pos = variant.start - o.half_width
@@ -905,7 +912,10 @@ class PileupEncoder:
             ) else 0
             rows.append(
                 (
-                    hap_idx, group, int(batch.pos[idx]), batch.name[idx],
+                    hap_idx, group,
+                    int(sort_positions[idx]) if sort_positions is not None
+                    else int(batch.pos[idx]),
+                    batch.name[idx],
                     0 if batch.flag[idx] & FLAG_FIRST or not (
                         batch.flag[idx] & FLAG_PAIRED
                     ) else 1,

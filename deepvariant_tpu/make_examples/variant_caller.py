@@ -505,9 +505,15 @@ class VerySensitiveCaller:
         self,
         counter: AlleleCounter,
         include_med_dp: bool = False,
+        left_padding: int = 0,
+        right_padding: int = 0,
     ) -> Iterator[Variant]:
         """Reference blocks for every interval position
-        (variant_caller.py:256-420 make_gvcfs)."""
+        (variant_caller.py:256-420 make_gvcfs).
+
+        left_padding/right_padding crop the phasing-padded flanks out
+        of the gvcf (summary_counts(left_padding, right_padding),
+        variant_caller.py:461-464), so blocks match an unpadded run."""
         interval = counter.interval
         ref_count, total_count = counter.summary_counts()
         is_haploid_contig = (
@@ -527,7 +533,7 @@ class VerySensitiveCaller:
 
         # Compute per-position (quantized_gq, raw_gq, likelihood idx, valid).
         records = []
-        for i in range(width):
+        for i in range(left_padding, width - right_padding):
             ref_byte = counter.ref[i]
             if ref_byte not in CANONICAL_DNA_BASES:
                 if ref_byte in EXTENDED_IUPAC_CODES:

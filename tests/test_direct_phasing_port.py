@@ -6,7 +6,15 @@ import pytest
 
 from deepvariant_tpu.core.types import Variant
 from deepvariant_tpu.make_examples.variant_caller import DeepVariantCall
-from deepvariant_tpu.phasing.direct_phasing import DirectPhasing
+from deepvariant_tpu.phasing.direct_phasing import (
+    DirectPhasing,
+    DirectPhasingOptions,
+)
+
+# The reference test fixture runs with min_alleles_to_phase=2
+# (direct_phasing_test.cc:72-73), while production uses the flag
+# default of 1 (make_examples_options.py:676-683).
+TEST_OPTIONS = DirectPhasingOptions(min_alleles_to_phase=2)
 
 
 def cand(start, end, support, ref_support=()):
@@ -27,7 +35,7 @@ def cand(start, end, support, ref_support=()):
 
 
 def phase(candidates, n_reads):
-    return DirectPhasing().phase_reads(candidates, n_reads)
+    return DirectPhasing(TEST_OPTIONS).phase_reads(candidates, n_reads)
 
 
 def test_phase_read_simple():
@@ -75,20 +83,19 @@ def test_phase_read_unphased_read():
 
 def test_phase_read_broken_path():
     # No edge between A@100 and G@105. The connected component phases
-    # consistently (reads 4,5 -> 2; 6,7 -> 1). For the dangling A@100
-    # the reference's own test comment says reads 1-3 "can be assigned
-    # any phase 1 or no phase" (direct_phasing_test.cc:636-640) while
-    # its assertion pins 0; we keep them on the block's phase 1 (the
-    # behavior the comment describes). Pin ours, document theirs.
+    # consistently (reads 4,5 -> 2; 6,7 -> 1). The dangling A@100
+    # vertex still receives phase 1 through the zero-weight bridge
+    # edges, but its reads each overlap only ONE phased allele, below
+    # the fixture's min_alleles_to_phase=2, so they stay unphased --
+    # which is how the reference's assertion (phases 0 for reads 1-3,
+    # direct_phasing_test.cc:636-650) coexists with its comment that
+    # the alleles "can be assigned any phase".
     candidates = [
         cand(100, 101, {"A": [1, 2, 3], "C": [4, 5]}),
         cand(105, 106, {"C": [4, 5], "G": [6, 7]}),
         cand(110, 111, {"T": [6, 7], "G": [4, 5]}),
     ]
-    phases = phase(candidates, 7)
-    assert phases[3:] == [2, 2, 1, 1]
-    assert phases[0] == phases[1] == phases[2]
-    assert phases[0] in (0, 1)
+    assert phase(candidates, 7) == [0, 0, 0, 2, 2, 1, 1]
 
 
 def test_phase_read_broken_path_no_connection():
@@ -122,7 +129,7 @@ def test_two_blocks_with_score_tie():
             "A": [5, 6, 7, 8], "C": [9, 10, 11, 12],
         }),
     ]
-    dp = DirectPhasing()
+    dp = DirectPhasing(TEST_OPTIONS)
     phases = dp.phase_reads(candidates, 12)
     assert phases == [1, 1, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0]
     pv = dp.phased_variants()
@@ -148,7 +155,7 @@ def test_filter_one_allele_candidate():
 
 
 def test_reuse_object():
-    dp = DirectPhasing()
+    dp = DirectPhasing(TEST_OPTIONS)
     candidates = [
         cand(100, 101, {"A": [1, 2, 3], "C": [4, 5]}),
         cand(105, 106, {"C": [1, 2, 4, 5]}),

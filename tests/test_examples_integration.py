@@ -164,8 +164,9 @@ def test_pacbio_golden_parity(testdata_dir, tmp_path):
     base six + haplotype + base_methylation channels, diff_channels
     alt-align, width 147, phasing + haplotype sorting, no realigner).
 
-    Measured: 401/401 example keys match, 185 bit-exact, mean pixel
-    diff 1.8% (DirectPhasing tie-breaks move a few HP assignments)."""
+    Measured: 401/401 example keys match, 369 bit-exact, mean pixel
+    diff 0.03% (remaining diffs are alt-aligned SSW insertion-placement
+    ties in repeats)."""
     from deepvariant_tpu.make_examples.core import (
         MakeExamplesOptions,
         make_examples_runner,
@@ -214,8 +215,8 @@ def test_pacbio_golden_parity(testdata_dir, tmp_path):
         fracs.append(f)
         exact += f == 0.0
         assert f < 0.25, f"{key[:3]}: {f:.4f}"
-    assert exact >= 175
-    assert float(np.mean(fracs)) < 0.025
+    assert exact >= 360
+    assert float(np.mean(fracs)) < 0.001
 
 
 @pytest.mark.integration
