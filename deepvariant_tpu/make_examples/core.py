@@ -476,6 +476,13 @@ class RegionProcessor:
                 options.proposed_variants_filename,
             )
         else:
+            if options.create_complex_alleles:
+                # --create_complex_alleles feeds the caller-level flag
+                # (make_examples_core.py:243).
+                options.variant_caller_options = dataclasses.replace(
+                    options.variant_caller_options,
+                    create_complex_alleles=True,
+                )
             self.caller = VerySensitiveCaller(
                 options.variant_caller_options
             )

@@ -70,6 +70,9 @@ class VariantCallerOptions:
     # Keep read support from rejected alleles for downstream consumers
     # (deepvariant.proto:479 use_rejected_alleles).
     use_rejected_alleles: bool = False
+    # Merge a deletion with overlapped alleles into complex
+    # substitutions (deepvariant.proto:471 create_complex_alleles).
+    create_complex_alleles: bool = False
     fraction_reference_sites_to_emit: float = 0.0
     random_seed: int = 1400605801
     sample_name: str = "default"
@@ -203,6 +206,92 @@ class ReferenceConfidence:
         )
         gq = int(min(np.floor(gq), opts.max_gq))
         return gq, log10_probs
+
+
+@dataclasses.dataclass
+class AlleleAtPosition:
+    """One read's allele at one genomic position
+    (AlleleAtPosition, variant_calling_multisample.h)."""
+
+    alt_bases: str
+    type: int
+    position: int
+
+
+def create_combined_alleles_support(
+    counter: AlleleCounter, del_start: int, del_len: int
+) -> Dict[int, List["AlleleAtPosition"]]:
+    """read id -> its alleles across the deletion span
+    (CreateCombinedAllelesSupport,
+    variant_calling_multisample.cc:314-360). Empty when no alt allele
+    is overlapped by the deletion or another deletion overlaps it.
+    REFERENCE support is sourced from ref_supporting_read_ids (our
+    counter tracks ref reads separately from the alt-record map)."""
+    read_to_alt: Dict[int, List[AlleleAtPosition]] = {}
+    found_alt = 0
+    start_i = del_start - counter.interval.start
+    for i in range(max(0, start_i),
+                   min(len(counter.interval), start_i + del_len)):
+        pc = counter.position_count(i)
+        if pc is None:
+            continue
+        allele_pos = counter.interval.start + i
+        for rid, rec in pc.read_alleles.items():
+            if rec.is_low_quality:
+                continue
+            # Skip records of the deletion allele itself.
+            if (allele_pos == del_start and rec.type == DELETION
+                    and len(rec.bases) == del_len):
+                continue
+            # Another deletion overlapping ours: no complex variant.
+            if rec.type == DELETION:
+                return {}
+            if rec.type != REFERENCE:
+                found_alt += 1
+            read_to_alt.setdefault(rid, []).append(
+                AlleleAtPosition(rec.bases, rec.type, allele_pos)
+            )
+        ref_base = chr(counter.ref[i])
+        for rid in pc.ref_supporting_read_ids:
+            read_to_alt.setdefault(rid, []).append(
+                AlleleAtPosition(ref_base, REFERENCE, allele_pos)
+            )
+    if found_alt < 1:
+        return {}
+    return read_to_alt
+
+
+def create_complex_alleles_support(
+    read_to_alt: Dict[int, List["AlleleAtPosition"]],
+    del_start: int, del_len: int, ref_bases: str,
+) -> Dict[str, List[int]]:
+    """complex allele string -> supporting read ids
+    (CreateComplexAllelesSupport,
+    variant_calling_multisample.cc:376-434). Per read: concatenate its
+    alleles in position order, filling gaps with reference bases;
+    drops the whole site (empty map) when any read's complex allele
+    cannot be generated."""
+    out: Dict[str, List[int]] = {}
+    for rid, alt_alleles in read_to_alt.items():
+        start_pos = 0
+        complex_allele = ""
+        for allele in alt_alleles:
+            rel = allele.position - del_start
+            if start_pos < rel <= del_len:
+                complex_allele += ref_bases[start_pos:rel]
+                start_pos = rel
+            complex_allele += allele.alt_bases
+            if allele.type != INSERTION:
+                start_pos = rel + len(allele.alt_bases)
+            else:
+                start_pos += 1
+        if complex_allele and start_pos <= del_len:
+            complex_allele += ref_bases[start_pos:]
+            out.setdefault(complex_allele, []).append(rid)
+        else:
+            # One bad read drops the complex site entirely (:426-431).
+            return {}
+    return out
 
 
 def _deletion_size(allele: Allele) -> int:
@@ -355,6 +444,78 @@ class VerySensitiveCaller:
                 out.append(allele)
         return out
 
+    # -- complex alleles (--create_complex_alleles) --------------------------------
+
+    def _complex_variant(
+        self, counter: AlleleCounter, interval_pos: int,
+        alt_alleles: Sequence[Allele],
+    ):
+        """SelectAltAllelesWithComplexVariant
+        (variant_calling_multisample.cc:510-580): when a deletion
+        overlaps other alleles, reads' alleles across the deletion span
+        concatenate into complex SUBSTITUTION alleles, read support is
+        reassigned, and selection re-runs on the modified counts.
+
+        Returns None when no deletion/no overlap evidence, else
+        (new_alt_alleles, ref_bases, modified_records) where
+        modified_records maps read id -> (bases, type) at this
+        position after reassignment."""
+        if not any(a.type == DELETION for a in alt_alleles):
+            return None
+        ref_base = chr(counter.ref[interval_pos])
+        ref_bases = calc_ref_bases(ref_base, alt_alleles)
+        del_len = len(ref_bases)
+        del_start = counter.interval.start + interval_pos
+        read_to_alt = create_combined_alleles_support(
+            counter, del_start, del_len
+        )
+        if not read_to_alt:
+            return None
+        complex_to_reads = create_complex_alleles_support(
+            read_to_alt, del_start, del_len, ref_bases
+        )
+
+        # ReassignReadSupportForComplexAlleles (:446-488): rewrite the
+        # target position's per-read alleles with the complex strings.
+        pc = counter.position_count(interval_pos)
+        mod_records: Dict[int, Tuple[str, int]] = {}
+        if pc is not None:
+            for rid, rec in pc.read_alleles.items():
+                if not rec.is_low_quality:
+                    mod_records[rid] = (rec.bases, rec.type)
+            for rid in pc.ref_supporting_read_ids:
+                mod_records[rid] = (ref_base, REFERENCE)
+        for comp, rids in complex_to_reads.items():
+            for rid in rids:
+                if rid not in mod_records:
+                    # Reads starting after the deletion start are not
+                    # handled (:564-575 TODO in the reference).
+                    continue
+                if comp == ref_bases:
+                    mod_records[rid] = (comp, REFERENCE)
+                else:
+                    mod_records[rid] = (comp, SUBSTITUTION)
+
+        # Re-run the allele filter on the modified counts
+        # (SelectAltAlleles with create_complex_alleles=false, :570-578).
+        agg: Dict[Tuple[str, int], Allele] = {}
+        total_ref = 0
+        for rid, (bases, t) in mod_records.items():
+            if t == REFERENCE:
+                total_ref += 1
+                continue
+            a = agg.get((bases, t))
+            if a is None:
+                agg[(bases, t)] = Allele(bases, t, 1, [rid])
+            else:
+                a.count += 1
+                a.read_ids.append(rid)
+        total_mod = total_ref + sum(a.count for a in agg.values())
+        new_alts = self.select_alt_alleles(
+            list(agg.values()), total_mod
+        )
+        return new_alts, ref_bases, mod_records
+
     def keep_reference_site(self) -> bool:
         f = self.options.fraction_reference_sites_to_emit
         return f > 0.0 and self._rng.random() < f
@@ -366,10 +527,13 @@ class VerySensitiveCaller:
         counter: AlleleCounter,
         interval_pos: int,
         context_counters: Optional[Sequence[AlleleCounter]] = None,
+        _state: Optional[dict] = None,
     ) -> Optional[DeepVariantCall]:
         """CallVariant for one position (variant_calling_multisample.cc:972).
         `context_counters` (multisample): ALL samples' counters over the
-        same interval, enabling the pooled-sample allele rescue."""
+        same interval, enabling the pooled-sample allele rescue.
+        `_state` threads prev_deletion_end / skip_until across
+        positions for --create_complex_alleles."""
         ref_byte = counter.ref[interval_pos]
         if ref_byte not in CANONICAL_DNA_BASES:
             return None
@@ -404,11 +568,29 @@ class VerySensitiveCaller:
             )
         else:
             alt_alleles = self.select_alt_alleles(alleles, total_count)
+        # --create_complex_alleles: a deletion overlapping other
+        # alleles becomes a complex site with reassigned read support
+        # (SelectAltAlleles, variant_calling_multisample.cc:647-657;
+        # gated on prev_deletion_end so overlapped positions are not
+        # re-processed).
+        complex_created = False
+        mod_records = None
+        ref_bases = None
+        if (self.options.create_complex_alleles
+                and (_state is None or _state.get("prev_deletion_end", 0)
+                     <= counter.interval.start + interval_pos)):
+            result = self._complex_variant(
+                counter, interval_pos, alt_alleles
+            )
+            if result is not None:
+                alt_alleles, ref_bases, mod_records = result
+                complex_created = True
         if not alt_alleles and not self.keep_reference_site():
             return None
 
         ref_base = chr(ref_byte)
-        ref_bases = calc_ref_bases(ref_base, alt_alleles)
+        if ref_bases is None:
+            ref_bases = calc_ref_bases(ref_base, alt_alleles)
         pos = counter.interval.start + interval_pos
         variant = Variant(
             reference_name=counter.interval.reference_name,
@@ -445,17 +627,38 @@ class VerySensitiveCaller:
         # support UNCALLED_ALLELE.
         support: Dict[str, List[int]] = {}
         mapped = {(a.bases, a.type): alt for a, alt in allele_map}
-        pc = counter.position_count(interval_pos)
-        if pc is not None:
-            for rid, rec in pc.read_alleles.items():
-                if rec.is_low_quality:
+        if complex_created and mod_records is not None:
+            # Supporting reads come from the reassigned records
+            # (AddSupportingReads with allele_counts_mod, :1147-1151).
+            ref_ids = []
+            for rid, (bases, rec_type) in mod_records.items():
+                if rec_type == REFERENCE:
+                    ref_ids.append(rid)
                     continue
-                alt = mapped.get((rec.bases, rec.type))
+                alt = mapped.get((bases, rec_type))
                 key = alt if alt is not None else SUPPORTING_UNCALLED_ALLELE
                 support.setdefault(key, []).append(rid)
-        ref_ids = (
-            list(pc.ref_supporting_read_ids) if pc is not None else []
-        )
+        else:
+            pc = counter.position_count(interval_pos)
+            if pc is not None:
+                for rid, rec in pc.read_alleles.items():
+                    if rec.is_low_quality:
+                        continue
+                    alt = mapped.get((rec.bases, rec.type))
+                    key = alt if alt is not None \
+                        else SUPPORTING_UNCALLED_ALLELE
+                    support.setdefault(key, []).append(rid)
+            ref_ids = (
+                list(pc.ref_supporting_read_ids) if pc is not None else []
+            )
+        if _state is not None:
+            if any(a.type == DELETION for a in alt_alleles):
+                _state["prev_deletion_end"] = pos + len(ref_bases)
+            if (complex_created and len(ref_bases) > 1
+                    and len(allele_map) > 1):
+                # Skip the positions covered by the complex site
+                # (skip_next_count, :1109-1112).
+                _state["skip_until"] = pos + len(ref_bases)
         return DeepVariantCall(
             variant=variant, allele_support=support, ref_support=ref_ids,
             allele_keys=dict(mapped),
@@ -491,9 +694,13 @@ class VerySensitiveCaller:
         candidates = set(counter.positions_with_alleles())
         if self.options.fraction_reference_sites_to_emit > 0.0:
             candidates = set(range(width))
+        state = {"prev_deletion_end": 0, "skip_until": -1}
         for pos in sorted(candidates):
+            if counter.interval.start + pos < state["skip_until"]:
+                continue
             call = self.call_position(
-                counter, pos, context_counters=context_counters
+                counter, pos, context_counters=context_counters,
+                _state=state,
             )
             if call is not None:
                 out.append(call)
