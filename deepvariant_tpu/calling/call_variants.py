@@ -190,10 +190,18 @@ def call_variants(
     ablation_channels: Optional[Sequence[int]] = None,
     writer_cls=TFRecordWriter,
     log_every: int = 100,
+    num_writers: int = 1,
 ) -> dict:
     """Run inference over sharded example TFRecords, write CVO TFRecord.
 
-    Returns {"num_examples": N, "examples_per_sec": r}.
+    num_writers > 1 drains predictions through a round-robin pool of
+    writer processes, each owning one `-KKKKK-of-NNNNN` output shard
+    (reference writer-process pool, call_variants.py:934-1053; see
+    calling/cvo_writer.py). Downstream readers take the base path and
+    glob the family.
+
+    Returns {"num_examples": N, "examples_per_sec": r,
+             "output_paths": [...]}.
     """
     paths = glob_sharded_inputs(examples_path)
     predictor = Predictor(
@@ -204,18 +212,44 @@ def call_variants(
     )
     n = 0
     start = time.time()
-    with writer_cls(output_path) as writer:
+    if num_writers > 1:
+        from deepvariant_tpu.calling.cvo_writer import CvoWriterPool
+
+        pool = CvoWriterPool(output_path, num_writers)
+        out_paths = pool.paths
+        buf = []
         for rec, probs in predictor.predict_stream(iter_examples(paths)):
-            gls = round_gls([float(p) for p in probs])
-            cvo = CallVariantsOutput(
-                variant=rec.variant,
-                alt_allele_indices=rec.alt_allele_indices,
-                genotype_probabilities=gls,
+            buf.append(
+                (rec.variant, rec.alt_allele_indices,
+                 [float(p) for p in probs])
             )
-            writer.write(cvo.encode())
             n += 1
+            if len(buf) >= predictor.batch_size:
+                pool.put_batch(buf)
+                buf = []
+        if buf:
+            pool.put_batch(buf)
+        written = pool.close()
+        if written != n:
+            raise RuntimeError(
+                f"writer pool wrote {written} CVOs, expected {n}"
+            )
+    else:
+        out_paths = [output_path]
+        with writer_cls(output_path) as writer:
+            for rec, probs in predictor.predict_stream(
+                    iter_examples(paths)):
+                gls = round_gls([float(p) for p in probs])
+                cvo = CallVariantsOutput(
+                    variant=rec.variant,
+                    alt_allele_indices=rec.alt_allele_indices,
+                    genotype_probabilities=gls,
+                )
+                writer.write(cvo.encode())
+                n += 1
     dt = max(time.time() - start, 1e-9)
-    return {"num_examples": n, "examples_per_sec": n / dt}
+    return {"num_examples": n, "examples_per_sec": n / dt,
+            "output_paths": out_paths}
 
 
 def read_cvos(path: str) -> Iterator[CallVariantsOutput]:

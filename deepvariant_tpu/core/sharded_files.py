@@ -72,4 +72,15 @@ def glob_sharded_inputs(spec: str) -> List[str]:
         family = sorted(_glob.glob(spec + "-?????-of-?????*"))
         if family:
             return family
+        # Or the family inserts the shard between stem and extension
+        # ('out.tfrecord.gz' -> 'out-00000-of-00004.tfrecord.gz'), as
+        # the parallel CVO writer pool does (calling/cvo_writer.py).
+        name = os.path.basename(spec)
+        if "." in name:
+            dot = len(spec) - len(name) + name.index(".")
+            family = sorted(
+                _glob.glob(spec[:dot] + "-?????-of-?????" + spec[dot:])
+            )
+            if family:
+                return family
     return [spec]

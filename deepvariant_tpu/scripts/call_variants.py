@@ -83,7 +83,25 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True)
     p.add_argument("--allow_uninitialized_model", action="store_true",
                    help="run with fresh-init weights (smoke testing only)")
+    p.add_argument(
+        "--writer_threads", type=int, default=0,
+        help="CVO writer processes (reference call_variants.py:189). "
+        "0 = autodetect: 1 when inference runs on CPU, all cores "
+        "(max 16) when an accelerator is present.",
+    )
     return p
+
+
+def resolve_writer_processes(writer_threads: int) -> int:
+    """Autodetect rule (reference call_variants.py:805-821): explicit
+    value wins; otherwise 1 on CPU, min(cpus, 16) with an accelerator."""
+    if writer_threads > 0:
+        return min(writer_threads, 16)
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return 1
+    return min(os.cpu_count() or 1, 16)
 
 
 def main(argv=None) -> int:
@@ -99,6 +117,7 @@ def main(argv=None) -> int:
     stats = call_variants(
         args.examples, args.outfile, variables,
         batch_size=args.batch_size, model=model,
+        num_writers=resolve_writer_processes(args.writer_threads),
     )
     print(
         f"call_variants done: {stats['num_examples']} examples at "

@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--intermediate_results_dir", default="")
     p.add_argument("--batch_size", type=int, default=2048)
     p.add_argument("--allow_uninitialized_model", action="store_true")
+    p.add_argument("--writer_threads", type=int, default=0,
+                   help="CVO writer processes for stage 2 "
+                   "(0 = autodetect; reference run_deepvariant.py "
+                   "--call_variants_extra_args writer_threads)")
     p.add_argument("--realign_reads",
                    action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--channel_list", default="",
@@ -135,6 +139,7 @@ def main(argv=None) -> int:
         "--examples", examples_spec,
         "--outfile", cvo_path,
         "--batch_size", str(args.batch_size),
+        "--writer_threads", str(args.writer_threads),
     ]
     if args.checkpoint:
         cv_argv += ["--checkpoint", args.checkpoint]

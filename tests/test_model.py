@@ -106,3 +106,61 @@ def test_predictor_stream_padding(small_model, tmp_path):
         assert cvo.alt_allele_indices == [0]
         assert abs(sum(cvo.genotype_probabilities) - 1.0) < 1e-9
         assert len(cvo.genotype_probabilities) == 3
+
+
+def test_parallel_writer_pool_matches_inline(small_model, tmp_path):
+    """num_writers=2 shards the CVO output across a spawn-based writer
+    pool (reference writer-process pool, call_variants.py:934-1053);
+    the merged record set must equal the inline single-writer output."""
+    from deepvariant_tpu.calling.call_variants import (
+        call_variants,
+        read_cvos,
+    )
+    from deepvariant_tpu.calling.cvo_writer import shard_paths
+
+    model, variables = small_model
+    path = str(tmp_path / "examples.tfrecord")
+    rng = np.random.RandomState(7)
+    with TFRecordWriter(path) as w:
+        for i in range(11):
+            variant = Variant(
+                reference_name="chr1",
+                start=100 + i,
+                end=101 + i,
+                reference_bases="A",
+                alternate_bases=["T"],
+                calls=[VariantCall(call_set_name="s1",
+                                   info={"AD": [3, 4], "DP": [7]})],
+            )
+            img = rng.randint(0, 255, (100, 221, 6), np.uint8)
+            w.write(
+                example_codec.make_example(
+                    variant, img, alt_allele_indices=[0],
+                    locus_region=f"chr1:{100 + i}-{101 + i}",
+                )
+            )
+
+    inline_out = str(tmp_path / "cvo_inline.tfrecord.gz")
+    stats1 = call_variants(
+        path, inline_out, variables, batch_size=4, model=model
+    )
+    pool_out = str(tmp_path / "cvo_pool.tfrecord.gz")
+    stats2 = call_variants(
+        path, pool_out, variables, batch_size=4, model=model,
+        num_writers=2,
+    )
+    assert stats1["num_examples"] == stats2["num_examples"] == 11
+    assert stats2["output_paths"] == shard_paths(pool_out, 2)
+
+    def key(cvo):
+        return (cvo.variant.start, tuple(cvo.genotype_probabilities))
+
+    inline = sorted(key(c) for c in read_cvos(inline_out))
+    # Batches round-robin across shards; the base path globs the family.
+    pooled = sorted(key(c) for c in read_cvos(
+        str(tmp_path / "cvo_pool-?????-of-?????.tfrecord.gz")))
+    assert pooled == inline
+    # Within-shard order is FIFO: starts ascend inside each shard file.
+    for p in stats2["output_paths"]:
+        starts = [c.variant.start for c in read_cvos(p)]
+        assert starts == sorted(starts) and starts
