@@ -18,7 +18,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from deepvariant_tpu.core.types import CHAR_TO_PROTO_OP, Range, Read, Variant
-from deepvariant_tpu.realign.config import AlignerOptions, REF_ALIGN_MARGIN
+from deepvariant_tpu.realign.config import AlignerOptions
 from deepvariant_tpu.realign.fast_pass_aligner import FastPassAligner
 
 OP_M = CHAR_TO_PROTO_OP["M"]
@@ -150,26 +150,26 @@ def realign_reads_to_haplotype(
 ) -> List[Read]:
     """Force-align reads to one haplotype
     (RealignReadsToHaplotype, :278-330). Unalignable reads come back
-    empty (aligned_sequence == '')."""
+    empty (aligned_sequence == '').
+
+    Unlike the python realigner's align_to_haplotype (which pads with
+    _REF_ALIGN_MARGIN=20), this C++-path equivalent uses NO reference
+    margin (kRefAlignMargin = 0, alt_aligned_pileup_lib.cc:62): reads
+    longer than the haplotype window cannot be placed ungapped by the
+    fast pass and fall through to SSW, which soft-clips them to the
+    window — the behavior the golden alt-aligned images pin."""
     options = dataclasses.replace(aln_options or AlignerOptions())
     if reads and len(reads[0].aligned_sequence) > 15:
         options.read_size = len(reads[0].aligned_sequence)
     else:
         options.read_size = 200
     options.force_alignment = True
-    ref_start_ext = max(0, ref_start - REF_ALIGN_MARGIN)
-    ref_end_ext = min(contig_n_bases, ref_end + REF_ALIGN_MARGIN)
-    ref_prefix = ref_query(Range(contig, ref_start_ext, ref_start)) \
-        if ref_start_ext < ref_start else ""
-    ref_suffix = ref_query(Range(contig, ref_end, ref_end_ext)) \
-        if ref_end < ref_end_ext else ""
-    padded = ref_prefix + haplotype + ref_suffix
     aligner = FastPassAligner(options)
-    aligner.set_reference(padded)
-    aligner.set_ref_start(contig, ref_start_ext)
-    aligner.set_ref_prefix_len(len(ref_prefix))
-    aligner.set_ref_suffix_len(len(ref_suffix))
-    aligner.set_haplotypes([padded])
+    aligner.set_reference(haplotype)
+    aligner.set_ref_start(contig, ref_start)
+    aligner.set_ref_prefix_len(0)
+    aligner.set_ref_suffix_len(0)
+    aligner.set_haplotypes([haplotype])
     return aligner.realign_reads(reads)
 
 

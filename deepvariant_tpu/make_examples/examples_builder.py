@@ -218,6 +218,30 @@ class ExamplesBuilder:
                 self.ref.contig_length(variant.reference_name),
             )
             reads = batch.to_reads()
+            # The reference builds the trimmed read set from a query of
+            # variant +/- read_overlap_buffer_bp (make_examples_native.cc
+            # :644-648, Query(region) with read_overlap_buffer_bp), so
+            # window reads that don't overlap the variant never reach the
+            # trimmed/alt-aligned pileups.
+            buf = self.pileup_options.read_overlap_buffer_bp
+            q_start = variant.start - buf
+            q_end = variant.start + len(variant.reference_bases) + buf
+            keep = [i for i, r in enumerate(reads)
+                    if r.position < q_end and r.end() > q_start]
+            reads = [reads[i] for i in keep]
+            remap_support = {orig: i for i, orig in enumerate(keep)}
+            dv_call = dataclasses.replace(
+                dv_call,
+                allele_support={
+                    a: [remap_support[r] for r in ids
+                        if r in remap_support]
+                    for a, ids in dv_call.allele_support.items()
+                },
+                ref_support=[
+                    remap_support[r] for r in dv_call.ref_support
+                    if r in remap_support
+                ],
+            )
             trimmed, original_indices = aa.trim_reads(reads, region)
             sort_positions = np.array(
                 [reads[i].position for i in original_indices], np.int64

@@ -164,9 +164,9 @@ def test_pacbio_golden_parity(testdata_dir, tmp_path):
     base six + haplotype + base_methylation channels, diff_channels
     alt-align, width 147, phasing + haplotype sorting, no realigner).
 
-    Measured: 401/401 example keys match, 369 bit-exact, mean pixel
-    diff 0.03% (remaining diffs are alt-aligned SSW insertion-placement
-    ties in repeats)."""
+    Measured: 401/401 examples BIT-EXACT (the alt-aligned read set is
+    the variant +/- read_overlap_buffer_bp query trimmed to the
+    alignment region, realigned with kRefAlignMargin=0)."""
     from deepvariant_tpu.make_examples.core import (
         MakeExamplesOptions,
         make_examples_runner,
@@ -215,8 +215,8 @@ def test_pacbio_golden_parity(testdata_dir, tmp_path):
         fracs.append(f)
         exact += f == 0.0
         assert f < 0.25, f"{key[:3]}: {f:.4f}"
-    assert exact >= 360
-    assert float(np.mean(fracs)) < 0.001
+    assert exact == 401
+    assert float(np.mean(fracs)) == 0.0
 
 
 @pytest.mark.integration
@@ -229,7 +229,7 @@ def test_alt_aligned_golden_parity(testdata_dir, tmp_path, alt_mode,
                                    golden_name):
     """Training-mode alt-aligned flows vs the reference goldens
     (make_examples_test.py end2end_with_alt_aligned_pileup config).
-    Measured: 49/49 keys, 42 bit-exact, mean pixel diff ~1%."""
+    Measured: 49/49 keys, 45 bit-exact, mean pixel diff ~0.1%."""
     from deepvariant_tpu.make_examples.core import (
         MakeExamplesOptions,
         make_examples_runner,
@@ -280,8 +280,8 @@ def test_alt_aligned_golden_parity(testdata_dir, tmp_path, alt_mode,
         fracs.append(f)
         exact += f == 0.0
         assert f < 0.20, f"{key[:3]}: {f:.4f}"
-    assert exact >= 38
-    assert float(np.mean(fracs)) < 0.02
+    assert exact >= 44
+    assert float(np.mean(fracs)) < 0.003
 
 
 @pytest.mark.integration
