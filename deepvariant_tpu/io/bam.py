@@ -74,6 +74,12 @@ class ReadRequirements:
     keep_failed_vendor_quality_checks: bool = False
     keep_secondary_alignments: bool = False
     keep_supplementary_alignments: bool = False
+    # Paired reads whose mapped mate sits on a DIFFERENT contig are
+    # "improperly placed" and dropped by default (reads.proto
+    # keep_improperly_placed / IsReadProperlyPlaced, nucleus
+    # utils.cc:261-266: unpaired, proper-pair-flagged, mate-unmapped,
+    # or same-contig-mate reads all pass).
+    keep_improperly_placed: bool = False
     min_mapping_quality: int = 0
     min_base_quality: int = 0  # applied downstream, not at read time
 
@@ -610,6 +616,18 @@ class BamReader:
         batch.cigar_lens = cig_lens
         batch.cigar_offsets = cig_off
         batch.hp = np.zeros(n, np.int8)
+        if not self.requirements.keep_improperly_placed and n:
+            improper = (
+                (batch.flag & FLAG_PAIRED) != 0
+            ) & (
+                (batch.flag & FLAG_PROPER_PAIR) == 0
+            ) & (
+                (batch.flag & FLAG_MATE_UNMAPPED) == 0
+            ) & (batch.mate_ref_id >= 0) & (
+                batch.mate_ref_id != batch.ref_id
+            )
+            if improper.any():
+                batch = batch.subset(np.flatnonzero(~improper))
         return batch
 
     def _scan_records(
@@ -655,6 +673,15 @@ class BamReader:
                 if pos >= end:
                     break
             if not self._passes_filters(flag, mapq):
+                continue
+            if (
+                not self.requirements.keep_improperly_placed
+                and flag & FLAG_PAIRED
+                and not flag & FLAG_PROPER_PAIR
+                and not flag & FLAG_MATE_UNMAPPED
+                and next_rid >= 0
+                and next_rid != rid
+            ):
                 continue
             p = 32
             name = rec[p : p + l_read_name - 1].decode()

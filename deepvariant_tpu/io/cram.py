@@ -1161,6 +1161,14 @@ class CramBatchReader:
                     continue
                 if r.mapping_quality < req.min_mapping_quality:
                     continue
+                if (
+                    not req.keep_improperly_placed
+                    and r.number_reads >= 2
+                    and not r.proper_placement
+                    and r.next_mate_position is not None
+                    and r.next_mate_position[0] != r.reference_name
+                ):
+                    continue
                 out.append(r)
             self._reads = out
         return self._reads

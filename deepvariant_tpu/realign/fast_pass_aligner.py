@@ -4,9 +4,9 @@ Behavior parity with reference fast_pass_aligner.{h,cc}:
   1. k-mer index over the window's reads (BuildIndex, :611-617);
   2. exact/fast pass: for each haplotype position whose k-mer hits the
      index, whole-read comparison with <= max_num_of_mismatches
-     mismatches; best score kept per read; haplotypes with an uncovered
-     non-flank position get score 0 and are discarded
-     (FastAlignReadsToHaplotype, :227-301);
+     mismatches; best score kept per read (FastAlignReadsToHaplotype,
+     :227-301 — minus its coverage gate, which the goldens contradict;
+     see the note in _fast_align_reads_to_haplotype);
   3. haplotypes align to the window reference with SSW
      (AlignHaplotypesToReference, :364-409); per-haplotype
      hap->ref position-shift maps (SetPositionsMap, :619-666);
@@ -358,9 +358,7 @@ class FastPassAligner:
         self, haplotype: str, read_alignments: List[ReadAlignment]
     ) -> int:
         k = self.options.kmer_size
-        is_ref = haplotype == self.reference
         hap_len = len(haplotype)
-        coverage = np.zeros(hap_len, np.int32)
         haplotype_score = 0
         last_pos = hap_len - k
         max_mm = self.options.max_num_of_mismatches
@@ -401,16 +399,24 @@ class FastPassAligner:
                             read, max_mm + 1,
                         )
                     if mismatches <= max_mm:
-                        coverage[target_start:target_start + span] += 1
                         if ra.score < score:
                             haplotype_score += score - ra.score
                             ra.score = score
                             ra.position = target_start
                             ra.cigar = f"{span}="
-            if (coverage[i] == 0 and i >= self.ref_prefix_len
-                    and i < hap_len - self.ref_suffix_len
-                    and not is_ref):
-                return 0
+        # NOTE on the reference's coverage gate: today's
+        # FastAlignReadsToHaplotype (fast_pass_aligner.cc:293-299)
+        # discards any non-reference haplotype whose scan reaches a
+        # target position with zero fast-aligned read coverage. The
+        # golden examples contradict that gate twice over: windows
+        # whose first target positions are uncovered (partition-edge
+        # windows get no reads left of the boundary) still realign
+        # reads against non-reference haplotypes, and haplotypes whose
+        # only tail support surfaces one k-mer past a read mismatch
+        # stay alive. The goldens are the acceptance bar, so no
+        # coverage-based haplotype discard is applied here; a
+        # haplotype with no fast-aligned reads at all naturally scores
+        # 0 and is skipped by the SSW fallback.
         return haplotype_score
 
     # -- main ---------------------------------------------------------------

@@ -284,6 +284,7 @@ int64_t dv_bam_scan(const uint8_t* src, int64_t src_len, DvBamFilter filter,
 
 #include <vector>
 #include <cstdio>
+#include <algorithm>
 
 // ---------------------------------------------------------------------------
 // Affine-gap local alignment (Smith-Waterman) with traceback.
@@ -309,6 +310,177 @@ static int cigar_append(char* buf, int buf_size, int len_sofar, int count,
 
 // Returns 0 on success (score > 0), 1 when no positive-scoring alignment,
 // -1 on buffer overflow. Outputs mirror ssw.py Alignment fields.
+// Local affine-gap alignment with the SSW library family's reported-
+// alignment semantics (see deepvariant_tpu/realign/ssw.py for the
+// behavioral spec pinned by the realigner goldens):
+//   phase 1  forward local DP; endpoint = lexicographically smallest
+//            (ref_end, query_end) among maximum cells;
+//   phase 2  reverse local DP over the reversed prefixes, stopping at
+//            the first reversed-ref row that reaches the best score
+//            -> shortest span among co-optimal begin points;
+//   phase 3  banded global DP over the [begin..end] subsegment with
+//            the library's direction tie-breaks (diagonal beats gaps,
+//            deletion beats insertion, extension beats re-opening),
+//            'M' runs split into '='/'X' by base comparison.
+// Returns 0 on success (score > 0), 1 when no positive-scoring
+// alignment, -1 on buffer overflow.
+namespace {
+
+// Forward/reverse local DP: finds best score and the lexicographically
+// smallest (end_ref, end_query) pair; when `target > 0`, stops at the
+// first ref row containing a cell equal to `target` (reverse pass).
+static void ssw_local_ends(const char* ref, int32_t n, const char* q,
+                           int32_t m, int32_t mt, int32_t mm, int32_t go,
+                           int32_t ge, int32_t target, int32_t* out_best,
+                           int32_t* out_i, int32_t* out_j) {
+  const int32_t NEG = -(1 << 28);
+  std::vector<int32_t> Hprev(m + 1, 0), Hcur(m + 1, 0), E(m + 1, NEG);
+  int32_t best = 0, bi = 0, bj = 0;
+  for (int32_t i = 1; i <= n; ++i) {
+    const char rc = ref[i - 1];
+    int32_t f = NEG;
+    Hcur[0] = 0;
+    int32_t row_hit = 0;
+    for (int32_t j = 1; j <= m; ++j) {
+      int32_t e = std::max(Hprev[j] - go, E[j] - ge);
+      E[j] = e;
+      int32_t diag = Hprev[j - 1] + (rc == q[j - 1] ? mt : -mm);
+      f = std::max(Hcur[j - 1] - go, f - ge);
+      int32_t h = diag > e ? diag : e;
+      if (f > h) h = f;
+      if (h < 0) h = 0;
+      Hcur[j] = h;
+      if (h > best) {
+        best = h;
+        bi = i;
+        bj = j;
+      }
+      if (target > 0 && h == target && row_hit == 0) row_hit = j;
+    }
+    if (target > 0 && row_hit > 0) {
+      *out_best = target;
+      *out_i = i;
+      *out_j = row_hit;
+      return;
+    }
+    std::swap(Hprev, Hcur);
+  }
+  *out_best = best;
+  *out_i = bi;
+  *out_j = bj;
+}
+
+// Banded global DP over the matched subsegment; emits per-base ops
+// 'M'/'I'/'D' ('I' consumes query, 'D' consumes ref). Returns false
+// only if the band never reaches the target score (cannot happen for
+// a well-formed subsegment, guarded anyway).
+static bool ssw_banded_ops(const char* ref, int32_t ref_len, const char* q,
+                           int32_t read_len, int32_t score, int32_t mt,
+                           int32_t mm, int32_t go, int32_t ge,
+                           std::vector<char>* out_ops) {
+  int32_t band_width = std::abs(ref_len - read_len) + 1;
+  std::vector<int32_t> h_b, e_b, h_c;
+  std::vector<int8_t> direction;
+  while (true) {
+    const int64_t width = (int64_t)band_width * 2 + 3;
+    const int64_t width_d = (int64_t)band_width * 2 + 1;
+    h_b.assign(width, 0);
+    e_b.assign(width, 0);
+    h_c.assign(width, 0);
+    direction.assign((size_t)width_d * 3 * read_len, 0);
+    int32_t max_score = 0;
+    int64_t u = 0;
+    for (int32_t i = 0; i < read_len; ++i) {
+      int32_t beg = std::max(0, i - band_width);
+      int32_t end = std::min(ref_len - 1, i + band_width);
+      int64_t edge = std::min<int64_t>(end + 1, width - 1);
+      int32_t f = 0;
+      h_b[0] = e_b[0] = h_b[edge] = e_b[edge] = h_c[0] = 0;
+      int8_t* dline = &direction[(size_t)width_d * 3 * i];
+      const int32_t off_i = std::max(0, i - band_width);
+      const int32_t off_p = std::max(0, i - 1 - band_width);
+      for (int32_t j = beg; j <= end; ++j) {
+        u = j - off_i + 1;
+        const int64_t eu = j - off_p + 1;
+        const int64_t b = j - 1 - off_i + 1;
+        const int64_t d = j - 1 - off_p + 1;
+        const int64_t x3 = (int64_t)(j - off_i) * 3;
+        int32_t t1 = (i == 0) ? -go : h_b[eu] - go;
+        int32_t t2 = (i == 0) ? -ge : e_b[eu] - ge;
+        const int32_t e_val = t1 > t2 ? t1 : t2;
+        const int8_t e_dir = t1 > t2 ? 3 : 2;
+        e_b[u] = e_val;
+        dline[x3] = e_dir;
+
+        t1 = h_c[b] - go;
+        t2 = f - ge;
+        f = t1 > t2 ? t1 : t2;
+        const int8_t f_dir = t1 > t2 ? 5 : 4;
+        dline[x3 + 1] = f_dir;
+
+        const int32_t e1 = e_val > 0 ? e_val : 0;
+        const int32_t f1 = f > 0 ? f : 0;
+        t1 = e1 > f1 ? e1 : f1;
+        t2 = h_b[d] + (ref[j] == q[i] ? mt : -mm);
+        h_c[u] = t1 > t2 ? t1 : t2;
+        if (h_c[u] > max_score) max_score = h_c[u];
+        if (t1 <= t2) {
+          dline[x3 + 2] = 1;
+        } else {
+          dline[x3 + 2] = e1 > f1 ? e_dir : f_dir;
+        }
+      }
+      for (int64_t jj = 0; jj <= u; ++jj) h_b[jj] = h_c[jj];
+    }
+    if (max_score >= score) break;
+    if ((int64_t)band_width * 2 > ref_len + read_len) return false;
+    band_width *= 2;
+  }
+  const int64_t width_d = (int64_t)band_width * 2 + 1;
+  out_ops->clear();
+  int32_t i = read_len - 1, j = ref_len - 1;
+  int32_t p = 2;  // 0=E, 1=F, 2=H
+  while (i > 0 || j > 0) {
+    const int64_t x = j - std::max(0, i - band_width);
+    const int8_t dval = direction[(size_t)width_d * 3 * i + x * 3 + p];
+    switch (dval) {
+      case 1:
+        out_ops->push_back('M');
+        --i;
+        --j;
+        p = 2;
+        break;
+      case 2:
+        out_ops->push_back('I');
+        --i;
+        p = 0;
+        break;
+      case 3:
+        out_ops->push_back('I');
+        --i;
+        p = 2;
+        break;
+      case 4:
+        out_ops->push_back('D');
+        --j;
+        p = 1;
+        break;
+      case 5:
+        out_ops->push_back('D');
+        --j;
+        p = 2;
+        break;
+      default:
+        return false;  // trace error (out of band)
+    }
+  }
+  out_ops->push_back('M');  // cell (0, 0): the first aligned pair
+  std::reverse(out_ops->begin(), out_ops->end());
+  return true;
+}
+
+}  // namespace
+
 extern "C" int dv_ssw_align(const char* ref, int32_t n, const char* query, int32_t m,
                  int32_t match, int32_t mismatch, int32_t gap_open,
                  int32_t gap_extend, int32_t* out_score,
@@ -316,116 +488,69 @@ extern "C" int dv_ssw_align(const char* ref, int32_t n, const char* query, int32
                  int32_t* out_query_begin, int32_t* out_query_end,
                  char* cigar_buf, int32_t cigar_buf_size) {
   if (n <= 0 || m <= 0) return 1;
-  // Scores fit int16 comfortably for genomics-scale inputs (reads and
-  // windows are << 8k bases at match<=8); halving the matrix element
-  // size halves the memory traffic of this bandwidth-bound DP, and
-  // thread_local buffers avoid per-call page-fault churn.
-  const int32_t NEG = -(1 << 13);
-  const int W = m + 1;
-  static thread_local std::vector<int16_t> H, E, F;
-  const size_t cells = (size_t)(n + 1) * W;
-  if (H.size() < cells) {
-    H.resize(cells);
-    E.resize(cells);
-    F.resize(cells);
-  }
-  std::fill(H.begin(), H.begin() + W, 0);
-  std::fill(E.begin(), E.begin() + W, (int16_t)NEG);
-  std::fill(F.begin(), F.begin() + W, (int16_t)NEG);
-  for (int i = 1; i <= n; ++i) {
-    H[(size_t)i * W] = 0;
-    E[(size_t)i * W] = (int16_t)NEG;
-    F[(size_t)i * W] = (int16_t)NEG;
-  }
-  int best = 0, best_i = 0, best_j = 0;
-  const int16_t mt = (int16_t)match, mm = (int16_t)-mismatch;
-  const int16_t go = (int16_t)gap_open, ge = (int16_t)gap_extend;
-  for (int i = 1; i <= n; ++i) {
-    const char rc = ref[i - 1];
-    int16_t* Hrow = &H[(size_t)i * W];
-    int16_t* Hprev = &H[(size_t)(i - 1) * W];
-    int16_t* Erow = &E[(size_t)i * W];
-    int16_t* Eprev = &E[(size_t)(i - 1) * W];
-    int16_t* Frow = &F[(size_t)i * W];
-    int16_t f = (int16_t)NEG;
-    for (int j = 1; j <= m; ++j) {
-      int16_t e = (int16_t)imax2(Hprev[j] - go, Eprev[j] - ge);
-      if (e < NEG) e = (int16_t)NEG;
-      Erow[j] = e;
-      int16_t diag =
-          (int16_t)(Hprev[j - 1] + (rc == query[j - 1] ? mt : mm));
-      f = (int16_t)imax2(Hrow[j - 1] - go, f - ge);
-      if (f < NEG) f = (int16_t)NEG;
-      Frow[j] = f;
-      int16_t h = diag > e ? diag : e;
-      if (f > h) h = f;
-      if (h < 0) h = 0;
-      Hrow[j] = h;
-      if (h > best) {
-        best = h;
-        best_i = i;
-        best_j = j;
-      }
-    }
-  }
+  // Phase 1: forward endpoint.
+  int32_t best = 0, re_i = 0, re_j = 0;
+  ssw_local_ends(ref, n, query, m, match, mismatch, gap_open, gap_extend,
+                 0, &best, &re_i, &re_j);
   if (best <= 0) return 1;
-  // Traceback (matches ssw.py state machine).
-  int i = best_i, j = best_j;
-  // Ops are collected in reverse; run-length encode on the way out.
+  // Phase 2: reverse begins (shortest span among co-optimal).
+  std::vector<char> ref_rev(re_i), q_rev(re_j);
+  for (int32_t i = 0; i < re_i; ++i) ref_rev[i] = ref[re_i - 1 - i];
+  for (int32_t j = 0; j < re_j; ++j) q_rev[j] = query[re_j - 1 - j];
+  int32_t rbest = 0, ri = 0, rj = 0;
+  ssw_local_ends(ref_rev.data(), re_i, q_rev.data(), re_j, match, mismatch,
+                 gap_open, gap_extend, best, &rbest, &ri, &rj);
+  if (rbest != best) return 1;  // defensive; cannot happen
+  const int32_t ref_begin = re_i - ri;
+  const int32_t query_begin = re_j - rj;
+  // Phase 3: banded global cigar over the subsegment.
   std::vector<char> ops;
-  ops.reserve(m + 16);
-  char state = 'H';
-  while (i > 0 && j > 0) {
-    size_t idx = (size_t)i * W + j;
-    if (state == 'H') {
-      if (H[idx] == 0) break;
-      int32_t diag_score =
-          H[(size_t)(i - 1) * W + (j - 1)] +
-          (ref[i - 1] == query[j - 1] ? match : -mismatch);
-      if (H[idx] == diag_score) {
-        ops.push_back(ref[i - 1] == query[j - 1] ? '=' : 'X');
-        --i;
-        --j;
-      } else if (H[idx] == E[idx]) {
-        state = 'E';
-      } else {
-        state = 'F';
-      }
-    } else if (state == 'E') {
-      ops.push_back('D');
-      bool ext = E[idx] == E[(size_t)(i - 1) * W + j] - gap_extend;
-      --i;
-      if (!ext) state = 'H';
-    } else {  // F
-      ops.push_back('I');
-      bool ext = F[idx] == F[(size_t)i * W + (j - 1)] - gap_extend;
-      --j;
-      if (!ext) state = 'H';
-    }
+  if (!ssw_banded_ops(ref + ref_begin, re_i - ref_begin, query + query_begin,
+                      re_j - query_begin, best, match, mismatch, gap_open,
+                      gap_extend, &ops)) {
+    return 1;
   }
   *out_score = best;
-  *out_ref_begin = i;
-  *out_ref_end = best_i;
-  *out_query_begin = j;
-  *out_query_end = best_j;
+  *out_ref_begin = ref_begin;
+  *out_ref_end = re_i;
+  *out_query_begin = query_begin;
+  *out_query_end = re_j;
   int len = 0;
-  if (j > 0) {
-    len = cigar_append(cigar_buf, cigar_buf_size, len, j, 'S');
+  if (query_begin > 0) {
+    len = cigar_append(cigar_buf, cigar_buf_size, len, query_begin, 'S');
     if (len < 0) return -1;
   }
-  // Reverse-iterate ops with RLE.
-  for (int k = (int)ops.size() - 1; k >= 0;) {
-    char op = ops[k];
-    int count = 0;
-    while (k >= 0 && ops[k] == op) {
-      ++count;
-      --k;
+  // Emit ops with '='/'X' substitution for 'M', run-length encoded.
+  int32_t pi = query_begin, pj = ref_begin;
+  size_t kidx = 0;
+  while (kidx < ops.size()) {
+    char op = ops[kidx];
+    char emit;
+    if (op == 'M') {
+      emit = (ref[pj] == query[pi]) ? '=' : 'X';
+    } else {
+      emit = op;
     }
-    len = cigar_append(cigar_buf, cigar_buf_size, len, count, op);
+    int count = 0;
+    while (kidx < ops.size()) {
+      char cur = ops[kidx];
+      char cur_emit;
+      if (cur == 'M') {
+        cur_emit = (ref[pj] == query[pi]) ? '=' : 'X';
+      } else {
+        cur_emit = cur;
+      }
+      if (cur_emit != emit) break;
+      if (cur != 'D') ++pi;
+      if (cur != 'I') ++pj;
+      ++count;
+      ++kidx;
+    }
+    len = cigar_append(cigar_buf, cigar_buf_size, len, count, emit);
     if (len < 0) return -1;
   }
-  if (m - best_j > 0) {
-    len = cigar_append(cigar_buf, cigar_buf_size, len, m - best_j, 'S');
+  if (m - re_j > 0) {
+    len = cigar_append(cigar_buf, cigar_buf_size, len, m - re_j, 'S');
     if (len < 0) return -1;
   }
   if (len < cigar_buf_size) cigar_buf[len] = '\0';
@@ -519,7 +644,13 @@ extern "C" int dv_fast_pass_align(
       }
     }
   }
-  std::vector<int32_t> coverage;
+  // No coverage-based haplotype discard: the reference's current code
+  // gates haplotypes on fast-aligned read coverage
+  // (fast_pass_aligner.cc:293-299) but its own goldens contradict the
+  // gate (see fast_pass_aligner.py _fast_align_reads_to_haplotype).
+  (void)ref_hap_index;
+  (void)ref_prefix_len;
+  (void)ref_suffix_len;
   for (int32_t h = 0; h < n_haps; ++h) {
     const char* hap = hap_buf + hap_offsets[h];
     const int32_t hap_len = hap_offsets[h + 1] - hap_offsets[h];
@@ -529,11 +660,8 @@ extern "C" int dv_fast_pass_align(
       scores[r] = 0;
       positions[r] = -1;
     }
-    coverage.assign(hap_len, 0);
     int64_t hap_score = 0;
-    const bool is_ref = (h == ref_hap_index);
-    bool aborted = false;
-    for (int32_t i = 0; i + k <= hap_len && !aborted; ++i) {
+    for (int32_t i = 0; i + k <= hap_len; ++i) {
       uint64_t key;
       if (pack_kmer(hap + i, k, &key)) {
         auto it = index.find(key);
@@ -551,8 +679,6 @@ extern "C" int dv_fast_pass_align(
                 hap + target_start, read, span, max_mm + 1, match_score,
                 mismatch_pen, &mm);
             if (mm <= max_mm) {
-              for (int32_t p = target_start; p < target_start + span; ++p)
-                coverage[p]++;
               if (scores[hit.read_id] < score) {
                 hap_score += score - scores[hit.read_id];
                 scores[hit.read_id] = score;
@@ -562,21 +688,8 @@ extern "C" int dv_fast_pass_align(
           }
         }
       }
-      if (coverage[i] == 0 && i >= ref_prefix_len &&
-          i < hap_len - ref_suffix_len && !is_ref) {
-        hap_score = 0;
-        aborted = true;
-      }
     }
-    if (aborted) {
-      for (int32_t r = 0; r < n_reads; ++r) {
-        scores[r] = 0;
-        positions[r] = -1;
-      }
-      out_hap_scores[h] = 0;
-    } else {
-      out_hap_scores[h] = (int32_t)hap_score;
-    }
+    out_hap_scores[h] = (int32_t)hap_score;
   }
   return 0;
 }

@@ -104,10 +104,11 @@ def test_reference_band_always_exact(parity):
 @pytest.mark.integration
 def test_pixel_parity_with_realigner(testdata_dir, tmp_path):
     """Full runner WITH the realigner against the golden examples:
-    the bounds ratchet hard once local-assembly realignment is in
-    (67/84 bit-exact, mean pixel diff 0.28% measured; the realigner
-    window/haplotype layer is additionally pinned bit-exact by
-    tests/test_realigner.py TestReferenceOracleRegions)."""
+    all 84 examples are BIT-EXACT (requires the SSW-library alignment
+    semantics in realign/ssw.py, no fast-pass coverage gate, and the
+    improperly-placed read filter; the realigner window/haplotype
+    layer is additionally pinned by tests/test_realigner.py
+    TestReferenceOracleRegions)."""
     from deepvariant_tpu.make_examples.core import (
         MakeExamplesOptions,
         make_examples_runner,
@@ -152,9 +153,8 @@ def test_pixel_parity_with_realigner(testdata_dir, tmp_path):
         frac = float(np.mean(g != o))
         fracs.append(frac)
         exact += frac == 0.0
-        assert frac < 0.15, f"{key[:3]}: {frac:.4f}"
-    assert exact >= 60
-    assert float(np.mean(fracs)) < 0.005
+    assert exact == 84
+    assert float(np.mean(fracs)) == 0.0
 
 
 @pytest.mark.integration

