@@ -289,8 +289,10 @@ def has_shuffle() -> bool:
 
 
 def shuffle_indices(n: int, seed: int):
-    """libstdc++ std::shuffle(iota(n), mt19937_64(seed)) — the exact
-    crowded-pileup downsample permutation (pileup_image_native.cc:153)."""
+    """std::shuffle(iota(n), mt19937_64(seed)) with LIBC++ draw
+    semantics — the exact crowded-pileup downsample permutation of the
+    reference's release builds (pileup_image_native.cc:153; pinned by
+    the crowded trio parent-band goldens)."""
     import numpy as np
 
     out = np.empty(n, np.int32)

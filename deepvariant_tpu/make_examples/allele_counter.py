@@ -110,14 +110,24 @@ class AlleleCounter:
         interval: Range,
         options: Optional[AlleleCounterOptions] = None,
         ref_prev_base: str = "N",
+        ref_bases_after: Optional[np.ndarray] = None,
     ):
         """`ref_bases_interval`: uint8 ASCII ref bases covering interval.
         `ref_prev_base`: the reference base just before interval.start (used
-        when an indel starts exactly at the interval boundary)."""
+        when an indel starts exactly at the interval boundary).
+        `ref_bases_after`: reference bases following interval.end, used by
+        deletions anchored inside the interval that extend past its end
+        (the reference fetches these from the full reference reader,
+        allelecounter.cc RefBases:371-384; only a deletion spanning off
+        the CONTIG drops the allele)."""
         assert len(ref_bases_interval) == len(interval)
         self.interval = interval
         self.options = options or AlleleCounterOptions()
         self.ref = ref_bases_interval
+        self._ref_after = (
+            ref_bases_after if ref_bases_after is not None
+            else np.empty(0, np.uint8)
+        )
         self._prev_base = ref_prev_base
         width = len(interval)
         self.ref_count = np.zeros(width, np.int32)
@@ -303,13 +313,26 @@ class AlleleCounter:
                 low_q = False
                 if op == _OP_D:
                     atype = DELETION
-                    if interval_offset < 0 or interval_offset + op_len > width:
-                        # Deletion runs outside our ref window; skip read's
-                        # event (reference drops the allele in this case too).
+                    if interval_offset < 0 or (
+                        interval_offset + op_len
+                        > width + len(self._ref_after)
+                    ):
+                        # Deletion starts before the window or spans past
+                        # the available reference tail (the reference only
+                        # drops alleles whose deleted bases run off the
+                        # contig, allelecounter.cc:426-443).
                         continue
-                    del_ref = self.ref[
-                        interval_offset : interval_offset + op_len
-                    ]
+                    if interval_offset + op_len > width:
+                        del_ref = np.concatenate([
+                            self.ref[interval_offset:],
+                            self._ref_after[
+                                : interval_offset + op_len - width
+                            ],
+                        ])
+                    else:
+                        del_ref = self.ref[
+                            interval_offset : interval_offset + op_len
+                        ]
                     if not _IS_CANONICAL[del_ref].all():
                         continue
                     bases = prev + del_ref.tobytes().decode()

@@ -467,6 +467,20 @@ class RegionProcessor:
             )
         if options.sort_by_haplotypes:
             options.pileup_options.sort_by_haplotypes = True
+        # The CLI-level read requirements funnel into the pileup
+        # encoder's per-read checks, exactly as the reference threads
+        # one ReadRequirements into pic_options
+        # (make_examples_options.py:957-968 -> pileup_image
+        # default_options(read_requirements)): EncodeRead's mapq bail
+        # and the call-site base-quality bail both read the FLAG
+        # values (defaults 5 / 10), not pileup_image.py's standalone
+        # defaults.
+        options.pileup_options.min_mapping_quality = (
+            options.min_mapping_quality
+        )
+        options.pileup_options.min_base_quality = (
+            options.min_base_quality
+        )
         if options.proposed_variants_filename:
             from deepvariant_tpu.make_examples.vcf_candidate_importer \
                 import VcfCandidateImporter
@@ -672,6 +686,17 @@ class RegionProcessor:
             prev = self.ref_reader.query(
                 Range(region.reference_name, region.start - 1, region.start)
             )
+        # Reference tail for deletions anchored at the region edge that
+        # extend past region.end (bounded by the contig end; 1 kb covers
+        # any deletion a partition-assigned read can carry).
+        contig_len = self.ref_reader.contig_length(region.reference_name)
+        tail_end = min(contig_len, region.end + 1000)
+        after = (
+            self.ref_reader.bases(
+                Range(region.reference_name, region.end, tail_end)
+            )
+            if tail_end > region.end else None
+        )
         return AlleleCounter(
             ref_bases,
             region,
@@ -681,6 +706,7 @@ class RegionProcessor:
                 track_ref_reads=self.options.track_ref_reads,
             ),
             ref_prev_base=prev,
+            ref_bases_after=after,
         )
 
     def candidates_in_region(

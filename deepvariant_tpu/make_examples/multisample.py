@@ -170,8 +170,13 @@ class MultiSampleRegionProcessor:
         # One encoder per sample so each can have its own height.
         self.builders: List[ExamplesBuilder] = []
         for s in self.samples:
+            # CLI read requirements funnel into the encoder's per-read
+            # checks (same single-ReadRequirements threading as the
+            # reference; see RegionProcessor.__init__).
             popts = dataclasses.replace(
-                options.pileup_options, height=s.pileup_height
+                options.pileup_options, height=s.pileup_height,
+                min_mapping_quality=options.min_mapping_quality,
+                min_base_quality=options.min_base_quality,
             )
             self.builders.append(ExamplesBuilder(
                 self.ref_reader, popts,

@@ -873,18 +873,40 @@ extern "C" int64_t dv_rans_decode(const uint8_t* buf, int64_t buf_len,
 // The crowded-window read downsample is a std::shuffle of read indices
 // with std::mt19937_64 seeded from the pileup options' random_seed
 // (DownsampleReadIndices, pileup_image_native.cc:153-165). std::shuffle's
-// index distribution is implementation-defined, so bit-reproducing the
-// reference's goldens requires running the same libstdc++ algorithm with
-// the same generator — which this does by construction.
+// index distribution is implementation-defined, and the goldens pin the
+// LIBC++ algorithm (DeepVariant release builds use clang/libc++; verified
+// against golden_child.calling_examples crowded parent bands): a forward
+// Fisher-Yates where each bounded draw masks the engine output to
+// ceil(log2(range)) bits and rejects values >= range
+// (libc++ uniform_int_distribution over a 64-bit engine).
 // ---------------------------------------------------------------------------
 #include <algorithm>
 #include <numeric>
 #include <random>
 
+static uint64_t dv_bounded_draw(std::mt19937_64& g, uint64_t range) {
+  if (range == 1) return 0;
+  int w = 64 - __builtin_clzll(range) - 1;
+  if ((range & (UINT64_MAX >> (64 - w))) != 0) ++w;
+  const uint64_t mask = (w >= 64) ? UINT64_MAX : ((1ULL << w) - 1);
+  uint64_t u;
+  do {
+    u = g() & mask;
+  } while (u >= range);
+  return u;
+}
+
 extern "C" void dv_shuffle_indices(int32_t n, uint64_t seed, int32_t* out) {
   std::vector<int32_t> idx(n);
   std::iota(idx.begin(), idx.end(), 0);
-  std::shuffle(idx.begin(), idx.end(), std::mt19937_64(seed));
+  std::mt19937_64 g(seed);
+  if (n > 1) {
+    int64_t d = n - 1;
+    for (int32_t first = 0; first < n - 1; ++first, --d) {
+      const int64_t i = (int64_t)dv_bounded_draw(g, (uint64_t)d + 1);
+      if (i != 0) std::swap(idx[first], idx[first + i]);
+    }
+  }
   std::copy(idx.begin(), idx.end(), out);
 }
 

@@ -229,7 +229,7 @@ def test_alt_aligned_golden_parity(testdata_dir, tmp_path, alt_mode,
                                    golden_name):
     """Training-mode alt-aligned flows vs the reference goldens
     (make_examples_test.py end2end_with_alt_aligned_pileup config).
-    Measured: 49/49 keys, 45 bit-exact, mean pixel diff ~0.1%."""
+    All 49 examples BIT-EXACT in both modes."""
     from deepvariant_tpu.make_examples.core import (
         MakeExamplesOptions,
         make_examples_runner,
@@ -279,17 +279,15 @@ def test_alt_aligned_golden_parity(testdata_dir, tmp_path, alt_mode,
         f = float(np.mean(g != o))
         fracs.append(f)
         exact += f == 0.0
-        assert f < 0.20, f"{key[:3]}: {f:.4f}"
-    assert exact >= 44
-    assert float(np.mean(fracs)) < 0.003
+    assert exact == 49
+    assert float(np.mean(fracs)) == 0.0
 
 
 @pytest.mark.integration
 def test_allele_frequency_golden_parity(testdata_dir, tmp_path):
-    """AF-channel flow vs golden.allele_frequency_examples. The window
-    holds 2217 reads, so read downsampling RNG diverges from the
-    reference; parity is asserted at the level the feature controls:
-    candidate keys and the exact AF color values per example."""
+    """AF-channel flow vs golden.allele_frequency_examples: all 78
+    examples BIT-EXACT (requires the libc++ downsampling shuffle and
+    the allele counter's reference tail for region-edge deletions)."""
     from deepvariant_tpu.make_examples.core import (
         MakeExamplesOptions,
         make_examples_runner,
@@ -325,16 +323,11 @@ def test_allele_frequency_golden_parity(testdata_dir, tmp_path):
     options.pileup_options.channels = (1, 2, 3, 4, 5, 6, 19, 8)
     make_examples_runner(options)
     ours = load(str(tmp_path / "af.tfrecord"))
-    common = set(golden) & set(ours)
-    assert len(common) >= 70  # 74/78 measured (sampling-dependent tail)
+    assert set(ours) == set(golden)
+    assert len(golden) == 78
     info = exio.read_example_info(str(tmp_path / "af.tfrecord"))
     assert info["channels"] == [1, 2, 3, 4, 5, 6, 19, 8]
-    n_active = agree = 0
-    for key in sorted(common):
-        gaf = set(np.unique(golden[key][:, :, 7]).tolist()) - {0}
-        oaf = set(np.unique(ours[key][:, :, 7]).tolist()) - {0}
-        if gaf or oaf:
-            n_active += 1
-            agree += gaf == oaf
-    assert n_active >= 5
-    assert agree == n_active  # AF encoding exact wherever active
+    for key in sorted(golden):
+        np.testing.assert_array_equal(
+            golden[key], ours[key], err_msg=str(key[:3])
+        )

@@ -171,9 +171,9 @@ def test_trio_golden_child_examples_parity(testdata_dir, tmp_path):
     (create_golden_deeptrio.sh: WGS preset heights child 60/parent 40,
     channels base six + insert_size, min_fraction_multiplier 0.67).
 
-    Measured: 88/88 golden keys produced (1 extra candidate), child
-    band bit-exact on 80/88 examples (mean diff 0.6%), parent bands
-    mean diff ~4% (parent-side realignment/downsampling tie-breaks)."""
+    All 88 examples BIT-EXACT across all three bands (requires the
+    libc++ downsampling shuffle for the crowded parent bands and the
+    CLI min_mapping_quality=5 funneled into the pileup encoder)."""
     import numpy as np
 
     from deepvariant_tpu.io import tfrecord
@@ -228,14 +228,4 @@ def test_trio_golden_child_examples_parity(testdata_dir, tmp_path):
     g = np.stack([golden[k] for k in common])
     o = np.stack([ours[k] for k in common])
     assert g.shape[1:] == (140, 221, 7)
-    d = g != o
-    # Child band (rows 40-99) rides the single-sample machinery:
-    # near-bit-exact.
-    child = d[:, 40:100]
-    assert float(child.mean()) < 0.01
-    assert int((~child.any(axis=(1, 2, 3))).sum()) >= 75
-    # Parent bands: support coloring + stacking verified to a ratcheting
-    # tolerance (remaining diffs are parent-side realignment and
-    # crowded-row tie-breaks).
-    assert float(d[:, :40].mean()) < 0.06
-    assert float(d[:, 100:].mean()) < 0.07
+    np.testing.assert_array_equal(g, o)
