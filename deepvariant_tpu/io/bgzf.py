@@ -49,6 +49,11 @@ class BgzfReader:
     Maintains a one-block cache; sequential `read` crosses blocks.
     """
 
+    # Decompressed blocks kept per reader (LRU).  Adjacent range
+    # queries (BAI/tabix chunks) re-enter the same boundary blocks
+    # constantly; 256 x 64KiB = 16MiB cap.
+    _CACHE_BLOCKS = 256
+
     def __init__(self, path_or_file):
         if isinstance(path_or_file, (str, bytes)):
             self._fh: BinaryIO = open(path_or_file, "rb")
@@ -56,6 +61,9 @@ class BgzfReader:
         else:
             self._fh = path_or_file
             self._owns = False
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[int, Tuple[bytes, int]]" = OrderedDict()
         self._block_coffset = -1
         self._block_data = b""
         self._within = 0
@@ -78,6 +86,15 @@ class BgzfReader:
         """Load the block at compressed offset; returns False at EOF."""
         if coffset == self._block_coffset:
             return True
+        cached = self._cache.get(coffset)
+        if cached is not None:
+            self._cache.move_to_end(coffset)
+            data, next_coffset = cached
+            self._block_coffset = coffset
+            self._block_data = data
+            self._next_coffset = next_coffset
+            self._within = 0
+            return len(data) > 0 or (next_coffset - coffset) > 28
         self._fh.seek(coffset)
         header = self._fh.read(18)
         if len(header) == 0:
@@ -97,6 +114,9 @@ class BgzfReader:
         self._block_data = data
         self._next_coffset = coffset + bsize
         self._within = 0
+        self._cache[coffset] = (data, self._next_coffset)
+        if len(self._cache) > self._CACHE_BLOCKS:
+            self._cache.popitem(last=False)
         return len(data) > 0 or bsize > 28
 
     # -- virtual offsets -------------------------------------------------------

@@ -102,6 +102,36 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
+    if hasattr(lib, "dv_ssw_score_multi"):
+        lib.dv_ssw_score_multi.restype = None
+        lib.dv_ssw_score_multi.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+    if hasattr(lib, "dv_encode_rows"):
+        I64P = ctypes.POINTER(ctypes.c_int64)
+        I32P = ctypes.POINTER(ctypes.c_int32)
+        U8P = ctypes.POINTER(ctypes.c_uint8)
+        lib.dv_encode_rows.restype = ctypes.c_int
+        lib.dv_encode_rows.argtypes = [
+            I32P, ctypes.c_int32, ctypes.c_int32,      # sel, n_sel, max_keep
+            I64P, U8P,                                 # pos, mapq
+            U8P, U8P, I64P,                            # seq, qual, seq_off
+            ctypes.POINTER(ctypes.c_int8), I32P, I64P,  # cigar
+            U8P, ctypes.c_int32,                       # ref_window, width
+            ctypes.c_int64, ctypes.c_int64,            # start, variant
+            I32P, ctypes.c_int32, U8P,                 # modes, n_ch, consts
+            ctypes.c_int32, ctypes.c_int32,            # min_mapq, min_baseq
+            ctypes.c_float, ctypes.c_uint8,            # bq_cap, star
+            U8P, ctypes.c_uint8, ctypes.c_uint8,       # base_lut, match, mis
+            U8P, U8P,                                  # rows, keep
+        ]
     if hasattr(lib, "dv_shuffle_indices"):
         lib.dv_shuffle_indices.restype = None
         lib.dv_shuffle_indices.argtypes = [
@@ -280,6 +310,82 @@ def ssw_score_batch(ref: bytes, reads, match: int, mismatch: int,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(reads), match, mismatch, gap_open, gap_extend,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
+
+
+def has_encode_rows() -> bool:
+    return hasattr(_LIB, "dv_encode_rows")
+
+
+def encode_rows(sel, max_keep, pos, mapq, seq, qual, seq_off,
+                cig_ops, cig_lens, cig_off, ref_window,
+                image_start_pos, variant_start, modes, const_colors,
+                min_mapq, min_baseq, bq_cap, star, base_lut,
+                match_color, mismatch_color):
+    """Batch pileup row painter (dv_encode_rows). Returns
+    (rows, keep): rows is (n_sel, W, C) uint8, keep a uint8 mask of
+    reads that painted at least one in-window event, passed the
+    mapq/base-quality gates, and landed under the max_keep cap."""
+    import numpy as np
+
+    n_sel = len(sel)
+    width = len(ref_window)
+    n_ch = len(modes)
+    rows = np.zeros((n_sel, width, n_ch), np.uint8)
+    keep = np.zeros(n_sel, np.uint8)
+
+    def P(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    _LIB.dv_encode_rows(
+        P(sel, ctypes.c_int32), n_sel, max_keep,
+        P(pos, ctypes.c_int64), P(mapq, ctypes.c_uint8),
+        P(seq, ctypes.c_uint8), P(qual, ctypes.c_uint8),
+        P(seq_off, ctypes.c_int64),
+        P(cig_ops, ctypes.c_int8), P(cig_lens, ctypes.c_int32),
+        P(cig_off, ctypes.c_int64),
+        P(ref_window, ctypes.c_uint8), width,
+        image_start_pos, variant_start,
+        P(modes, ctypes.c_int32), n_ch,
+        P(const_colors, ctypes.c_uint8),
+        min_mapq, min_baseq, ctypes.c_float(bq_cap),
+        ctypes.c_uint8(star),
+        P(base_lut, ctypes.c_uint8),
+        ctypes.c_uint8(match_color), ctypes.c_uint8(mismatch_color),
+        P(rows, ctypes.c_uint8), P(keep, ctypes.c_uint8),
+    )
+    return rows, keep
+
+
+def has_ssw_multi() -> bool:
+    return hasattr(_LIB, "dv_ssw_score_multi")
+
+
+def ssw_score_multi(haplotypes, hap_mask, reads, match: int,
+                    mismatch: int, gap_open: int, gap_extend: int):
+    """Striped local-alignment SCORES of every (haplotype, read) pair
+    in one call (dv_ssw_score_multi); each read's query profile is
+    built once and reused across haplotypes. hap_mask rows left 0."""
+    import numpy as np
+
+    def offs(seqs):
+        o = np.zeros(len(seqs) + 1, np.int32)
+        np.cumsum([len(s) for s in seqs], out=o[1:])
+        return o
+
+    hap_offsets = offs(haplotypes)
+    read_offsets = offs(reads)
+    mask = np.asarray(hap_mask, np.uint8)
+    out = np.zeros((len(haplotypes), len(reads)), np.int32)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    _LIB.dv_ssw_score_multi(
+        b"".join(haplotypes), hap_offsets.ctypes.data_as(I32P),
+        len(haplotypes),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        b"".join(reads), read_offsets.ctypes.data_as(I32P),
+        len(reads), match, mismatch, gap_open, gap_extend,
+        out.ctypes.data_as(I32P),
     )
     return out
 

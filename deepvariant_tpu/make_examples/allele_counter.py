@@ -271,12 +271,17 @@ class AlleleCounter:
         start = self.interval.start
         width = len(self.interval)
         min_q = self.options.min_base_quality
-        for r in read_indices:
+        # Vectorized pre-filter: only walk reads that have any I/D/S
+        # unit (cumsum of the global indel-unit mask gives per-read
+        # counts without per-read slicing).
+        all_ops = batch.cigar_ops
+        indel_unit = (
+            (all_ops == _OP_I) | (all_ops == _OP_D) | (all_ops == _OP_S)
+        )
+        cs = np.concatenate([[0], np.cumsum(indel_unit)])
+        has_indel = (cs[co[read_indices + 1]] - cs[co[read_indices]]) > 0
+        for r in read_indices[has_indel]:
             ops = batch.cigar_ops[co[r] : co[r + 1]]
-            if not (
-                (ops == _OP_I) | (ops == _OP_D) | (ops == _OP_S)
-            ).any():
-                continue
             lens = batch.cigar_lens[co[r] : co[r + 1]].astype(np.int64)
             ref_starts = (
                 int(batch.pos[r]) - start
@@ -407,11 +412,9 @@ class AlleleCounter:
                     ev_payload[~drop],
                 )
             is_ref_hq = ev_kind == 0
-            np.add.at(
-                self.ref_count,
-                ev_pos[is_ref_hq],
-                1,
-            )
+            self.ref_count += np.bincount(
+                ev_pos[is_ref_hq], minlength=width
+            ).astype(np.int32)
             if opts.track_ref_reads:
                 for r, p in zip(ev_read[is_ref_hq], ev_pos[is_ref_hq]):
                     self._pc(int(p)).ref_supporting_read_ids.append(int(r))

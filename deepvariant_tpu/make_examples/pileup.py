@@ -175,6 +175,19 @@ def _hmer_indel_qualities(
         i += hmer_len
     return out
 
+# Channels whose pixel value is constant across a read's painted
+# columns; encode_read_row paints _const_color_one at every event, and
+# the native batch painter (dv_encode_rows mode 3) receives them as a
+# precomputed per-read color matrix.
+PER_READ_CONST_CHANNELS = frozenset({
+    CH_MAPPING_QUALITY, CH_STRAND, CH_READ_SUPPORTS_VARIANT,
+    CH_INSERT_SIZE, CH_HAPLOTYPE_TAG, CH_ALLELE_FREQUENCY,
+    CH_READ_MAPPING_PERCENT, CH_IDENTITY, CH_GAP_COMPRESSED_IDENTITY,
+    CH_AVG_BASE_QUALITY, CH_GC_CONTENT, CH_SUPPLEMENTARY_ALIGNMENT,
+    CH_READ_SUPPORTS_VARIANT_FUZZY, CH_ALLELE_SAMPLE_PROBABILITY,
+    CH_BLANK, CH_MEAN_COVERAGE,
+})
+
 DEFAULT_CHANNELS = [
     CH_READ_BASE, CH_BASE_QUALITY, CH_MAPPING_QUALITY, CH_STRAND,
     CH_READ_SUPPORTS_VARIANT, CH_BASE_DIFFERS_FROM_REF,
@@ -573,69 +586,15 @@ class PileupEncoder:
                 row[cols, ci] = self._base_lut[bases]
             elif ch == CH_BASE_QUALITY:
                 row[cols, ci] = _scale_color(quals, o.base_quality_cap)
-            elif ch == CH_MAPPING_QUALITY:
-                row[cols, ci] = _scale_color(
-                    np.array([mapq]), o.mapping_quality_cap
-                )[0]
-            elif ch == CH_STRAND:
-                row[cols, ci] = self._strand_lut[
-                    int(bool(batch.flag[read_idx] & FLAG_REVERSE))
-                ]
-            elif ch == CH_READ_SUPPORTS_VARIANT:
-                row[cols, ci] = self._support_lut[support_code]
             elif ch == CH_BASE_DIFFERS_FROM_REF:
                 row[cols, ci] = np.where(
                     bases == ref_at, self._match_color, self._mismatch_color
                 )
-            elif ch == CH_INSERT_SIZE:
-                frag = min(abs(int(batch.tlen[read_idx])), 1000)
-                row[cols, ci] = int(MAX_PIXEL_FLOAT * frag / 1000.0)
-            elif ch == CH_HAPLOTYPE_TAG:
-                row[cols, ci] = self._hp_channel_value(
-                    int(batch.hp[read_idx])
+            elif ch in PER_READ_CONST_CHANNELS:
+                row[cols, ci] = self._const_color_one(
+                    ch, batch, read_idx, support_code, af_value,
+                    dv_call, alt_alleles,
                 )
-            elif ch == CH_ALLELE_FREQUENCY:
-                row[cols, ci] = self._allele_frequency_color(af_value)
-            elif ch == CH_READ_MAPPING_PERCENT or ch == CH_IDENTITY:
-                # Both are matched-bases / read-length * 100
-                # ({read_mapping_percent,identity}_channel.cc).
-                so = batch.seq_offsets
-                co = batch.cigar_offsets
-                ops = batch.cigar_ops[co[read_idx]:co[read_idx + 1]]
-                lens = batch.cigar_lens[co[read_idx]:co[read_idx + 1]]
-                match_len = int(lens[
-                    (ops == _OP_M) | (ops == _OP_EQ)
-                ].sum())
-                read_len = int(so[read_idx + 1] - so[read_idx]) or 1
-                row[cols, ci] = _scale_int(
-                    int(100.0 * match_len / read_len), 100
-                )
-            elif ch == CH_GAP_COMPRESSED_IDENTITY:
-                co = batch.cigar_offsets
-                so = batch.seq_offsets
-                ops = batch.cigar_ops[co[read_idx]:co[read_idx + 1]]
-                lens = batch.cigar_lens[co[read_idx]:co[read_idx + 1]]
-                is_match = (ops == _OP_M) | (ops == _OP_EQ)
-                match_len = int(lens[is_match].sum())
-                gap_len = match_len + int(
-                    lens[ops == _OP_X].sum()
-                ) + int(((ops == _OP_I) | (ops == _OP_D)).sum())
-                row[cols, ci] = _scale_int(
-                    int(100.0 * match_len / gap_len) if gap_len else 0,
-                    100,
-                )
-            elif ch == CH_AVG_BASE_QUALITY:
-                so = batch.seq_offsets
-                all_quals = batch.qual[so[read_idx]:so[read_idx + 1]]
-                avg = int(np.sum(all_quals) / max(len(all_quals), 1))
-                row[cols, ci] = _scale_int(avg, 93)
-            elif ch == CH_GC_CONTENT:
-                so = batch.seq_offsets
-                full_seq = batch.seq[so[read_idx]:so[read_idx + 1]]
-                gc = int(100.0 * np.isin(
-                    full_seq, (ord("G"), ord("C"))
-                ).sum() / max(len(full_seq), 1))
-                row[cols, ci] = _scale_int(gc, 100)
             elif ch == CH_IS_HOMOPOLYMER:
                 so = batch.seq_offsets
                 full_seq = batch.seq[so[read_idx]:so[read_idx + 1]]
@@ -659,11 +618,6 @@ class PileupEncoder:
                         MAX_PIXEL_FLOAT
                         * meth[rpos].astype(np.float32) / 255.0
                     ).astype(np.uint8)
-            elif ch == CH_SUPPLEMENTARY_ALIGNMENT:
-                supplementary = bool(batch.flag[read_idx] & 0x800)
-                alpha = (o.allele_supporting_read_alpha if supplementary
-                         else o.allele_unsupporting_read_alpha)
-                row[cols, ci] = int(MAX_PIXEL_FLOAT * alpha)
             elif ch == CH_BASE_6MA:
                 m6a = (batch.meth6ma[read_idx]
                        if batch.meth6ma else None)
@@ -674,14 +628,6 @@ class PileupEncoder:
                         MAX_PIXEL_FLOAT
                         * m6a[rpos].astype(np.float32) / 255.0
                     ).astype(np.uint8)
-            elif ch == CH_READ_SUPPORTS_VARIANT_FUZZY:
-                row[cols, ci] = self._fuzzy_support_color(
-                    dv_call, read_idx, alt_alleles, batch
-                ) if dv_call is not None else self._support_lut[0]
-            elif ch == CH_ALLELE_SAMPLE_PROBABILITY:
-                row[cols, ci] = self._allele_sample_probability_color(
-                    dv_call, read_idx
-                ) if dv_call is not None else 0
             elif ch in (CH_HOMOPOLYMER_INSERTION_QUALITY,
                         CH_HOMOPOLYMER_DELETION_QUALITY):
                 so = batch.seq_offsets
@@ -710,6 +656,159 @@ class PileupEncoder:
                     valid = rpos < len(colors)
                     row[cols[valid], ci] = colors[rpos[valid]]
         return row
+
+    def _encode_rows_batch(
+        self,
+        batch: ReadBatch,
+        indices: Sequence[int],
+        ref_window: np.ndarray,
+        image_start_pos: int,
+        variant_start: int,
+        dv_call: Optional[DeepVariantCall],
+        alt_alleles: Sequence[str],
+        max_keep: int,
+        support_codes: Sequence[int],
+        af_values: Sequence[float],
+    ):
+        """Paint all selected reads in one native call (dv_encode_rows).
+
+        Returns (rows, keep) or None when the native library is absent
+        or a channel needs per-base read arrays the native painter
+        doesn't model (methylation / homopolymer / flow-quality)."""
+        o = self.options
+        modes = []
+        for ch in o.channels:
+            if ch == CH_READ_BASE:
+                modes.append(0)
+            elif ch == CH_BASE_QUALITY:
+                modes.append(1)
+            elif ch == CH_BASE_DIFFERS_FROM_REF:
+                modes.append(2)
+            elif ch in PER_READ_CONST_CHANNELS:
+                modes.append(3)
+            else:
+                return None
+        if not indices:
+            return None
+        try:
+            from deepvariant_tpu.io import native
+
+            if not native.has_encode_rows():
+                return None
+        except Exception:
+            return None
+
+        def _as(a, dt):
+            return np.ascontiguousarray(a, dt)
+
+        n = len(indices)
+        consts = np.zeros((n, len(modes)), np.uint8)
+        for ci, ch in enumerate(o.channels):
+            if modes[ci] != 3:
+                continue
+            for k, idx in enumerate(indices):
+                consts[k, ci] = self._const_color_one(
+                    ch, batch, idx, support_codes[k], af_values[k],
+                    dv_call, alt_alleles,
+                )
+        return native.encode_rows(
+            _as(indices, np.int32), max_keep,
+            _as(batch.pos, np.int64), _as(batch.mapq, np.uint8),
+            _as(batch.seq, np.uint8), _as(batch.qual, np.uint8),
+            _as(batch.seq_offsets, np.int64),
+            _as(batch.cigar_ops, np.int8),
+            _as(batch.cigar_lens, np.int32),
+            _as(batch.cigar_offsets, np.int64),
+            _as(ref_window, np.uint8),
+            int(image_start_pos), int(variant_start),
+            _as(modes, np.int32), consts,
+            o.min_mapping_quality, o.min_base_quality,
+            float(o.base_quality_cap),
+            ord(o.indel_anchoring_base_char), self._base_lut,
+            self._match_color, self._mismatch_color,
+        )
+
+    def _const_color_one(
+        self,
+        ch: int,
+        batch: ReadBatch,
+        read_idx: int,
+        support_code: int,
+        af_value: float,
+        dv_call: Optional[DeepVariantCall],
+        alt_alleles: Sequence[str],
+    ) -> int:
+        """Per-read pixel value for a PER_READ_CONST_CHANNELS channel
+        (the per-channel formulas of deepvariant/channels/*_channel.cc)."""
+        o = self.options
+        if ch == CH_MAPPING_QUALITY:
+            return int(_scale_color(
+                np.array([int(batch.mapq[read_idx])]),
+                o.mapping_quality_cap,
+            )[0])
+        if ch == CH_STRAND:
+            return int(self._strand_lut[
+                int(bool(batch.flag[read_idx] & FLAG_REVERSE))
+            ])
+        if ch == CH_READ_SUPPORTS_VARIANT:
+            return int(self._support_lut[support_code])
+        if ch == CH_INSERT_SIZE:
+            frag = min(abs(int(batch.tlen[read_idx])), 1000)
+            return int(MAX_PIXEL_FLOAT * frag / 1000.0)
+        if ch == CH_HAPLOTYPE_TAG:
+            return self._hp_channel_value(int(batch.hp[read_idx]))
+        if ch == CH_ALLELE_FREQUENCY:
+            return self._allele_frequency_color(af_value)
+        if ch == CH_READ_MAPPING_PERCENT or ch == CH_IDENTITY:
+            # Both are matched-bases / read-length * 100
+            # ({read_mapping_percent,identity}_channel.cc).
+            so = batch.seq_offsets
+            co = batch.cigar_offsets
+            ops = batch.cigar_ops[co[read_idx]:co[read_idx + 1]]
+            lens = batch.cigar_lens[co[read_idx]:co[read_idx + 1]]
+            match_len = int(lens[(ops == _OP_M) | (ops == _OP_EQ)].sum())
+            read_len = int(so[read_idx + 1] - so[read_idx]) or 1
+            return _scale_int(int(100.0 * match_len / read_len), 100)
+        if ch == CH_GAP_COMPRESSED_IDENTITY:
+            co = batch.cigar_offsets
+            ops = batch.cigar_ops[co[read_idx]:co[read_idx + 1]]
+            lens = batch.cigar_lens[co[read_idx]:co[read_idx + 1]]
+            is_match = (ops == _OP_M) | (ops == _OP_EQ)
+            match_len = int(lens[is_match].sum())
+            gap_len = match_len + int(
+                lens[ops == _OP_X].sum()
+            ) + int(((ops == _OP_I) | (ops == _OP_D)).sum())
+            return _scale_int(
+                int(100.0 * match_len / gap_len) if gap_len else 0, 100
+            )
+        if ch == CH_AVG_BASE_QUALITY:
+            so = batch.seq_offsets
+            all_quals = batch.qual[so[read_idx]:so[read_idx + 1]]
+            avg = int(np.sum(all_quals) / max(len(all_quals), 1))
+            return _scale_int(avg, 93)
+        if ch == CH_GC_CONTENT:
+            so = batch.seq_offsets
+            full_seq = batch.seq[so[read_idx]:so[read_idx + 1]]
+            gc = int(100.0 * np.isin(
+                full_seq, (ord("G"), ord("C"))
+            ).sum() / max(len(full_seq), 1))
+            return _scale_int(gc, 100)
+        if ch == CH_SUPPLEMENTARY_ALIGNMENT:
+            supplementary = bool(batch.flag[read_idx] & 0x800)
+            alpha = (o.allele_supporting_read_alpha if supplementary
+                     else o.allele_unsupporting_read_alpha)
+            return int(MAX_PIXEL_FLOAT * alpha)
+        if ch == CH_READ_SUPPORTS_VARIANT_FUZZY:
+            return int(self._fuzzy_support_color(
+                dv_call, read_idx, alt_alleles, batch
+            )) if dv_call is not None else int(self._support_lut[0])
+        if ch == CH_ALLELE_SAMPLE_PROBABILITY:
+            return int(self._allele_sample_probability_color(
+                dv_call, read_idx
+            )) if dv_call is not None else 0
+        # CH_BLANK / CH_MEAN_COVERAGE: zero inside the read band
+        # (mean-coverage bars are painted after placement).
+        return 0
 
     def _allele_frequency_color(self, allele_frequency: float) -> int:
         """Log-scaled AF pixel (allele_frequency_channel.cc:78-86):
@@ -889,39 +988,56 @@ class PileupEncoder:
                     for rid in ids:
                         support_group[rid] = gi
 
-        rows = []
-        for idx in indices:
-            if len(rows) >= max_reads:
-                break
-            support_code = self._read_supports_alt(dv_call, idx, alt_alleles)
-            af_value = 0.0
-            if CH_ALLELE_FREQUENCY in o.channels:
-                af_value = self._read_allele_frequency(
-                    dv_call, idx, alt_alleles
-                )
-            row = self.encode_read_row(
-                batch, idx, ref_window, image_start_pos, variant.start,
-                support_code, af_value, dv_call=dv_call,
-                alt_alleles=alt_alleles,
-            )
-            if row is None:
-                continue
+        support_codes = [
+            self._read_supports_alt(dv_call, idx, alt_alleles)
+            for idx in indices
+        ]
+        if CH_ALLELE_FREQUENCY in o.channels:
+            af_values = [
+                self._read_allele_frequency(dv_call, idx, alt_alleles)
+                for idx in indices
+            ]
+        else:
+            af_values = [0.0] * len(indices)
+
+        def sort_key(idx, row):
             hap_idx = self._hap_index(int(batch.hp[idx]))
             group = support_group.get(idx, len(alt_order)) if (
                 o.sort_by_alt_allele_support
             ) else 0
-            rows.append(
-                (
-                    hap_idx, group,
-                    int(sort_positions[idx]) if sort_positions is not None
-                    else int(batch.pos[idx]),
-                    batch.name[idx],
-                    0 if batch.flag[idx] & FLAG_FIRST or not (
-                        batch.flag[idx] & FLAG_PAIRED
-                    ) else 1,
-                    row,
-                )
+            return (
+                hap_idx, group,
+                int(sort_positions[idx]) if sort_positions is not None
+                else int(batch.pos[idx]),
+                batch.name[idx],
+                0 if batch.flag[idx] & FLAG_FIRST or not (
+                    batch.flag[idx] & FLAG_PAIRED
+                ) else 1,
+                row,
             )
+
+        rows = []
+        batch_res = self._encode_rows_batch(
+            batch, indices, ref_window, image_start_pos, variant.start,
+            dv_call, alt_alleles, max_reads, support_codes, af_values,
+        )
+        if batch_res is not None:
+            rows_arr, keep = batch_res
+            for k, idx in enumerate(indices):
+                if keep[k]:
+                    rows.append(sort_key(idx, rows_arr[k]))
+        else:
+            for k, idx in enumerate(indices):
+                if len(rows) >= max_reads:
+                    break
+                row = self.encode_read_row(
+                    batch, idx, ref_window, image_start_pos,
+                    variant.start, support_codes[k], af_values[k],
+                    dv_call=dv_call, alt_alleles=alt_alleles,
+                )
+                if row is None:
+                    continue
+                rows.append(sort_key(idx, row))
         rows.sort(key=lambda t: t[:5])
         for i, (_, _, _, _, _, row) in enumerate(rows):
             image[o.reference_band_height + i] = row

@@ -482,7 +482,7 @@ class FastPassAligner:
         try:
             from deepvariant_tpu.io import native as _native
 
-            batch_scores = _native.has_ssw_batch()
+            batch_scores = _native.has_ssw_multi()
         except Exception:
             batch_scores = None
         fallback_ids = [
@@ -493,26 +493,35 @@ class FastPassAligner:
         if fallback_ids and batch_scores:
             reads_b = [self._reads[i].encode() for i in fallback_ids]
             o = self.options
-            for ha in self._hap_alignments:
-                if ha.haplotype_score == 0 and not (
+            hap_mask = [
+                0 if (ha.haplotype_score == 0 and not (
                     o.force_alignment and ha.is_reference
-                ):
-                    continue
-                scores = _native.ssw_score_batch(
-                    self.haplotypes[ha.haplotype_index].encode(),
-                    reads_b, o.match, o.mismatch, o.gap_open,
+                )) else 1
+                for ha in self._hap_alignments
+            ]
+            if any(hap_mask):
+                scores = _native.ssw_score_multi(
+                    [
+                        self.haplotypes[ha.haplotype_index].encode()
+                        for ha in self._hap_alignments
+                    ],
+                    hap_mask, reads_b, o.match, o.mismatch, o.gap_open,
                     o.gap_extend,
                 )
-                for k, read_id in enumerate(fallback_ids):
-                    score = int(scores[k])
-                    if score > 0 and (
-                        score >= score_threshold
-                        or (o.force_alignment and ha.is_reference)
-                    ):
-                        ra = ha.read_alignments[read_id]
-                        ra.score = score
-                        ra.cigar = ""          # filled lazily
-                        ra.position = NOT_ALIGNED
+                for hi, ha in enumerate(self._hap_alignments):
+                    if not hap_mask[hi]:
+                        continue
+                    srow = scores[hi]
+                    for k, read_id in enumerate(fallback_ids):
+                        score = int(srow[k])
+                        if score > 0 and (
+                            score >= score_threshold
+                            or (o.force_alignment and ha.is_reference)
+                        ):
+                            ra = ha.read_alignments[read_id]
+                            ra.score = score
+                            ra.cigar = ""          # filled lazily
+                            ra.position = NOT_ALIGNED
         elif fallback_ids:
             hap_ssw: Dict[int, SswAligner] = {}
             for read_id in fallback_ids:

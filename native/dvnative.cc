@@ -1481,3 +1481,250 @@ extern "C" int64_t dv_bam_scan_fill(
       });
   return i;
 }
+
+// ---------------------------------------------------------------------------
+// Batch pileup row painter.
+//
+// Paints the (width, n_channels) uint8 row for every selected read of one
+// candidate in a single call — the host hot loop of stage 1's example
+// encoding (role parity: EncodeRead + CalculateBaseLevelData,
+// pileup_image_native.cc:243-396 / pileup_channel_lib.cc:170-260; design
+// differs: SoA inputs, per-channel mode dispatch, per-read-constant colors
+// precomputed by the caller).
+//
+// Channel modes (per output channel):
+//   0 = read base color      (base_lut[base])
+//   1 = base quality color   (254 * min(q, cap) / cap, float32 semantics)
+//   2 = base-differs-from-ref (match_color / mismatch_color)
+//   3 = per-read constant    (const_colors[read, channel])
+//
+// Event semantics mirror the python walk exactly: M/=/X paint each in-window
+// base; I paints a '*' anchor at ref_i-1 (only when ref_i>0) with the first
+// inserted base's quality; D/N paint a '*' anchor at ref_i-1 (only when
+// read_i>0) with the preceding base's quality; S consumes read bases but
+// paints nothing; H/P ignored. Reads bail (keep=0) on mapq below threshold,
+// on zero painted events, or on any event at the call column whose quality
+// is below min_base_quality. Painting stops after max_keep reads survive.
+
+extern "C" int dv_encode_rows(
+    const int32_t* sel, int32_t n_sel, int32_t max_keep,
+    const int64_t* pos, const uint8_t* mapq,
+    const uint8_t* seq, const uint8_t* qual, const int64_t* seq_off,
+    const int8_t* cig_ops, const int32_t* cig_lens, const int64_t* cig_off,
+    const uint8_t* ref_window, int32_t width,
+    int64_t image_start_pos, int64_t variant_start,
+    const int32_t* modes, int32_t n_ch,
+    const uint8_t* const_colors,
+    int32_t min_mapq, int32_t min_baseq, float bq_cap,
+    uint8_t star_char, const uint8_t* base_lut,
+    uint8_t match_color, uint8_t mismatch_color,
+    uint8_t* rows, uint8_t* keep) {
+  // Precompute the base-quality color LUT once (quality bytes are 0-93).
+  uint8_t bq_lut[256];
+  for (int q = 0; q < 256; ++q) {
+    float v = static_cast<float>(q);
+    if (v > bq_cap) v = bq_cap;
+    bq_lut[q] = static_cast<uint8_t>(254.0f * (v / bq_cap));
+  }
+  const int64_t call_col = variant_start - image_start_pos;
+  int32_t n_kept = 0;
+  for (int32_t r = 0; r < n_sel; ++r) {
+    keep[r] = 0;
+    if (n_kept >= max_keep) continue;
+    const int32_t idx = sel[r];
+    if (static_cast<int32_t>(mapq[idx]) < min_mapq) continue;
+    const uint8_t* rseq = seq + seq_off[idx];
+    const uint8_t* rqual = qual + seq_off[idx];
+    const int64_t c0 = cig_off[idx], c1 = cig_off[idx + 1];
+    uint8_t* row = rows + static_cast<int64_t>(r) * width * n_ch;
+    const uint8_t* consts = const_colors + static_cast<int64_t>(r) * n_ch;
+    int64_t ref_i = pos[idx];
+    int64_t read_i = 0;
+    bool painted = false, low_qual_at_call = false;
+    for (int64_t c = c0; c < c1 && !low_qual_at_call; ++c) {
+      const int op = cig_ops[c];
+      const int64_t op_len = cig_lens[c];
+      int64_t col = -1;
+      uint8_t base = 0, q = 0;
+      if (op == 1 || op == 8 || op == 9) {  // M / = / X
+        for (int64_t k = 0; k < op_len; ++k) {
+          col = ref_i + k - image_start_pos;
+          if (col < 0 || col >= width) continue;
+          base = rseq[read_i + k];
+          q = rqual[read_i + k];
+          if (col == call_col && static_cast<int32_t>(q) < min_baseq) {
+            low_qual_at_call = true;
+            break;
+          }
+          painted = true;
+          uint8_t* cell = row + col * n_ch;
+          for (int32_t ch = 0; ch < n_ch; ++ch) {
+            switch (modes[ch]) {
+              case 0: cell[ch] = base_lut[base]; break;
+              case 1: cell[ch] = bq_lut[q]; break;
+              case 2:
+                cell[ch] = (base == ref_window[col]) ? match_color
+                                                     : mismatch_color;
+                break;
+              default: cell[ch] = consts[ch];
+            }
+          }
+        }
+        ref_i += op_len;
+        read_i += op_len;
+        continue;
+      } else if (op == 2 || op == 5) {  // I / S
+        if (op == 2 && ref_i > 0) {
+          col = ref_i - 1 - image_start_pos;
+          base = star_char;
+          q = rqual[read_i];
+        }
+        read_i += op_len;
+      } else if (op == 3 || op == 4) {  // D / N
+        if (read_i > 0) {
+          col = ref_i - 1 - image_start_pos;
+          base = star_char;
+          q = rqual[read_i - 1];
+        }
+        ref_i += op_len;
+      } else {
+        continue;  // H / P
+      }
+      if (col < 0 || col >= width) continue;
+      if (col == call_col && static_cast<int32_t>(q) < min_baseq) {
+        low_qual_at_call = true;
+        break;
+      }
+      painted = true;
+      uint8_t* cell = row + col * n_ch;
+      for (int32_t ch = 0; ch < n_ch; ++ch) {
+        switch (modes[ch]) {
+          case 0: cell[ch] = base_lut[base]; break;
+          case 1: cell[ch] = bq_lut[q]; break;
+          case 2:
+            cell[ch] = (base == ref_window[col]) ? match_color
+                                                 : mismatch_color;
+            break;
+          default: cell[ch] = consts[ch];
+        }
+      }
+    }
+    if (low_qual_at_call || !painted) {
+      // Zero any partial paint so the caller's buffer stays clean.
+      memset(row, 0, static_cast<size_t>(width) * n_ch);
+      continue;
+    }
+    keep[r] = 1;
+    ++n_kept;
+  }
+  return n_kept;
+}
+
+// ---------------------------------------------------------------------------
+// Multi-haplotype striped SSW scores: one call scores every (haplotype,
+// read) pair of a realigner window. Builds each read's striped query
+// profile ONCE and reuses it across haplotypes (the per-hap batch
+// interface above rebuilds it per haplotype); hap_mask skips haplotypes
+// whose fast-pass support is zero, leaving their scores at 0.
+// ---------------------------------------------------------------------------
+
+extern "C" void dv_ssw_score_multi(
+    const char* haps_concat, const int32_t* hap_offsets, int32_t n_haps,
+    const uint8_t* hap_mask,
+    const char* reads_concat, const int32_t* read_offsets,
+    int32_t n_reads,
+    int32_t match, int32_t mismatch, int32_t gap_open,
+    int32_t gap_extend,
+    int32_t* out_scores) {
+  const int bias = mismatch;
+  auto code = [](char c) -> int {
+    switch (c) {
+      case 'A': return 0; case 'C': return 1;
+      case 'G': return 2; case 'T': return 3;
+      default: return 4;
+    }
+  };
+  std::vector<__m128i> prof, H, E, Hstore;
+  for (int r = 0; r < n_reads; ++r) {
+    const char* q = reads_concat + read_offsets[r];
+    const int m = read_offsets[r + 1] - read_offsets[r];
+    if (m == 0) {
+      for (int h = 0; h < n_haps; ++h) out_scores[h * n_reads + r] = 0;
+      continue;
+    }
+    const int seg = (m + 7) / 8;
+    prof.assign(5 * seg, _mm_setzero_si128());
+    {
+      int16_t tmp[8];
+      for (int a = 0; a < 5; ++a) {
+        for (int i = 0; i < seg; ++i) {
+          for (int j = 0; j < 8; ++j) {
+            int idx = i + j * seg;
+            int v = 0;
+            if (idx < m) {
+              int qa = code(q[idx]);
+              v = (a == qa && a != 4) ? match + bias : -mismatch + bias;
+            }
+            tmp[j] = static_cast<int16_t>(v);
+          }
+          prof[a * seg + i] =
+              _mm_loadu_si128(reinterpret_cast<__m128i*>(tmp));
+        }
+      }
+    }
+    H.resize(seg); E.resize(seg); Hstore.resize(seg);
+    const __m128i vZero = _mm_setzero_si128();
+    const __m128i vBias = _mm_set1_epi16(static_cast<int16_t>(bias));
+    const __m128i vGapO = _mm_set1_epi16(static_cast<int16_t>(gap_open));
+    const __m128i vGapE =
+        _mm_set1_epi16(static_cast<int16_t>(gap_extend));
+    for (int h = 0; h < n_haps; ++h) {
+      if (!hap_mask[h]) { out_scores[h * n_reads + r] = 0; continue; }
+      const char* ref = haps_concat + hap_offsets[h];
+      const int ref_len = hap_offsets[h + 1] - hap_offsets[h];
+      for (int i = 0; i < seg; ++i) { H[i] = vZero; E[i] = vZero; }
+      __m128i vMax = vZero;
+      for (int j = 0; j < ref_len; ++j) {
+        const __m128i* P = &prof[code(ref[j]) * seg];
+        __m128i vF = vZero;
+        __m128i vH = _mm_slli_si128(H[seg - 1], 2);
+        for (int i = 0; i < seg; ++i) {
+          vH = _mm_adds_epu16(vH, P[i]);
+          vH = _mm_subs_epu16(vH, vBias);
+          vH = _mm_max_epu16(vH, E[i]);
+          vH = _mm_max_epu16(vH, vF);
+          vMax = _mm_max_epu16(vMax, vH);
+          Hstore[i] = vH;
+          const __m128i vHgo = _mm_subs_epu16(vH, vGapO);
+          E[i] = _mm_max_epu16(_mm_subs_epu16(E[i], vGapE), vHgo);
+          vF = _mm_max_epu16(_mm_subs_epu16(vF, vGapE), vHgo);
+          vH = H[i];
+        }
+        for (int k = 0; k < 8; ++k) {
+          vF = _mm_slli_si128(vF, 2);
+          bool any = false;
+          for (int i = 0; i < seg; ++i) {
+            const __m128i vHf = _mm_max_epu16(Hstore[i], vF);
+            const __m128i neq = _mm_cmpeq_epi16(vHf, Hstore[i]);
+            if (_mm_movemask_epi8(neq) != 0xFFFF) any = true;
+            Hstore[i] = vHf;
+            vMax = _mm_max_epu16(vMax, vHf);
+            vF = _mm_max_epu16(
+                _mm_subs_epu16(vF, vGapE),
+                _mm_subs_epu16(vHf, vGapO));
+          }
+          if (!any) break;
+        }
+        std::swap(H, Hstore);
+      }
+      int best = 0;
+      alignas(16) int16_t lanes[8];
+      _mm_storeu_si128(reinterpret_cast<__m128i*>(lanes), vMax);
+      for (int j = 0; j < 8; ++j) {
+        best = std::max(best, static_cast<int>(
+            static_cast<uint16_t>(lanes[j])));
+      }
+      out_scores[h * n_reads + r] = best;
+    }
+  }
+}
