@@ -102,9 +102,11 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
-    if hasattr(lib, "dv_ssw_score_multi"):
-        lib.dv_ssw_score_multi.restype = None
-        lib.dv_ssw_score_multi.argtypes = [
+    for _multi in ("dv_ssw_score_multi", "dv_ssw_score_multi2"):
+      if hasattr(lib, _multi):
+        fn = getattr(lib, _multi)
+        fn.restype = None
+        fn.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8),
@@ -379,7 +381,11 @@ def ssw_score_multi(haplotypes, hap_mask, reads, match: int,
     mask = np.asarray(hap_mask, np.uint8)
     out = np.zeros((len(haplotypes), len(reads)), np.int32)
     I32P = ctypes.POINTER(ctypes.c_int32)
-    _LIB.dv_ssw_score_multi(
+    # dv_ssw_score_multi2 dispatches to the AVX2 stripe when the CPU
+    # has it; fall back to the SSE2 symbol on older builds of the .so.
+    fn = getattr(_LIB, "dv_ssw_score_multi2", None) \
+        or _LIB.dv_ssw_score_multi
+    fn(
         b"".join(haplotypes), hap_offsets.ctypes.data_as(I32P),
         len(haplotypes),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

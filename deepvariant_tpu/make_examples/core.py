@@ -672,7 +672,9 @@ class RegionProcessor:
             reads = [r for r in reads if len(r.aligned_sequence) <= cap]
         else:
             long_reads = []
-        _, realigned = self.realigner.realign_reads(reads, region)
+        _, realigned = self.realigner.realign_reads(
+            reads, region, batch=batch if not long_reads else None
+        )
         return ReadBatch.from_reads(
             list(realigned) + long_reads, [region.reference_name]
         )

@@ -306,9 +306,10 @@ class FastPassAligner:
         return (num_matches * self.options.match
                 - num_mismatches * self.options.mismatch), num_mismatches
 
-    def _fast_pass_native(self) -> Optional[List[HaplotypeReadsAlignment]]:
+    def _fast_pass_native(self):
         """Whole fast pass in one native call (dv_fast_pass_align);
-        None when unavailable or sequences contain non-ACGT bases."""
+        returns (scores, positions, hap_scores) arrays or None when
+        unavailable or sequences contain non-ACGT bases."""
         try:
             from deepvariant_tpu.io import native
         except Exception:
@@ -337,22 +338,10 @@ class FastPassAligner:
             self.options.mismatch, self.ref_prefix_len,
             self.ref_suffix_len,
         )
-        out = []
-        n_reads = len(self._reads)
-        match_cigars = [f"{len(r)}=" for r in self._reads]
-        aligned_mask = (positions >= 0) & (scores > 0)
-        for h in range(len(self.haplotypes)):
-            srow, prow, arow = scores[h], positions[h], aligned_mask[h]
-            read_alignments = [
-                ReadAlignment(int(srow[r]), int(prow[r]),
-                              match_cigars[r])
-                if arow[r] else ReadAlignment()
-                for r in range(n_reads)
-            ]
-            out.append(HaplotypeReadsAlignment(
-                h, int(hap_scores[h]), read_alignments
-            ))
-        return out
+        aligned = (positions >= 0) & (scores > 0)
+        scores = np.where(aligned, scores, 0)
+        positions = np.where(aligned, positions, NOT_ALIGNED)
+        return scores, positions, hap_scores
 
     def _fast_align_reads_to_haplotype(
         self, haplotype: str, read_alignments: List[ReadAlignment]
@@ -422,31 +411,59 @@ class FastPassAligner:
     # -- main ---------------------------------------------------------------
 
     def realign_reads(self, reads: Sequence[Read]) -> List[Read]:
-        """AlignReads (fast_pass_aligner.cc:131-175)."""
+        """AlignReads (fast_pass_aligner.cc:131-175).
+
+        Hot-loop design: per-(haplotype, read) alignment state lives in
+        (n_haps, n_reads) score/position matrices; ReadAlignment objects
+        are materialized only for each read's winning haplotype in
+        _realign_reads_to_reference."""
         self._reads = [r.aligned_sequence.upper() for r in reads]
         if self._reads:
             self.options.read_size = len(self._reads[0])
         score_threshold = self._ssw_score_threshold()
+        n_reads = len(self._reads)
+        n_haps = len(self.haplotypes)
+        if n_haps == 0:
+            return [
+                Read() if self.options.force_alignment else r
+                for r in reads
+            ]
+        # Cigars computed eagerly by the python SSW fallback, keyed
+        # (hap_index, read_id); entries whose matrix position is
+        # NOT_ALIGNED with score > 0 and no eager cigar materialize
+        # lazily on the winner.
+        self._eager_cigars: Dict[Tuple[int, int], Tuple[int, str]] = {}
 
         # Fast pass per haplotype (native batch path when possible).
         # The python k-mer index is only consumed by the python
         # fallback, so it is built lazily in that branch.
-        self._hap_alignments = self._fast_pass_native()
-        if self._hap_alignments is None:
+        native_result = self._fast_pass_native()
+        if native_result is not None:
+            scores, positions, hap_scores = native_result
+            scores = scores.astype(np.int64)
+            positions = positions.astype(np.int64)
+            self._hap_alignments = [
+                HaplotypeReadsAlignment(h, int(hap_scores[h]), [])
+                for h in range(n_haps)
+            ]
+        else:
             self._build_index()
             self._hap_alignments = []
+            scores = np.zeros((n_haps, n_reads), np.int64)
+            positions = np.full((n_haps, n_reads), NOT_ALIGNED,
+                                np.int64)
             for hap_index, haplotype in enumerate(self.haplotypes):
                 read_alignments = [ReadAlignment() for _ in self._reads]
                 hap_score = self._fast_align_reads_to_haplotype(
                     haplotype, read_alignments
                 )
-                if hap_score == 0:
-                    read_alignments = [
-                        ReadAlignment() for _ in self._reads
-                    ]
+                if hap_score != 0:
+                    for r, ra in enumerate(read_alignments):
+                        if ra.score > 0:
+                            scores[hap_index, r] = ra.score
+                            positions[hap_index, r] = ra.position
                 self._hap_alignments.append(
-                    HaplotypeReadsAlignment(hap_index, hap_score,
-                                            read_alignments)
+                    HaplotypeReadsAlignment(hap_index, hap_score, [])
                 )
 
         # Align haplotypes to the reference
@@ -476,8 +493,8 @@ class FastPassAligner:
         # SSW fallback for unaligned reads. Hot-loop design: only the
         # best-scoring haplotype alignment of a read is ever projected
         # back to the reference, so the all-pairs sweep needs SCORES
-        # only — computed with the striped SIMD batch kernel — and the
-        # full DP with traceback runs lazily once per read on the
+        # only — computed with the striped SIMD multi-hap kernel — and
+        # the full DP with traceback runs lazily once per read on the
         # winner (_materialize_ssw_alignment).
         try:
             from deepvariant_tpu.io import native as _native
@@ -485,14 +502,10 @@ class FastPassAligner:
             batch_scores = _native.has_ssw_multi()
         except Exception:
             batch_scores = None
-        fallback_ids = [
-            read_id for read_id in range(len(self._reads))
-            if not any(ha.read_alignments[read_id].score > 0
-                       for ha in self._hap_alignments)
-        ]
-        if fallback_ids and batch_scores:
+        fallback_ids = np.nonzero(scores.max(axis=0) <= 0)[0]
+        o = self.options
+        if len(fallback_ids) and batch_scores:
             reads_b = [self._reads[i].encode() for i in fallback_ids]
-            o = self.options
             hap_mask = [
                 0 if (ha.haplotype_score == 0 and not (
                     o.force_alignment and ha.is_reference
@@ -500,7 +513,7 @@ class FastPassAligner:
                 for ha in self._hap_alignments
             ]
             if any(hap_mask):
-                scores = _native.ssw_score_multi(
+                mscores = _native.ssw_score_multi(
                     [
                         self.haplotypes[ha.haplotype_index].encode()
                         for ha in self._hap_alignments
@@ -511,22 +524,19 @@ class FastPassAligner:
                 for hi, ha in enumerate(self._hap_alignments):
                     if not hap_mask[hi]:
                         continue
-                    srow = scores[hi]
-                    for k, read_id in enumerate(fallback_ids):
-                        score = int(srow[k])
-                        if score > 0 and (
-                            score >= score_threshold
-                            or (o.force_alignment and ha.is_reference)
-                        ):
-                            ra = ha.read_alignments[read_id]
-                            ra.score = score
-                            ra.cigar = ""          # filled lazily
-                            ra.position = NOT_ALIGNED
-        elif fallback_ids:
+                    srow = mscores[hi].astype(np.int64)
+                    ok = (srow > 0) & (
+                        (srow >= score_threshold)
+                        | bool(o.force_alignment and ha.is_reference)
+                    )
+                    sel = fallback_ids[ok]
+                    scores[hi, sel] = srow[ok]
+                    positions[hi, sel] = NOT_ALIGNED  # cigar lazy
+        elif len(fallback_ids):
             hap_ssw: Dict[int, SswAligner] = {}
             for read_id in fallback_ids:
                 read_seq = self._reads[read_id]
-                for ha in self._hap_alignments:
+                for hi, ha in enumerate(self._hap_alignments):
                     if ha.haplotype_score == 0 and not (
                         self.options.force_alignment and ha.is_reference
                     ):
@@ -548,29 +558,39 @@ class FastPassAligner:
                         or (self.options.force_alignment
                             and ha.is_reference)
                     ):
-                        ra = ha.read_alignments[read_id]
-                        ra.score = alignment.sw_score
-                        ra.cigar = alignment.cigar_string
-                        ra.position = alignment.ref_begin
+                        scores[hi, read_id] = alignment.sw_score
+                        positions[hi, read_id] = NOT_ALIGNED
+                        self._eager_cigars[(hi, int(read_id))] = (
+                            alignment.ref_begin, alignment.cigar_string
+                        )
 
-        # Sort by haplotype support (ascending, like the reference's
-        # operator< on haplotype_score).
-        self._hap_alignments.sort(key=lambda h: h.haplotype_score)
+        # Winner per read over haplotypes in ascending-haplotype_score
+        # order (the reference sorts, then iterates; ties prefer the
+        # last non-reference haplotype — GetBestReadAlignment,
+        # fast_pass_aligner.cc:673-697).
+        order = sorted(
+            range(n_haps),
+            key=lambda h: self._hap_alignments[h].haplotype_score,
+        )
+        order_arr = np.asarray(order, np.int64)
+        s_o = scores[order_arr]
+        is_ref_o = np.array(
+            [self._hap_alignments[h].is_reference for h in order], bool
+        )
+        top = s_o.max(axis=0)
+        eligible = (s_o == top[None, :]) & (top[None, :] > 0)
+        nonref = eligible & ~is_ref_o[:, None]
+        has_nonref = nonref.any(axis=0)
+        idx_last_nonref = n_haps - 1 - np.argmax(nonref[::-1], axis=0)
+        idx_first = np.argmax(eligible, axis=0)
+        best_orig = order_arr[
+            np.where(has_nonref, idx_last_nonref, idx_first)
+        ]
+        valid = top > 0
 
-        return self._realign_reads_to_reference(reads)
-
-    def _best_read_alignment(self, read_id: int) -> Optional[int]:
-        best_score = 0
-        best_index = None
-        for idx, ha in enumerate(self._hap_alignments):
-            score = ha.read_alignments[read_id].score
-            if score > best_score or (
-                best_score > 0 and score == best_score
-                and not ha.is_reference
-            ):
-                best_score = score
-                best_index = idx
-        return best_index
+        return self._realign_reads_to_reference(
+            reads, scores, positions, best_orig, valid
+        )
 
     def _is_alignment_normalized(
         self, cigar: List[List[int]], ref_offset: int, read_seq: str
@@ -652,24 +672,61 @@ class FastPassAligner:
         ra.position = alignment.ref_begin
 
     def _realign_reads_to_reference(
-        self, reads: Sequence[Read]
+        self, reads: Sequence[Read], scores: np.ndarray,
+        positions: np.ndarray, best_orig: np.ndarray,
+        valid: np.ndarray,
     ) -> List[Read]:
         out: List[Read] = []
         for read_id, read in enumerate(reads):
-            best = self._best_read_alignment(read_id)
-            if best is None:
+            if not valid[read_id]:
                 # force_alignment keeps indices aligned with empty reads
                 # (RealignReadsToReference, fast_pass_aligner.cc:582-590).
                 out.append(Read() if self.options.force_alignment else read)
                 continue
-            ha = self._hap_alignments[best]
+            hi = int(best_orig[read_id])
+            ha = self._hap_alignments[hi]
             self._ensure_hap_ref_alignment(ha)
-            ra = ha.read_alignments[read_id]
-            if ra.position == NOT_ALIGNED and not ra.cigar and \
-                    ra.score > 0:
+            score = int(scores[hi, read_id])
+            pos_m = int(positions[hi, read_id])
+            eager = self._eager_cigars.get((hi, read_id))
+            # Fast path: full-match read->hap on a single-M hap->ref
+            # cigar (the overwhelmingly common case — the winning hap
+            # is usually reference-identical). The general merge below
+            # reduces to [[M, n]] when the read fits, [] otherwise, and
+            # the positions-map shift is zero everywhere.
+            if (eager is None and pos_m != NOT_ALIGNED
+                    and len(ha.cigar_ops) == 1
+                    and ha.cigar_ops[0][0] == OP_M
+                    and 0 <= pos_m < len(ha.hap_to_ref_positions_map)):
+                n = len(self._reads[read_id])
+                if pos_m + n <= ha.cigar_ops[0][1]:
+                    new_position = (
+                        self.region_position_in_chr + ha.ref_pos + pos_m
+                    )
+                    if (read.position == new_position
+                            and len(read.cigar) == 1
+                            and read.cigar[0][0] == OP_M
+                            and read.cigar[0][1] == n):
+                        out.append(read)
+                    else:
+                        out.append(dataclasses.replace(
+                            read, position=new_position,
+                            cigar=[(OP_M, n)],
+                        ))
+                else:
+                    out.append(read)
+                continue
+            if eager is not None:
+                ra = ReadAlignment(score, eager[0], eager[1])
+            elif pos_m == NOT_ALIGNED:
                 # Lazy: the batch fallback stored only the score; run
                 # the full DP once for the winning haplotype.
+                ra = ReadAlignment(score, NOT_ALIGNED, "")
                 self._materialize_ssw_alignment(ha, ra, read_id)
+            else:
+                ra = ReadAlignment(
+                    score, pos_m, f"{len(self._reads[read_id])}="
+                )
             read_to_hap_pos = ra.position
             if not (0 <= read_to_hap_pos <
                     len(ha.hap_to_ref_positions_map)):

@@ -237,18 +237,31 @@ class Realigner:
         return aligner.realign_reads(assembled_region.reads)
 
     def realign_reads(
-        self, reads: Sequence[Read], region: Range
+        self, reads: Sequence[Read], region: Range,
+        batch: Optional[ReadBatch] = None,
     ) -> Tuple[List[CandidateHaplotypes], List[Read]]:
         """Main entry (realigner.py:791-860). NOTE: output reads may be
-        reordered relative to the input."""
+        reordered relative to the input.
+
+        `batch` may carry the columnar form of `reads` (same order) to
+        skip the window selector's SoA rebuild; it is dropped when N
+        splits change the read list."""
         if not reads:
             return [], []
         if self.config.split_skip_reads:
-            reads = split_reads(reads)
+            new_reads = split_reads(reads)
+            if len(new_reads) != len(reads) or any(
+                a is not b for a, b in zip(new_reads, reads)
+            ):
+                batch = None
+            reads = new_reads
+            if not reads:
+                return [], []
 
-        batch = ReadBatch.from_reads(
-            list(reads), [region.reference_name]
-        )
+        if batch is None or len(batch) != len(reads):
+            batch = ReadBatch.from_reads(
+                list(reads), [region.reference_name]
+            )
         candidate_windows = window_selector.select_windows(
             self.config.ws_config,
             self._ref_query,

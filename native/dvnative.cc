@@ -1728,3 +1728,147 @@ extern "C" void dv_ssw_score_multi(
     }
   }
 }
+
+// ---------------------------------------------------------------------------
+// AVX2 (16-lane u16) variant of the multi-haplotype striped SSW scorer,
+// selected at runtime when the CPU supports it. Same algorithm as the
+// SSE2 kernel above with twice the stripe width.
+// ---------------------------------------------------------------------------
+#include <immintrin.h>
+
+namespace {
+
+__attribute__((target("avx2")))
+static inline __m256i avx2_shift_left2(__m256i a) {
+  // Whole-register byte shift left by 2 (zero fill at byte 0).
+  __m256i lo = _mm256_permute2x128_si256(a, a, 0x08);
+  return _mm256_alignr_epi8(a, lo, 14);
+}
+
+__attribute__((target("avx2")))
+static void ssw_score_multi_avx2(
+    const char* haps_concat, const int32_t* hap_offsets, int32_t n_haps,
+    const uint8_t* hap_mask,
+    const char* reads_concat, const int32_t* read_offsets,
+    int32_t n_reads,
+    int32_t match, int32_t mismatch, int32_t gap_open,
+    int32_t gap_extend,
+    int32_t* out_scores) {
+  const int bias = mismatch;
+  auto code = [](char c) -> int {
+    switch (c) {
+      case 'A': return 0; case 'C': return 1;
+      case 'G': return 2; case 'T': return 3;
+      default: return 4;
+    }
+  };
+  std::vector<__m256i> prof, H, E, Hstore;
+  for (int r = 0; r < n_reads; ++r) {
+    const char* q = reads_concat + read_offsets[r];
+    const int m = read_offsets[r + 1] - read_offsets[r];
+    if (m == 0) {
+      for (int h = 0; h < n_haps; ++h) out_scores[h * n_reads + r] = 0;
+      continue;
+    }
+    const int seg = (m + 15) / 16;
+    prof.assign(5 * seg, _mm256_setzero_si256());
+    {
+      alignas(32) int16_t tmp[16];
+      for (int a = 0; a < 5; ++a) {
+        for (int i = 0; i < seg; ++i) {
+          for (int j = 0; j < 16; ++j) {
+            int idx = i + j * seg;
+            int v = 0;
+            if (idx < m) {
+              int qa = code(q[idx]);
+              v = (a == qa && a != 4) ? match + bias : -mismatch + bias;
+            }
+            tmp[j] = static_cast<int16_t>(v);
+          }
+          prof[a * seg + i] =
+              _mm256_load_si256(reinterpret_cast<__m256i*>(tmp));
+        }
+      }
+    }
+    H.resize(seg); E.resize(seg); Hstore.resize(seg);
+    const __m256i vZero = _mm256_setzero_si256();
+    const __m256i vBias = _mm256_set1_epi16(static_cast<int16_t>(bias));
+    const __m256i vGapO =
+        _mm256_set1_epi16(static_cast<int16_t>(gap_open));
+    const __m256i vGapE =
+        _mm256_set1_epi16(static_cast<int16_t>(gap_extend));
+    for (int h = 0; h < n_haps; ++h) {
+      if (!hap_mask[h]) { out_scores[h * n_reads + r] = 0; continue; }
+      const char* ref = haps_concat + hap_offsets[h];
+      const int ref_len = hap_offsets[h + 1] - hap_offsets[h];
+      for (int i = 0; i < seg; ++i) { H[i] = vZero; E[i] = vZero; }
+      __m256i vMax = vZero;
+      for (int j = 0; j < ref_len; ++j) {
+        const __m256i* P = &prof[code(ref[j]) * seg];
+        __m256i vF = vZero;
+        __m256i vH = avx2_shift_left2(H[seg - 1]);
+        for (int i = 0; i < seg; ++i) {
+          vH = _mm256_adds_epu16(vH, P[i]);
+          vH = _mm256_subs_epu16(vH, vBias);
+          vH = _mm256_max_epu16(vH, E[i]);
+          vH = _mm256_max_epu16(vH, vF);
+          vMax = _mm256_max_epu16(vMax, vH);
+          Hstore[i] = vH;
+          const __m256i vHgo = _mm256_subs_epu16(vH, vGapO);
+          E[i] = _mm256_max_epu16(_mm256_subs_epu16(E[i], vGapE), vHgo);
+          vF = _mm256_max_epu16(_mm256_subs_epu16(vF, vGapE), vHgo);
+          vH = H[i];
+        }
+        for (int k = 0; k < 16; ++k) {
+          vF = avx2_shift_left2(vF);
+          bool any = false;
+          for (int i = 0; i < seg; ++i) {
+            const __m256i vHf = _mm256_max_epu16(Hstore[i], vF);
+            const __m256i neq = _mm256_cmpeq_epi16(vHf, Hstore[i]);
+            if (static_cast<unsigned>(_mm256_movemask_epi8(neq))
+                != 0xFFFFFFFFu) {
+              any = true;
+            }
+            Hstore[i] = vHf;
+            vMax = _mm256_max_epu16(vMax, vHf);
+            vF = _mm256_max_epu16(
+                _mm256_subs_epu16(vF, vGapE),
+                _mm256_subs_epu16(vHf, vGapO));
+          }
+          if (!any) break;
+        }
+        std::swap(H, Hstore);
+      }
+      int best = 0;
+      alignas(32) int16_t lanes[16];
+      _mm256_store_si256(reinterpret_cast<__m256i*>(lanes), vMax);
+      for (int j = 0; j < 16; ++j) {
+        best = std::max(best, static_cast<int>(
+            static_cast<uint16_t>(lanes[j])));
+      }
+      out_scores[h * n_reads + r] = best;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" void dv_ssw_score_multi2(
+    const char* haps_concat, const int32_t* hap_offsets, int32_t n_haps,
+    const uint8_t* hap_mask,
+    const char* reads_concat, const int32_t* read_offsets,
+    int32_t n_reads,
+    int32_t match, int32_t mismatch, int32_t gap_open,
+    int32_t gap_extend,
+    int32_t* out_scores) {
+  static const bool kHasAvx2 = __builtin_cpu_supports("avx2");
+  if (kHasAvx2) {
+    ssw_score_multi_avx2(haps_concat, hap_offsets, n_haps, hap_mask,
+                         reads_concat, read_offsets, n_reads, match,
+                         mismatch, gap_open, gap_extend, out_scores);
+  } else {
+    dv_ssw_score_multi(haps_concat, hap_offsets, n_haps, hap_mask,
+                       reads_concat, read_offsets, n_reads, match,
+                       mismatch, gap_open, gap_extend, out_scores);
+  }
+}
