@@ -216,32 +216,51 @@ class ReadBatch:
     # -- conversion to/from object reads (edges & tests) ------------------------
 
     def to_reads(self) -> List[Read]:
+        # Bulk-convert the columnar data to python scalars once; the
+        # per-read loop then only slices bytes and builds tuples (the
+        # realigner round-trip makes this a hot path).
+        n = len(self)
+        seq_bytes = self.seq.tobytes()
+        qual_bytes = self.qual.tobytes()
+        so = self.seq_offsets.tolist()
+        co = self.cigar_offsets.tolist()
+        ops_l = self.cigar_ops.tolist()
+        lens_l = self.cigar_lens.tolist()
+        flags = self.flag.tolist()
+        poss = self.pos.tolist()
+        mapqs = self.mapq.tolist()
+        tlens = self.tlen.tolist()
+        ref_ids = self.ref_id.tolist()
+        mrefs = self.mate_ref_id.tolist()
+        mposs = self.mate_pos.tolist()
+        hps = self.hp.tolist() if len(self.hp) else [0] * n
         out = []
-        for i in range(len(self)):
-            ops, lens = self.cigar_of(i)
-            flag = int(self.flag[i])
+        for i in range(n):
+            flag = flags[i]
             mate = None
-            if flag & FLAG_PAIRED and self.mate_ref_id[i] >= 0:
+            if flag & FLAG_PAIRED and mrefs[i] >= 0:
                 mate = (
-                    self.ref_names[self.mate_ref_id[i]],
-                    int(self.mate_pos[i]),
+                    self.ref_names[mrefs[i]],
+                    mposs[i],
                     bool(flag & FLAG_MATE_REVERSE),
                 )
+            cs, ce = co[i], co[i + 1]
+            s, e = so[i], so[i + 1]
             out.append(
                 Read(
                     fragment_name=self.name[i],
-                    aligned_sequence=self.seq_of(i).tobytes().decode(),
-                    aligned_quality=self.qual_of(i).tobytes(),
-                    reference_name=self.ref_names[self.ref_id[i]]
-                    if self.ref_id[i] >= 0
+                    aligned_sequence=seq_bytes[s:e].decode(),
+                    aligned_quality=qual_bytes[s:e],
+                    reference_name=self.ref_names[ref_ids[i]]
+                    if ref_ids[i] >= 0
                     else "",
-                    position=int(self.pos[i]),
-                    mapping_quality=int(self.mapq[i]),
-                    cigar=[(int(o), int(l)) for o, l in zip(ops, lens)],
+                    position=poss[i],
+                    mapping_quality=mapqs[i],
+                    cigar=list(zip(ops_l[cs:ce], lens_l[cs:ce])),
                     reverse_strand=bool(flag & FLAG_REVERSE),
                     read_number=0 if flag & FLAG_FIRST else 1,
                     number_reads=2 if flag & FLAG_PAIRED else 1,
-                    fragment_length=int(self.tlen[i]),
+                    fragment_length=tlens[i],
                     proper_placement=bool(flag & FLAG_PROPER_PAIR),
                     duplicate_fragment=bool(flag & FLAG_DUPLICATE),
                     failed_vendor_quality_checks=bool(flag & FLAG_QC_FAIL),
@@ -252,8 +271,7 @@ class ReadBatch:
                     # downstream pileups (e.g. alt-aligned images after
                     # to_reads -> realign -> from_reads) sort by
                     # haplotype exactly like the originals.
-                    info={"HP": [int(self.hp[i])]}
-                    if i < len(self.hp) and self.hp[i] else {},
+                    info={"HP": [hps[i]]} if hps[i] else {},
                 )
             )
         return out
@@ -272,6 +290,7 @@ class ReadBatch:
         b.tlen = np.zeros(n, np.int32)
         b.hp = np.zeros(n, np.int8)
         seqs, quals, ops_l, lens_l = [], [], [], []
+        flags = np.zeros(n, np.int64)
         so = np.zeros(n + 1, np.int64)
         co = np.zeros(n + 1, np.int64)
         for i, r in enumerate(reads):
@@ -299,7 +318,7 @@ class ReadBatch:
                 b.mate_pos[i] = mpos
                 if mrev:
                     flag |= FLAG_MATE_REVERSE
-            b.flag[i] = flag
+            flags[i] = flag
             b.ref_id[i] = name_to_id.get(r.reference_name, -1)
             b.pos[i] = r.position
             b.mapq[i] = r.mapping_quality
@@ -307,24 +326,25 @@ class ReadBatch:
             hp = r.info.get("HP")
             if hp:
                 b.hp[i] = int(hp[0])
-            seqs.append(
-                np.frombuffer(r.aligned_sequence.encode(), np.uint8)
-            )
-            q = np.frombuffer(bytes(r.aligned_quality), np.uint8)
-            if len(q) != len(r.aligned_sequence):
-                q = np.zeros(len(r.aligned_sequence), np.uint8)
+            seq = r.aligned_sequence
+            seqs.append(seq.encode())
+            q = bytes(r.aligned_quality)
+            if len(q) != len(seq):
+                q = b"\x00" * len(seq)
             quals.append(q)
-            so[i + 1] = so[i] + len(r.aligned_sequence)
-            ops_l.append(np.array([o for o, _ in r.cigar], np.int8))
-            lens_l.append(np.array([l for _, l in r.cigar], np.int32))
+            so[i + 1] = so[i] + len(seq)
+            for o, l in r.cigar:
+                ops_l.append(o)
+                lens_l.append(l)
             co[i + 1] = co[i] + len(r.cigar)
-        b.seq = np.concatenate(seqs) if seqs else np.empty(0, np.uint8)
-        b.qual = np.concatenate(quals) if quals else np.empty(0, np.uint8)
+        b.flag = flags.astype(np.uint16)
+        # .copy(): frombuffer over bytes is read-only, and batch.qual
+        # is written in place by the OQ-substitution path.
+        b.seq = np.frombuffer(b"".join(seqs), np.uint8).copy()
+        b.qual = np.frombuffer(b"".join(quals), np.uint8).copy()
         b.seq_offsets = so
-        b.cigar_ops = np.concatenate(ops_l) if ops_l else np.empty(0, np.int8)
-        b.cigar_lens = (
-            np.concatenate(lens_l) if lens_l else np.empty(0, np.int32)
-        )
+        b.cigar_ops = np.array(ops_l, np.int8)
+        b.cigar_lens = np.array(lens_l, np.int32)
         b.cigar_offsets = co
         b.aux = [b""] * n
         return b

@@ -420,22 +420,27 @@ class AlleleCounter:
                     self._pc(int(p)).ref_supporting_read_ids.append(int(r))
             # Substitutions (incl. low-quality subs, flagged).
             sub_mask = (ev_kind == 1) | (ev_kind == 3)
-            for r, p, k, pl in zip(
-                ev_read[sub_mask], ev_pos[sub_mask], ev_kind[sub_mask],
-                ev_payload[sub_mask],
+            sub_r = ev_read[sub_mask].tolist()
+            sub_p = ev_pos[sub_mask].tolist()
+            sub_k = ev_kind[sub_mask].tolist()
+            sub_pl = ev_payload[sub_mask].tolist()
+            sub_mapq = batch.mapq[ev_read[sub_mask]].tolist()
+            sub_rev = (
+                (batch.flag[ev_read[sub_mask]] & 0x10) != 0
+            ).tolist()
+            for r, p, k, pl, mq, rev in zip(
+                sub_r, sub_p, sub_k, sub_pl, sub_mapq, sub_rev
             ):
-                base = chr((pl >> 8) & 0xFF)
-                qual = int(pl & 0xFF)
                 rec = ReadAlleleRecord(
-                    read_idx=int(r),
-                    bases=base,
+                    read_idx=r,
+                    bases=chr((pl >> 8) & 0xFF),
                     type=SUBSTITUTION,
-                    is_low_quality=bool(k == 3),
-                    mapping_quality=int(batch.mapq[r]),
-                    avg_base_quality=qual,
-                    is_reverse_strand=bool(batch.flag[r] & 0x10),
+                    is_low_quality=k == 3,
+                    mapping_quality=mq,
+                    avg_base_quality=pl & 0xFF,
+                    is_reverse_strand=rev,
                 )
-                self._pc(int(p)).read_alleles[int(r)] = rec
+                self._pc(p).read_alleles[r] = rec
 
         for (r, pos), (_, rec) in last_indel.items():
             if 0 <= pos < width:

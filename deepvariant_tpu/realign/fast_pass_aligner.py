@@ -689,17 +689,25 @@ class FastPassAligner:
             score = int(scores[hi, read_id])
             pos_m = int(positions[hi, read_id])
             eager = self._eager_cigars.get((hi, read_id))
-            # Fast path: full-match read->hap on a single-M hap->ref
-            # cigar (the overwhelmingly common case — the winning hap
-            # is usually reference-identical). The general merge below
-            # reduces to [[M, n]] when the read fits, [] otherwise, and
-            # the positions-map shift is zero everywhere.
+            # Fast path: full-match read->hap on an all-M hap->ref
+            # cigar (the overwhelmingly common case — reference-equal
+            # haps align as one "=" run and SNP-alt haps as =X= runs,
+            # all of which parse to OP_M units). The general merge
+            # reduces to [[M, n]] when the read fits, [] otherwise,
+            # and the positions-map shift is zero everywhere.
+            all_match_len = getattr(ha, "_all_match_len", -2)
+            if all_match_len == -2:
+                ops = ha.cigar_ops
+                all_match_len = (
+                    sum(l for _, l in ops)
+                    if ops and all(op == OP_M for op, _ in ops) else -1
+                )
+                ha._all_match_len = all_match_len
             if (eager is None and pos_m != NOT_ALIGNED
-                    and len(ha.cigar_ops) == 1
-                    and ha.cigar_ops[0][0] == OP_M
+                    and all_match_len >= 0
                     and 0 <= pos_m < len(ha.hap_to_ref_positions_map)):
                 n = len(self._reads[read_id])
-                if pos_m + n <= ha.cigar_ops[0][1]:
+                if pos_m + n <= all_match_len:
                     new_position = (
                         self.region_position_in_chr + ha.ref_pos + pos_m
                     )
