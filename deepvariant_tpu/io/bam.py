@@ -183,33 +183,28 @@ class ReadBatch:
             out.tp = [self.tp[i] for i in indices]
         if self.t0:
             out.t0 = [self.t0[i] for i in indices]
-        # Repack variable-length columns.
-        seq_parts, qual_parts = [], []
-        ops_parts, lens_parts = [], []
-        so = np.zeros(len(indices) + 1, np.int64)
-        co = np.zeros(len(indices) + 1, np.int64)
-        for k, i in enumerate(indices):
-            s, e = self.seq_offsets[i], self.seq_offsets[i + 1]
-            seq_parts.append(self.seq[s:e])
-            qual_parts.append(self.qual[s:e])
-            so[k + 1] = so[k] + (e - s)
-            cs, ce = self.cigar_offsets[i], self.cigar_offsets[i + 1]
-            ops_parts.append(self.cigar_ops[cs:ce])
-            lens_parts.append(self.cigar_lens[cs:ce])
-            co[k + 1] = co[k] + (ce - cs)
-        out.seq = (
-            np.concatenate(seq_parts) if seq_parts else np.empty(0, np.uint8)
-        )
-        out.qual = (
-            np.concatenate(qual_parts) if qual_parts else np.empty(0, np.uint8)
-        )
+        # Repack variable-length columns with one vectorized gather per
+        # column: global index = repeat(old_start) + intra-run arange.
+        def _gather(offsets, indices):
+            starts = offsets[indices]
+            lens = offsets[indices + 1] - starts
+            new_off = np.zeros(len(indices) + 1, np.int64)
+            np.cumsum(lens, out=new_off[1:])
+            total = int(new_off[-1])
+            if total == 0:
+                return np.empty(0, np.int64), new_off
+            intra = np.arange(total, dtype=np.int64) - np.repeat(
+                new_off[:-1], lens
+            )
+            return np.repeat(starts, lens) + intra, new_off
+
+        sel_seq, so = _gather(self.seq_offsets, indices)
+        sel_cig, co = _gather(self.cigar_offsets, indices)
+        out.seq = self.seq[sel_seq]
+        out.qual = self.qual[sel_seq]
         out.seq_offsets = so
-        out.cigar_ops = (
-            np.concatenate(ops_parts) if ops_parts else np.empty(0, np.int8)
-        )
-        out.cigar_lens = (
-            np.concatenate(lens_parts) if lens_parts else np.empty(0, np.int32)
-        )
+        out.cigar_ops = self.cigar_ops[sel_cig]
+        out.cigar_lens = self.cigar_lens[sel_cig]
         out.cigar_offsets = co
         return out
 

@@ -161,6 +161,21 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),    # query_end
             ctypes.c_char_p, ctypes.c_int32,   # cigar buf
         ]
+    if hasattr(lib, "dv_ssw_align_scored"):
+        lib.dv_ssw_align_scored.restype = ctypes.c_int
+        lib.dv_ssw_align_scored.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,                    # known_score
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p, ctypes.c_int32,
+        ]
     return lib
 
 
@@ -480,21 +495,33 @@ def fast_align_strings_at(haystack: bytes, offset: int, needle: bytes,
 
 
 def ssw_align(ref: bytes, query: bytes, match: int, mismatch: int,
-              gap_open: int, gap_extend: int):
+              gap_open: int, gap_extend: int, known_score: int = 0):
     """Native affine-gap SW. Returns (score, ref_begin, ref_end,
-    query_begin, query_end, cigar_string) or None when score <= 0."""
+    query_begin, query_end, cigar_string) or None when score <= 0.
+
+    known_score > 0 must be the alignment's exact SW optimum (e.g.
+    from ssw_score_multi); the forward pass then early-exits at the
+    first row attaining it — identical output, ~half the DP."""
     score = ctypes.c_int32()
     rb = ctypes.c_int32()
     re_ = ctypes.c_int32()
     qb = ctypes.c_int32()
     qe = ctypes.c_int32()
     buf = ctypes.create_string_buffer(4 * max(len(query), 16) + 64)
-    rc = _LIB.dv_ssw_align(
-        ref, len(ref), query, len(query), match, mismatch, gap_open,
-        gap_extend, ctypes.byref(score), ctypes.byref(rb),
-        ctypes.byref(re_), ctypes.byref(qb), ctypes.byref(qe),
-        buf, len(buf),
-    )
+    if known_score > 0 and hasattr(_LIB, "dv_ssw_align_scored"):
+        rc = _LIB.dv_ssw_align_scored(
+            ref, len(ref), query, len(query), match, mismatch,
+            gap_open, gap_extend, known_score, ctypes.byref(score),
+            ctypes.byref(rb), ctypes.byref(re_), ctypes.byref(qb),
+            ctypes.byref(qe), buf, len(buf),
+        )
+    else:
+        rc = _LIB.dv_ssw_align(
+            ref, len(ref), query, len(query), match, mismatch, gap_open,
+            gap_extend, ctypes.byref(score), ctypes.byref(rb),
+            ctypes.byref(re_), ctypes.byref(qb), ctypes.byref(qe),
+            buf, len(buf),
+        )
     if rc == 1:
         return None
     if rc != 0:

@@ -667,7 +667,9 @@ class FastPassAligner:
                 self.haplotypes[ha.haplotype_index]
             )
             cache[ha.haplotype_index] = aligner
-        alignment = aligner.align(self._reads[read_id])
+        alignment = aligner.align(
+            self._reads[read_id], known_score=ra.score
+        )
         ra.cigar = alignment.cigar_string
         ra.position = alignment.ref_begin
 

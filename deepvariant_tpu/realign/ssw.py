@@ -80,7 +80,7 @@ class SswAligner:
         self._ref_bytes = reference.upper().encode()
         self._ref = np.frombuffer(self._ref_bytes, np.uint8)
 
-    def _align_native(self, query: str):
+    def _align_native(self, query: str, known_score: int = 0):
         """Native C DP (native/dvnative.cc dv_ssw_align) — identical
         scores/cigars, ~100x faster than the numpy path."""
         try:
@@ -92,6 +92,7 @@ class SswAligner:
         result = native.ssw_align(
             self._ref_bytes, query.upper().encode(), self.match,
             self.mismatch, self.gap_open, self.gap_extend,
+            known_score=known_score,
         )
         if result is None:
             return Alignment()
@@ -224,14 +225,17 @@ class SswAligner:
         ops.reverse()
         return ops
 
-    def align(self, query: str) -> Alignment:
+    def align(self, query: str, known_score: int = 0) -> Alignment:
+        """known_score > 0 must be this alignment's exact SW optimum
+        (e.g. from the batch score kernel); the native forward pass
+        then early-exits with identical output."""
         assert self._ref is not None, "call set_reference_sequence first"
         q = np.frombuffer(query.upper().encode(), np.uint8)
         ref = self._ref
         n, m = len(ref), len(q)
         if n == 0 or m == 0:
             return Alignment()
-        native_result = self._align_native(query)
+        native_result = self._align_native(query, known_score)
         if native_result is not NotImplemented:
             return native_result
         # Phase 1: forward endpoint.

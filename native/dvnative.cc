@@ -1872,3 +1872,82 @@ extern "C" void dv_ssw_score_multi2(
                        mismatch, gap_open, gap_extend, out_scores);
   }
 }
+
+// ---------------------------------------------------------------------------
+// dv_ssw_align with a caller-known best score: when known_score > 0 is
+// the alignment's exact SW optimum (e.g. from dv_ssw_score_multi2), the
+// forward pass early-exits at the first row attaining it — the same
+// lexicographically-smallest endpoint the full scan would report.
+// ---------------------------------------------------------------------------
+extern "C" int dv_ssw_align_scored(
+    const char* ref, int32_t n, const char* query, int32_t m,
+    int32_t match, int32_t mismatch, int32_t gap_open,
+    int32_t gap_extend, int32_t known_score, int32_t* out_score,
+    int32_t* out_ref_begin, int32_t* out_ref_end,
+    int32_t* out_query_begin, int32_t* out_query_end,
+    char* cigar_buf, int32_t cigar_buf_size) {
+  if (n <= 0 || m <= 0) return 1;
+  int32_t best = 0, re_i = 0, re_j = 0;
+  ssw_local_ends(ref, n, query, m, match, mismatch, gap_open, gap_extend,
+                 known_score > 0 ? known_score : 0, &best, &re_i, &re_j);
+  if (best <= 0) return 1;
+  std::vector<char> ref_rev(re_i), q_rev(re_j);
+  for (int32_t i = 0; i < re_i; ++i) ref_rev[i] = ref[re_i - 1 - i];
+  for (int32_t j = 0; j < re_j; ++j) q_rev[j] = query[re_j - 1 - j];
+  int32_t rbest = 0, ri = 0, rj = 0;
+  ssw_local_ends(ref_rev.data(), re_i, q_rev.data(), re_j, match, mismatch,
+                 gap_open, gap_extend, best, &rbest, &ri, &rj);
+  if (rbest != best) return 1;
+  const int32_t ref_begin = re_i - ri;
+  const int32_t query_begin = re_j - rj;
+  std::vector<char> ops;
+  if (!ssw_banded_ops(ref + ref_begin, re_i - ref_begin, query + query_begin,
+                      re_j - query_begin, best, match, mismatch, gap_open,
+                      gap_extend, &ops)) {
+    return 1;
+  }
+  *out_score = best;
+  *out_ref_begin = ref_begin;
+  *out_ref_end = re_i;
+  *out_query_begin = query_begin;
+  *out_query_end = re_j;
+  int len = 0;
+  if (query_begin > 0) {
+    len = cigar_append(cigar_buf, cigar_buf_size, len, query_begin, 'S');
+    if (len < 0) return -1;
+  }
+  int32_t pi = query_begin, pj = ref_begin;
+  size_t kidx = 0;
+  while (kidx < ops.size()) {
+    char op = ops[kidx];
+    char emit;
+    if (op == 'M') {
+      emit = (ref[pj] == query[pi]) ? '=' : 'X';
+    } else {
+      emit = op;
+    }
+    int count = 0;
+    while (kidx < ops.size()) {
+      char cur = ops[kidx];
+      char cur_emit;
+      if (cur == 'M') {
+        cur_emit = (ref[pj] == query[pi]) ? '=' : 'X';
+      } else {
+        cur_emit = cur;
+      }
+      if (cur_emit != emit) break;
+      if (cur != 'D') ++pi;
+      if (cur != 'I') ++pj;
+      ++count;
+      ++kidx;
+    }
+    len = cigar_append(cigar_buf, cigar_buf_size, len, count, emit);
+    if (len < 0) return -1;
+  }
+  if (m - re_j > 0) {
+    len = cigar_append(cigar_buf, cigar_buf_size, len, m - re_j, 'S');
+    if (len < 0) return -1;
+  }
+  if (len < cigar_buf_size) cigar_buf[len] = '\0';
+  return 0;
+}
