@@ -177,7 +177,7 @@ class RangeSet:
         """Split every interval into chunks of at most max_size bp
         (reference: ranges.py RangeSet.partition; used for ~1000bp regions)."""
         if max_size <= 0:
-            raise ValueError("max_size must be > 0")
+            raise ValueError(f"partition size must be positive, got {max_size}")
         for r in self:
             for pos in range(r.start, r.end, max_size):
                 yield Range(r.reference_name, pos, min(pos + max_size, r.end))
