@@ -330,7 +330,12 @@ def parse_vcf_line(line: str, sample_names: Sequence[str]) -> Variant:
                 elif key == "PS":
                     call.phaseset = val
                     if val not in (".", ""):
-                        call.info["PS"] = [int(val)]
+                        # PS is Integer per spec, but e.g. GIAB truth
+                        # sets declare Type=String (PATMAT/HOMVAR).
+                        try:
+                            call.info["PS"] = [int(val)]
+                        except ValueError:
+                            call.info["PS"] = [val]
                 elif val != ".":
                     call.info[key] = [_parse_value(x)
                                       for x in val.split(",")]

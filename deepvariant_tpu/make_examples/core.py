@@ -181,6 +181,9 @@ class MakeExamplesOptions:
     exclude_variants_vcf_filename: str = ""
     exclude_variants_af_threshold: float = 0.05
     # Read-requirement surface (nucleus ReadRequirements flags).
+    # --downsample_fraction (make_examples.py:78): keep each read with
+    # this probability at read time; 0 disables.
+    downsample_fraction: float = 0.0
     keep_duplicates: bool = False
     keep_secondary_alignments: bool = False
     keep_supplementary_alignments: bool = False
@@ -463,7 +466,9 @@ class RegionProcessor:
             )
         else:
             self.bam_reader = BamReader(
-                options.reads_filename, requirements=requirements
+                options.reads_filename, requirements=requirements,
+                downsample_fraction=options.downsample_fraction,
+                random_seed=options.random_seed,
             )
         if options.sort_by_haplotypes:
             options.pileup_options.sort_by_haplotypes = True
@@ -1663,6 +1668,8 @@ def check_options_are_valid(options: MakeExamplesOptions) -> None:
         "very_sensitive_caller", "vcf_candidate_importer"
     ):
         bail(f"unknown --variant_caller {options.variant_caller!r}")
+    if not 0.0 <= options.downsample_fraction <= 1.0:
+        bail("--downsample_fraction must be within [0.0, 1.0]")
 
     importer = options.variant_caller == "vcf_candidate_importer" or \
         bool(options.proposed_variants_filename)

@@ -28,6 +28,7 @@ import os
 from typing import Optional, Sequence
 
 TESTDATA = "/root/reference/deepvariant/testdata"
+TRIO_TESTDATA = "/root/reference/deeptrio/testdata"
 READS = f"{TESTDATA}/input/NA12878_S1.chr20.10_10p1mb.bam"
 REF = f"{TESTDATA}/input/ucsc.hg19.chr20.unittest.fasta.gz"
 TRUTH_VCF = f"{TESTDATA}/input/test_nist.b37_chr20_100kbp_at_10mb.vcf.gz"
@@ -35,6 +36,33 @@ CONFIDENT_BED = f"{TESTDATA}/input/test_nist.b37_chr20_100kbp_at_10mb.bed"
 
 TRAIN_REGION = "chr20:10,000,000-10,080,000"
 EVAL_REGION = "chr20:10,080,000-10,100,000"
+
+# Training corpus: the same 80 kb of the same individual sequenced
+# twice (NA12878_S1 on hg19 naming; the GIAB HG001 sorted run on b37
+# naming), each rendered at three coverages via read-time
+# --downsample_fraction — the reference's own multi-coverage
+# training-data recipe (docs/deepvariant-training-case-study.md).
+# The held-out eval slice comes only from the NA12878_S1 run.
+TRAIN_SOURCES = (
+    {
+        "label": "na12878_s1",
+        "reads": READS,
+        "ref": REF,
+        "truth": TRUTH_VCF,
+        "contig": "chr20",
+    },
+    {
+        "label": "hg001_sorted",
+        "reads": f"{TRIO_TESTDATA}/input/HG001.chr20.10_10p1mb_sorted.bam",
+        "ref": f"{TRIO_TESTDATA}/input/hs37d5.chr20.fa.gz",
+        "truth": (
+            f"{TRIO_TESTDATA}/input/"
+            "test_hg001_giab_grch37_chr20_100kbp_at_10mb.vcf.gz"
+        ),
+        "contig": "20",
+    },
+)
+TRAIN_FRACTIONS = (0.0, 0.7, 0.5)
 
 # The shipped confident BED only spans chr20:10,000,846-10,010,531
 # (~9 kb), but the NIST truth VCF covers the full 100 kb slice
@@ -50,7 +78,7 @@ def run(
     train_region: str = TRAIN_REGION,
     eval_region: str = EVAL_REGION,
     batch_size: int = 32,
-    num_epochs: int = 120,
+    num_epochs: int = 40,
     learning_rate: float = 0.002,
     log_fn=print,
 ) -> dict:
@@ -64,29 +92,70 @@ def run(
     from deepvariant_tpu.tools import vcf_eval
 
     os.makedirs(workdir, exist_ok=True)
-    confident_bed = os.path.join(workdir, "confident_full_slice.bed")
-    with open(confident_bed, "w") as f:
-        chrom, lo, hi = FULL_REGION_BED_SPAN
-        f.write(f"{chrom}\t{lo}\t{hi}\n")
+    _, lo, hi = FULL_REGION_BED_SPAN
+    confident_beds = {}
+    for contig in {s["contig"] for s in TRAIN_SOURCES}:
+        path = os.path.join(workdir, f"confident_{contig}.bed")
+        with open(path, "w") as f:
+            f.write(f"{contig}\t{lo}\t{hi}\n")
+        confident_beds[contig] = path
+    confident_bed = confident_beds[TRAIN_SOURCES[0]["contig"]]
 
-    def stage1(mode: str, region: str, out_name: str) -> dict:
+    def stage1(
+        mode: str, region: str, out_name: str,
+        source: dict = TRAIN_SOURCES[0], fraction: float = 0.0,
+    ) -> dict:
         out = os.path.join(workdir, out_name)
         options = MakeExamplesOptions(
-            reads_filename=READS,
-            ref_filename=REF,
+            reads_filename=source["reads"],
+            ref_filename=source["ref"],
             examples_filename=out,
             mode=mode,
             regions=[region],
             realigner_enabled=True,
+            downsample_fraction=fraction,
         )
         if mode == "training":
-            options.truth_variants_filename = TRUTH_VCF
-            options.confident_regions_filename = confident_bed
+            options.truth_variants_filename = source["truth"]
+            options.confident_regions_filename = (
+                confident_beds[source["contig"]]
+            )
         counts = make_examples_runner(options)
-        log_fn(f"make_examples {mode} {region}: {counts}")
+        log_fn(
+            f"make_examples {mode} {source['label']} {region} "
+            f"frac={fraction}: {counts}"
+        )
         return {"path": out, "counts": counts}
 
-    train_ex = stage1("training", train_region, "train.tfrecord.gz")
+    # Build the augmented training corpus: every (sequencing run,
+    # coverage fraction) pair, merged into one TFRecord.
+    from deepvariant_tpu.io import tfrecord
+
+    train_span = train_region.split(":", 1)[1]
+    parts = []
+    for source in TRAIN_SOURCES:
+        for fraction in TRAIN_FRACTIONS:
+            name = f"train_{source['label']}_{fraction or 1.0}.tfrecord.gz"
+            parts.append(stage1(
+                "training", f"{source['contig']}:{train_span}", name,
+                source=source, fraction=fraction,
+            ))
+    merged = os.path.join(workdir, "train.tfrecord.gz")
+    n_train = 0
+    with tfrecord.TFRecordWriter(merged) as w:
+        for part in parts:
+            for rec in tfrecord.read_tfrecords(part["path"]):
+                w.write(rec)
+                n_train += 1
+    import shutil
+
+    shutil.copyfile(
+        parts[0]["path"] + ".example_info.json",
+        merged + ".example_info.json",
+    )
+    train_ex = {"path": merged, "counts": {"examples": n_train}}
+    log_fn(f"merged training corpus: {n_train} examples "
+           f"from {len(parts)} runs")
     tune_ex = stage1("training", eval_region, "tune.tfrecord.gz")
 
     for name, ex in (("train", train_ex), ("tune", tune_ex)):
@@ -163,8 +232,11 @@ def write_report(path: str, result: dict) -> None:
         "Full pipeline (`make_examples` -> train -> `call_variants` ->",
         "`postprocess_variants` -> GT-level eval vs the NIST truth set),",
         "no golden files injected at any stage. Model trained from",
-        f"scratch on {result['train_examples']} labeled examples from",
-        f"`{TRAIN_REGION}`; scored on held-out `{result['eval_region']}`.",
+        f"scratch on {result['train_examples']} labeled examples:",
+        f"two independent sequencing runs of NA12878 over `{TRAIN_REGION}`,",
+        f"each at read-downsampled coverages {TRAIN_FRACTIONS[1:]} plus",
+        f"full coverage; scored on held-out `{result['eval_region']}`",
+        "(NA12878_S1 run only).",
         "",
         "| type | TP | FN | FP | recall | precision | F1 |",
         "|---|---|---|---|---|---|---|",
@@ -193,7 +265,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--train_region", default=TRAIN_REGION)
     p.add_argument("--eval_region", default=EVAL_REGION)
     p.add_argument("--batch_size", type=int, default=32)
-    p.add_argument("--num_epochs", type=int, default=120)
+    p.add_argument("--num_epochs", type=int, default=40)
     p.add_argument("--learning_rate", type=float, default=0.002)
     p.add_argument("--report", default="")
     args = p.parse_args(argv)

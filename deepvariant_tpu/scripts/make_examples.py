@@ -219,6 +219,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="")
     p.add_argument("--downsample_classes", default=None,
                    help="comma-separated per-class keep probabilities")
+    p.add_argument("--downsample_fraction", type=float, default=0.0,
+                   help="keep each read with this probability at read "
+                        "time (0 disables)")
     p.add_argument("--denovo_regions", default="")
     _bool_flag(p, "output_debug_info", False)
 
@@ -330,6 +333,7 @@ def options_from_args(args) -> MakeExamplesOptions:
             [float(x) for x in args.downsample_classes.split(",")]
             if args.downsample_classes else None
         ),
+        downsample_fraction=args.downsample_fraction,
         denovo_regions=(
             args.denovo_regions.split() if args.denovo_regions else None
         ),

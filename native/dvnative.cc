@@ -1851,6 +1851,124 @@ static void ssw_score_multi_avx2(
   }
 }
 
+// Inter-sequence lane parallelism: 16 READS per __m256i (u16 lanes)
+// against one haplotype, walking the DP column by column. Each lane is
+// an independent DP matrix, so the vertical-gap recurrence F is exact
+// within the column sweep — no striping, no lazy-F correction loop —
+// and the per-read query profile collapses to one base-equality blend
+// per cell. Same Gotoh recurrence and saturating-u16 semantics as the
+// striped kernels above, so scores are bit-identical.
+__attribute__((target("avx2")))
+static void ssw_score_multi_inter_avx2(
+    const char* haps_concat, const int32_t* hap_offsets, int32_t n_haps,
+    const uint8_t* hap_mask,
+    const char* reads_concat, const int32_t* read_offsets,
+    int32_t n_reads,
+    int32_t match, int32_t mismatch, int32_t gap_open,
+    int32_t gap_extend,
+    int32_t* out_scores) {
+  const int bias = mismatch;
+  auto rcode = [](char c) -> int16_t {
+    switch (c) {
+      case 'A': return 0; case 'C': return 1;
+      case 'G': return 2; case 'T': return 3;
+      default: return 4;   // read N / lane padding: never matches
+    }
+  };
+  auto hcode = [](char c) -> int16_t {
+    switch (c) {
+      case 'A': return 0; case 'C': return 1;
+      case 'G': return 2; case 'T': return 3;
+      default: return 5;   // hap N: never equal to any read code
+    }
+  };
+  const __m256i vBias = _mm256_set1_epi16(static_cast<int16_t>(bias));
+  const __m256i vMatchBias =
+      _mm256_set1_epi16(static_cast<int16_t>(match + bias));
+  const __m256i vGapO = _mm256_set1_epi16(static_cast<int16_t>(gap_open));
+  const __m256i vGapE =
+      _mm256_set1_epi16(static_cast<int16_t>(gap_extend));
+  const __m256i vZero = _mm256_setzero_si256();
+
+  // Raw int16 backing stores accessed with unaligned intrinsics:
+  // std::vector<__m256i> drops the 32-byte alignment attribute
+  // (-Wignored-attributes) and aligned member moves then fault.
+  std::vector<int16_t> Q, Hcol, Ecol;
+  for (int g = 0; g < n_reads; g += 16) {
+    const int lanes = std::min(16, n_reads - g);
+    int max_len = 0;
+    for (int l = 0; l < lanes; ++l) {
+      max_len = std::max(
+          max_len, read_offsets[g + l + 1] - read_offsets[g + l]);
+    }
+    if (max_len == 0) {
+      for (int h = 0; h < n_haps; ++h) {
+        for (int l = 0; l < lanes; ++l) {
+          out_scores[h * n_reads + g + l] = 0;
+        }
+      }
+      continue;
+    }
+    // Transposed lane codes: Q[16*i ..] holds read position i of all
+    // 16 lanes; built once per group, reused across every haplotype.
+    Q.assign(static_cast<size_t>(max_len) * 16, 4);
+    for (int l = 0; l < lanes; ++l) {
+      const int m = read_offsets[g + l + 1] - read_offsets[g + l];
+      const char* rd = reads_concat + read_offsets[g + l];
+      for (int i = 0; i < m; ++i) Q[16 * i + l] = rcode(rd[i]);
+    }
+    Hcol.resize(static_cast<size_t>(max_len) * 16);
+    Ecol.resize(static_cast<size_t>(max_len) * 16);
+    for (int h = 0; h < n_haps; ++h) {
+      if (!hap_mask[h]) {
+        for (int l = 0; l < lanes; ++l) {
+          out_scores[h * n_reads + g + l] = 0;
+        }
+        continue;
+      }
+      const char* ref = haps_concat + hap_offsets[h];
+      const int ref_len = hap_offsets[h + 1] - hap_offsets[h];
+      std::fill(Hcol.begin(), Hcol.end(), 0);
+      std::fill(Ecol.begin(), Ecol.end(), 0);
+      __m256i vMax = vZero;
+      for (int j = 0; j < ref_len; ++j) {
+        const __m256i vRef = _mm256_set1_epi16(hcode(ref[j]));
+        __m256i vF = vZero;
+        __m256i vDiag = vZero;  // H[-1][j-1]
+        for (int i = 0; i < max_len; ++i) {
+          __m256i* hp = reinterpret_cast<__m256i*>(&Hcol[16 * i]);
+          __m256i* ep = reinterpret_cast<__m256i*>(&Ecol[16 * i]);
+          const __m256i vHup = _mm256_loadu_si256(hp);  // H[i][j-1]
+          const __m256i vQ = _mm256_loadu_si256(
+              reinterpret_cast<const __m256i*>(&Q[16 * i]));
+          const __m256i vP = _mm256_and_si256(
+              _mm256_cmpeq_epi16(vQ, vRef), vMatchBias);
+          __m256i vH = _mm256_subs_epu16(
+              _mm256_adds_epu16(vDiag, vP), vBias);
+          const __m256i vE = _mm256_max_epu16(
+              _mm256_subs_epu16(_mm256_loadu_si256(ep), vGapE),
+              _mm256_subs_epu16(vHup, vGapO));
+          vH = _mm256_max_epu16(vH, vE);
+          vH = _mm256_max_epu16(vH, vF);
+          vMax = _mm256_max_epu16(vMax, vH);
+          vF = _mm256_max_epu16(
+              _mm256_subs_epu16(vF, vGapE),
+              _mm256_subs_epu16(vH, vGapO));
+          _mm256_storeu_si256(ep, vE);
+          _mm256_storeu_si256(hp, vH);
+          vDiag = vHup;
+        }
+      }
+      alignas(32) int16_t out16[16];
+      _mm256_store_si256(reinterpret_cast<__m256i*>(out16), vMax);
+      for (int l = 0; l < lanes; ++l) {
+        out_scores[h * n_reads + g + l] =
+            static_cast<int>(static_cast<uint16_t>(out16[l]));
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" void dv_ssw_score_multi2(
@@ -1863,14 +1981,29 @@ extern "C" void dv_ssw_score_multi2(
     int32_t* out_scores) {
   static const bool kHasAvx2 = __builtin_cpu_supports("avx2");
   if (kHasAvx2) {
-    ssw_score_multi_avx2(haps_concat, hap_offsets, n_haps, hap_mask,
-                         reads_concat, read_offsets, n_reads, match,
-                         mismatch, gap_open, gap_extend, out_scores);
+    ssw_score_multi_inter_avx2(haps_concat, hap_offsets, n_haps,
+                               hap_mask, reads_concat, read_offsets,
+                               n_reads, match, mismatch, gap_open,
+                               gap_extend, out_scores);
   } else {
     dv_ssw_score_multi(haps_concat, hap_offsets, n_haps, hap_mask,
                        reads_concat, read_offsets, n_reads, match,
                        mismatch, gap_open, gap_extend, out_scores);
   }
+}
+
+// The striped AVX2 kernel stays exported for cross-validation tests.
+extern "C" void dv_ssw_score_multi_striped_avx2(
+    const char* haps_concat, const int32_t* hap_offsets, int32_t n_haps,
+    const uint8_t* hap_mask,
+    const char* reads_concat, const int32_t* read_offsets,
+    int32_t n_reads,
+    int32_t match, int32_t mismatch, int32_t gap_open,
+    int32_t gap_extend,
+    int32_t* out_scores) {
+  ssw_score_multi_avx2(haps_concat, hap_offsets, n_haps, hap_mask,
+                       reads_concat, read_offsets, n_reads, match,
+                       mismatch, gap_open, gap_extend, out_scores);
 }
 
 // ---------------------------------------------------------------------------

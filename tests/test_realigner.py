@@ -405,3 +405,68 @@ def test_native_dbg_matches_python(testdata_dir):
         assert nat == py, f"window {start}: native != python"
         n_checked += 1
     assert n_checked >= 15
+
+
+def test_ssw_score_multi_matches_striped_and_python():
+    """The dispatched multi-pair scorer (inter-sequence AVX2 lanes on
+    capable CPUs) is bit-identical to the SSE2 striped kernel and to
+    the scalar Python SSW on random pairs with Ns, empty reads,
+    masked haplotypes, and >16 reads (lane-group remainders)."""
+    import ctypes
+
+    from deepvariant_tpu.io import native
+
+    if not native.has_ssw_multi():
+        pytest.skip("native multi-SSW unavailable")
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+
+    def rseq(n, with_n=False):
+        s = rng.choice(bases, n).tobytes()
+        if with_n and rng.random() < 0.3:
+            b = bytearray(s)
+            b[rng.integers(0, n)] = ord("N")
+            s = bytes(b)
+        return s
+
+    lib = native._LIB
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    def offsets(seqs):
+        o = np.zeros(len(seqs) + 1, np.int32)
+        np.cumsum([len(s) for s in seqs], out=o[1:])
+        return o
+
+    m, mm, go, ge = 4, 6, 8, 1
+    for trial in range(20):
+        nh = int(rng.integers(1, 7))
+        nr = int(rng.integers(1, 50))
+        haps = [rseq(int(rng.integers(40, 350)), True)
+                for _ in range(nh)]
+        reads = [
+            b"" if rng.random() < 0.05
+            else rseq(int(rng.integers(15, 180)), True)
+            for _ in range(nr)
+        ]
+        mask = [int(rng.random() < 0.8) for _ in range(nh)]
+        got = native.ssw_score_multi(haps, mask, reads, m, mm, go, ge)
+        ho, ro = offsets(haps), offsets(reads)
+        mk = np.asarray(mask, np.uint8)
+        want = np.zeros((nh, nr), np.int32)
+        lib.dv_ssw_score_multi(
+            b"".join(haps), ho.ctypes.data_as(i32p), nh,
+            mk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            b"".join(reads), ro.ctypes.data_as(i32p), nr,
+            m, mm, go, ge, want.ctypes.data_as(i32p),
+        )
+        assert (got == want).all(), trial
+        # Scalar cross-check on a few (hap, read) pairs per trial.
+        hi = int(rng.integers(0, nh))
+        if mask[hi]:
+            aligner = SswAligner(m, mm, go, ge)
+            aligner.set_reference_sequence(haps[hi].decode())
+            for ri in map(int, rng.integers(0, nr, size=3)):
+                if not reads[ri]:
+                    continue
+                py = aligner.align(reads[ri].decode())
+                assert got[hi, ri] == py.sw_score
