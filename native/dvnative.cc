@@ -370,6 +370,44 @@ static void ssw_local_ends(const char* ref, int32_t n, const char* q,
   *out_j = bj;
 }
 
+// AVX2 striped variant of ssw_local_ends (defined with the other AVX2
+// kernels at the bottom of this file); identical outputs.
+void ssw_local_ends_avx2(const char* ref, int32_t n, const char* q,
+                         int32_t m, int32_t mt, int32_t mm, int32_t go,
+                         int32_t ge, int32_t target, int32_t* out_best,
+                         int32_t* out_i, int32_t* out_j);
+
+static inline void ssw_local_ends_fast(
+    const char* ref, int32_t n, const char* q, int32_t m, int32_t mt,
+    int32_t mm, int32_t go, int32_t ge, int32_t target,
+    int32_t* out_best, int32_t* out_i, int32_t* out_j) {
+  static const bool kHasAvx2 = __builtin_cpu_supports("avx2");
+  // u16 lanes: bail to scalar when scores could overflow (never for
+  // realigner windows; defensive for arbitrary callers).
+  const int64_t max_score =
+      static_cast<int64_t>(std::min(n, m)) * mt + mm;
+  // The scalar DP scores raw byte identity (N matches N, R matches
+  // R). The 5-letter SIMD profile preserves that for ACGTN only, so
+  // any exotic character routes to the scalar path.
+  auto acgtn_only = [](const char* s, int32_t len) {
+    for (int32_t i = 0; i < len; ++i) {
+      switch (s[i]) {
+        case 'A': case 'C': case 'G': case 'T': case 'N': break;
+        default: return false;
+      }
+    }
+    return true;
+  };
+  if (kHasAvx2 && m >= 16 && max_score < 65000 &&
+      acgtn_only(q, m) && acgtn_only(ref, n)) {
+    ssw_local_ends_avx2(ref, n, q, m, mt, mm, go, ge, target, out_best,
+                        out_i, out_j);
+  } else {
+    ssw_local_ends(ref, n, q, m, mt, mm, go, ge, target, out_best,
+                   out_i, out_j);
+  }
+}
+
 // Banded global DP over the matched subsegment; emits per-base ops
 // 'M'/'I'/'D' ('I' consumes query, 'D' consumes ref). Returns false
 // only if the band never reaches the target score (cannot happen for
@@ -490,7 +528,7 @@ extern "C" int dv_ssw_align(const char* ref, int32_t n, const char* query, int32
   if (n <= 0 || m <= 0) return 1;
   // Phase 1: forward endpoint.
   int32_t best = 0, re_i = 0, re_j = 0;
-  ssw_local_ends(ref, n, query, m, match, mismatch, gap_open, gap_extend,
+  ssw_local_ends_fast(ref, n, query, m, match, mismatch, gap_open, gap_extend,
                  0, &best, &re_i, &re_j);
   if (best <= 0) return 1;
   // Phase 2: reverse begins (shortest span among co-optimal).
@@ -498,7 +536,7 @@ extern "C" int dv_ssw_align(const char* ref, int32_t n, const char* query, int32
   for (int32_t i = 0; i < re_i; ++i) ref_rev[i] = ref[re_i - 1 - i];
   for (int32_t j = 0; j < re_j; ++j) q_rev[j] = query[re_j - 1 - j];
   int32_t rbest = 0, ri = 0, rj = 0;
-  ssw_local_ends(ref_rev.data(), re_i, q_rev.data(), re_j, match, mismatch,
+  ssw_local_ends_fast(ref_rev.data(), re_i, q_rev.data(), re_j, match, mismatch,
                  gap_open, gap_extend, best, &rbest, &ri, &rj);
   if (rbest != best) return 1;  // defensive; cannot happen
   const int32_t ref_begin = re_i - ri;
@@ -1969,6 +2007,178 @@ static void ssw_score_multi_inter_avx2(
   }
 }
 
+// AVX2 striped (16 u16 lanes, lazy-F) variant of ssw_local_ends with
+// the same reported-endpoint semantics:
+//  * target == 0 (forward): best score with the lexicographically
+//    smallest (row, query_pos) endpoint. Row-level equivalent of the
+//    scalar scan: a row improving the running best saves its H row;
+//    the winning row is rescanned once at the end for the smallest
+//    query position attaining the final best.
+//  * target > 0 (reverse / known-score): stop at the FIRST row with a
+//    cell equal to target and report the smallest such query position.
+// Lane padding cells carry live H values but are masked out of the
+// row-max / target checks, so they can never win.
+__attribute__((target("avx2")))
+void ssw_local_ends_avx2(const char* ref, int32_t n, const char* q,
+                         int32_t m, int32_t mt, int32_t mm, int32_t go,
+                         int32_t ge, int32_t target, int32_t* out_best,
+                         int32_t* out_i, int32_t* out_j) {
+  const int bias = mm;
+  const int seg = (m + 15) / 16;
+  auto code = [](char c) -> int {
+    switch (c) {
+      case 'A': return 0; case 'C': return 1;
+      case 'G': return 2; case 'T': return 3;
+      default: return 4;
+    }
+  };
+  // Striped query profile and valid-lane mask (raw int16 backing +
+  // unaligned intrinsics; see ssw_score_multi_inter_avx2).
+  std::vector<int16_t> prof(static_cast<size_t>(5) * seg * 16, 0);
+  std::vector<int16_t> lane_mask(static_cast<size_t>(seg) * 16, 0);
+  for (int s = 0; s < seg; ++s) {
+    for (int l = 0; l < 16; ++l) {
+      const int idx = s + l * seg;
+      if (idx >= m) continue;
+      lane_mask[s * 16 + l] = -1;
+      const int qa = code(q[idx]);
+      for (int a = 0; a < 5; ++a) {
+        // Byte-identity scoring like the scalar pass: N matches N
+        // (the dispatch guard keeps non-ACGTN inputs off this path).
+        prof[(static_cast<size_t>(a) * seg + s) * 16 + l] =
+            static_cast<int16_t>(
+                a == qa ? mt + bias : -mm + bias);
+      }
+    }
+  }
+  std::vector<int16_t> H(static_cast<size_t>(seg) * 16, 0);
+  std::vector<int16_t> E(static_cast<size_t>(seg) * 16, 0);
+  std::vector<int16_t> Hnew(static_cast<size_t>(seg) * 16, 0);
+  std::vector<int16_t> best_row(static_cast<size_t>(seg) * 16, 0);
+  const __m256i vZero = _mm256_setzero_si256();
+  const __m256i vBias = _mm256_set1_epi16(static_cast<int16_t>(bias));
+  const __m256i vGapO = _mm256_set1_epi16(static_cast<int16_t>(go));
+  const __m256i vGapE = _mm256_set1_epi16(static_cast<int16_t>(ge));
+  const __m256i vTarget =
+      _mm256_set1_epi16(static_cast<int16_t>(target));
+  auto vec = [](std::vector<int16_t>& v, int s) {
+    return reinterpret_cast<__m256i*>(&v[static_cast<size_t>(s) * 16]);
+  };
+  auto cvec = [](const std::vector<int16_t>& v, int s) {
+    return reinterpret_cast<const __m256i*>(
+        &v[static_cast<size_t>(s) * 16]);
+  };
+  int32_t best = 0, bi = 0, best_rowmax_valid = 0;
+  for (int32_t i = 1; i <= n; ++i) {
+    const int16_t* P =
+        &prof[static_cast<size_t>(code(ref[i - 1])) * seg * 16];
+    __m256i vF = vZero;
+    __m256i vH = avx2_shift_left2(
+        _mm256_loadu_si256(cvec(H, seg - 1)));
+    __m256i vRowMax = vZero;
+    __m256i vHit = vZero;
+    for (int s = 0; s < seg; ++s) {
+      vH = _mm256_adds_epu16(
+          vH, _mm256_loadu_si256(
+                  reinterpret_cast<const __m256i*>(&P[s * 16])));
+      vH = _mm256_subs_epu16(vH, vBias);
+      const __m256i vEs = _mm256_loadu_si256(cvec(E, s));
+      vH = _mm256_max_epu16(vH, vEs);
+      vH = _mm256_max_epu16(vH, vF);
+      _mm256_storeu_si256(vec(Hnew, s), vH);
+      const __m256i vHgo = _mm256_subs_epu16(vH, vGapO);
+      _mm256_storeu_si256(
+          vec(E, s),
+          _mm256_max_epu16(_mm256_subs_epu16(vEs, vGapE), vHgo));
+      vF = _mm256_max_epu16(_mm256_subs_epu16(vF, vGapE), vHgo);
+      vH = _mm256_loadu_si256(cvec(H, s));
+    }
+    // Lazy-F correction.
+    for (int k = 0; k < 16; ++k) {
+      vF = avx2_shift_left2(vF);
+      bool any = false;
+      for (int s = 0; s < seg; ++s) {
+        const __m256i vHs = _mm256_loadu_si256(cvec(Hnew, s));
+        const __m256i vHf = _mm256_max_epu16(vHs, vF);
+        if (static_cast<unsigned>(_mm256_movemask_epi8(
+                _mm256_cmpeq_epi16(vHf, vHs))) != 0xFFFFFFFFu) {
+          any = true;
+        }
+        _mm256_storeu_si256(vec(Hnew, s), vHf);
+        vF = _mm256_max_epu16(
+            _mm256_subs_epu16(vF, vGapE),
+            _mm256_subs_epu16(vHf, vGapO));
+      }
+      if (!any) break;
+    }
+    // Masked row statistics.
+    for (int s = 0; s < seg; ++s) {
+      const __m256i masked = _mm256_and_si256(
+          _mm256_loadu_si256(cvec(Hnew, s)),
+          _mm256_loadu_si256(cvec(lane_mask, s)));
+      vRowMax = _mm256_max_epu16(vRowMax, masked);
+      if (target > 0) {
+        vHit = _mm256_or_si256(
+            vHit, _mm256_and_si256(
+                      _mm256_cmpeq_epi16(masked, vTarget),
+                      _mm256_loadu_si256(cvec(lane_mask, s))));
+      }
+    }
+    if (target > 0 &&
+        _mm256_movemask_epi8(vHit) != 0) {
+      // First row reaching the target: smallest query pos in it.
+      for (int j = 1; j <= m; ++j) {
+        const int idx = (j - 1) % seg * 16 + (j - 1) / seg;
+        if (Hnew[idx] == target) {
+          *out_best = target;
+          *out_i = i;
+          *out_j = j;
+          return;
+        }
+      }
+    }
+    if (target == 0) {
+      alignas(32) int16_t rm[16];
+      _mm256_store_si256(reinterpret_cast<__m256i*>(rm), vRowMax);
+      int32_t rowmax = 0;
+      for (int l = 0; l < 16; ++l) {
+        rowmax = std::max(
+            rowmax, static_cast<int32_t>(
+                        static_cast<uint16_t>(rm[l])));
+      }
+      if (rowmax > best) {
+        best = rowmax;
+        bi = i;
+        best_row.assign(Hnew.begin(), Hnew.end());
+        best_rowmax_valid = 1;
+      }
+    }
+    std::swap(H, Hnew);
+  }
+  if (target > 0) {
+    // Target never reached (defensive; mirrors the scalar fall-through
+    // which reports the plain best/endpoint of the full scan).
+    ssw_local_ends(ref, n, q, m, mt, mm, go, ge, 0, out_best, out_i,
+                   out_j);
+    if (*out_best > 0) return;
+    *out_best = 0; *out_i = 0; *out_j = 0;
+    return;
+  }
+  *out_best = best;
+  *out_i = bi;
+  if (best > 0 && best_rowmax_valid) {
+    for (int j = 1; j <= m; ++j) {
+      const int idx = (j - 1) % seg * 16 + (j - 1) / seg;
+      if (static_cast<uint16_t>(best_row[idx]) ==
+          static_cast<uint32_t>(best)) {
+        *out_j = j;
+        return;
+      }
+    }
+  }
+  *out_j = 0;
+}
+
 }  // namespace
 
 extern "C" void dv_ssw_score_multi2(
@@ -2021,14 +2231,14 @@ extern "C" int dv_ssw_align_scored(
     char* cigar_buf, int32_t cigar_buf_size) {
   if (n <= 0 || m <= 0) return 1;
   int32_t best = 0, re_i = 0, re_j = 0;
-  ssw_local_ends(ref, n, query, m, match, mismatch, gap_open, gap_extend,
+  ssw_local_ends_fast(ref, n, query, m, match, mismatch, gap_open, gap_extend,
                  known_score > 0 ? known_score : 0, &best, &re_i, &re_j);
   if (best <= 0) return 1;
   std::vector<char> ref_rev(re_i), q_rev(re_j);
   for (int32_t i = 0; i < re_i; ++i) ref_rev[i] = ref[re_i - 1 - i];
   for (int32_t j = 0; j < re_j; ++j) q_rev[j] = query[re_j - 1 - j];
   int32_t rbest = 0, ri = 0, rj = 0;
-  ssw_local_ends(ref_rev.data(), re_i, q_rev.data(), re_j, match, mismatch,
+  ssw_local_ends_fast(ref_rev.data(), re_i, q_rev.data(), re_j, match, mismatch,
                  gap_open, gap_extend, best, &rbest, &ri, &rj);
   if (rbest != best) return 1;
   const int32_t ref_begin = re_i - ri;
