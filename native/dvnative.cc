@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <emmintrin.h>
 
 #include <zlib.h>
 
@@ -604,20 +605,50 @@ extern "C" int32_t dv_fast_align_strings(const char* s1, const char* s2,
                                          int32_t match_score,
                                          int32_t mismatch_pen,
                                          int32_t* num_mismatches) {
-  int32_t mm = 0, matches = 0;
-  for (int32_t i = 0; i < n; ++i) {
+  // SSE2 16-byte blocks: a pair mismatches iff bytes differ and
+  // neither is 'N' (N pairs count as matches, as in the scalar spec
+  // above). Early-exits per block once the cap is reached.
+  int32_t mm = 0;
+  const __m128i vN = _mm_set1_epi8('N');
+  int32_t i = 0;
+  for (; i + 16 <= n; i += 16) {
+    const __m128i a =
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(s1 + i));
+    const __m128i b =
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(s2 + i));
+    const __m128i eq = _mm_cmpeq_epi8(a, b);
+    const __m128i anyn = _mm_or_si128(_mm_cmpeq_epi8(a, vN),
+                                      _mm_cmpeq_epi8(b, vN));
+    const int bad = _mm_movemask_epi8(
+        _mm_andnot_si128(_mm_or_si128(eq, anyn),
+                         _mm_set1_epi8(static_cast<char>(0xFF))));
+    if (bad) {
+      mm += __builtin_popcount(static_cast<unsigned>(bad));
+      if (mm >= max_mismatches) {
+        // Replay the block scalar to report the exact capped count.
+        mm -= __builtin_popcount(static_cast<unsigned>(bad));
+        for (int32_t j = i; j < i + 16; ++j) {
+          const char c1 = s1[j], c2 = s2[j];
+          if (c1 != c2 && c1 != 'N' && c2 != 'N' &&
+              ++mm == max_mismatches) {
+            *num_mismatches = mm;
+            return 0;
+          }
+        }
+      }
+    }
+  }
+  for (; i < n; ++i) {
     const char c1 = s1[i], c2 = s2[i];
     if (c1 != c2 && c1 != 'N' && c2 != 'N') {
       if (++mm == max_mismatches) {
         *num_mismatches = mm;
         return 0;
       }
-    } else {
-      ++matches;
     }
   }
   *num_mismatches = mm;
-  return matches * match_score - mm * mismatch_pen;
+  return (n - mm) * match_score - mm * mismatch_pen;
 }
 
 // ---------------------------------------------------------------------------
@@ -668,18 +699,64 @@ extern "C" int dv_fast_pass_align(
     int32_t* out_scores, int32_t* out_positions,
     int32_t* out_hap_scores) {
   if (k < 3 || k > 32) return -1;
-  // Build read k-mer index.
-  std::unordered_map<uint64_t, std::vector<KmerHit>> index;
-  index.reserve((size_t)n_reads * 64);
+  // Build the read k-mer index as a flat open-addressing table with
+  // order-preserving chains (head/tail + next array): zero per-insert
+  // allocation, and hits iterate in exactly the insertion order the
+  // unordered_map<.., vector> formulation produced (reads ascending,
+  // positions ascending), which pins tie-break winners.
+  const int64_t total_cap = read_offsets[n_reads];
+  std::vector<uint64_t> ent_key(static_cast<size_t>(total_cap));
+  std::vector<KmerHit> ent_hit(static_cast<size_t>(total_cap));
+  std::vector<int32_t> ent_next(static_cast<size_t>(total_cap), -1);
+  int32_t n_ent = 0;
+  size_t table_size = 64;
+  while (table_size < static_cast<size_t>(total_cap) * 2) {
+    table_size <<= 1;
+  }
+  const size_t table_mask = table_size - 1;
+  struct Slot { uint64_t key; int32_t head, tail; };
+  std::vector<Slot> table(table_size, Slot{0, -1, -1});
+  auto hash_key = [](uint64_t key) -> size_t {
+    key ^= key >> 33;
+    key *= 0xff51afd7ed558ccdULL;
+    key ^= key >> 33;
+    return static_cast<size_t>(key);
+  };
   for (int32_t r = 0; r < n_reads; ++r) {
     const char* read = reads_buf + read_offsets[r];
     int32_t len = read_offsets[r + 1] - read_offsets[r];
     if (len <= k) continue;
-    for (int32_t i = 0; i + k <= len; ++i) {
-      uint64_t key;
-      if (pack_kmer(read + i, k, &key)) {
-        index[key].push_back({r, i});
+    // Rolling 2-bit pack: restart after any non-ACGT base.
+    const uint64_t mask_k =
+        (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t roll = 0;
+    int32_t run = 0;
+    for (int32_t i = 0; i < len; ++i) {
+      uint64_t code;
+      switch (read[i]) {
+        case 'A': code = 0; break;
+        case 'C': code = 1; break;
+        case 'G': code = 2; break;
+        case 'T': code = 3; break;
+        default: run = 0; roll = 0; continue;
       }
+      roll = ((roll << 2) | code) & mask_k;
+      if (++run < k) continue;
+      const uint64_t key = roll;
+      size_t slot = hash_key(key) & table_mask;
+      while (table[slot].head >= 0 && table[slot].key != key) {
+        slot = (slot + 1) & table_mask;
+      }
+      const int32_t e = n_ent++;
+      ent_key[e] = key;
+      ent_hit[e] = {r, i - k + 1};
+      if (table[slot].head < 0) {
+        table[slot].key = key;
+        table[slot].head = e;
+      } else {
+        ent_next[table[slot].tail] = e;
+      }
+      table[slot].tail = e;
     }
   }
   // No coverage-based haplotype discard: the reference's current code
@@ -699,30 +776,45 @@ extern "C" int dv_fast_pass_align(
       positions[r] = -1;
     }
     int64_t hap_score = 0;
-    for (int32_t i = 0; i + k <= hap_len; ++i) {
-      uint64_t key;
-      if (pack_kmer(hap + i, k, &key)) {
-        auto it = index.find(key);
-        if (it != index.end()) {
-          for (const KmerHit& hit : it->second) {
-            int32_t target_start = i - hit.read_pos;
-            if (target_start < 0) target_start = 0;
-            const char* read = reads_buf + read_offsets[hit.read_id];
-            int32_t span = read_offsets[hit.read_id + 1] -
-                           read_offsets[hit.read_id];
-            if (target_start + span > hap_len) continue;
-            if (positions[hit.read_id] == target_start) continue;
-            int32_t mm = 0;
-            int32_t score = dv_fast_align_strings(
-                hap + target_start, read, span, max_mm + 1, match_score,
-                mismatch_pen, &mm);
-            if (mm <= max_mm) {
-              if (scores[hit.read_id] < score) {
-                hap_score += score - scores[hit.read_id];
-                scores[hit.read_id] = score;
-                positions[hit.read_id] = target_start;
-              }
-            }
+    const uint64_t mask_k = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t roll = 0;
+    int32_t run = 0;
+    for (int32_t i = 0; i < hap_len; ++i) {
+      uint64_t code;
+      switch (hap[i]) {
+        case 'A': code = 0; break;
+        case 'C': code = 1; break;
+        case 'G': code = 2; break;
+        case 'T': code = 3; break;
+        default: run = 0; roll = 0; continue;
+      }
+      roll = ((roll << 2) | code) & mask_k;
+      if (++run < k) continue;
+      const uint64_t key = roll;
+      const int32_t kstart = i - k + 1;
+      size_t slot = hash_key(key) & table_mask;
+      while (table[slot].head >= 0 && table[slot].key != key) {
+        slot = (slot + 1) & table_mask;
+      }
+      if (table[slot].head < 0) continue;
+      for (int32_t e = table[slot].head; e >= 0; e = ent_next[e]) {
+        const KmerHit& hit = ent_hit[e];
+        int32_t target_start = kstart - hit.read_pos;
+        if (target_start < 0) target_start = 0;
+        const char* read = reads_buf + read_offsets[hit.read_id];
+        int32_t span = read_offsets[hit.read_id + 1] -
+                       read_offsets[hit.read_id];
+        if (target_start + span > hap_len) continue;
+        if (positions[hit.read_id] == target_start) continue;
+        int32_t mm = 0;
+        int32_t score = dv_fast_align_strings(
+            hap + target_start, read, span, max_mm + 1, match_score,
+            mismatch_pen, &mm);
+        if (mm <= max_mm) {
+          if (scores[hit.read_id] < score) {
+            hap_score += score - scores[hit.read_id];
+            scores[hit.read_id] = score;
+            positions[hit.read_id] = target_start;
           }
         }
       }
