@@ -2047,53 +2047,98 @@ static void ssw_score_multi_inter_avx2(
       const char* rd = reads_concat + read_offsets[g + l];
       for (int i = 0; i < m; ++i) Q[16 * i + l] = rcode(rd[i]);
     }
-    Hcol.resize(static_cast<size_t>(max_len) * 16);
-    Ecol.resize(static_cast<size_t>(max_len) * 16);
+    // Two independent DP state sets: masked haplotypes are processed
+    // in PAIRS, interleaving two columns per inner iteration so the
+    // two serial F-dependency chains hide each other's latency.
+    Hcol.resize(static_cast<size_t>(max_len) * 32);
+    Ecol.resize(static_cast<size_t>(max_len) * 32);
+    std::vector<int> active;
+    active.reserve(n_haps);
     for (int h = 0; h < n_haps; ++h) {
-      if (!hap_mask[h]) {
+      if (hap_mask[h]) {
+        active.push_back(h);
+      } else {
         for (int l = 0; l < lanes; ++l) {
           out_scores[h * n_reads + g + l] = 0;
         }
-        continue;
       }
-      const char* ref = haps_concat + hap_offsets[h];
-      const int ref_len = hap_offsets[h + 1] - hap_offsets[h];
+    }
+    for (size_t a = 0; a < active.size(); a += 2) {
+      const int h0 = active[a];
+      const bool paired = a + 1 < active.size();
+      const int h1 = paired ? active[a + 1] : h0;
+      const char* ref0 = haps_concat + hap_offsets[h0];
+      const char* ref1 = haps_concat + hap_offsets[h1];
+      const int len0 = hap_offsets[h0 + 1] - hap_offsets[h0];
+      const int len1 = paired ? hap_offsets[h1 + 1] - hap_offsets[h1]
+                              : 0;
+      const int ref_len = std::max(len0, len1);
       std::fill(Hcol.begin(), Hcol.end(), 0);
       std::fill(Ecol.begin(), Ecol.end(), 0);
-      __m256i vMax = vZero;
+      __m256i vMax0 = vZero, vMax1 = vZero;
       for (int j = 0; j < ref_len; ++j) {
-        const __m256i vRef = _mm256_set1_epi16(hcode(ref[j]));
-        __m256i vF = vZero;
-        __m256i vDiag = vZero;  // H[-1][j-1]
+        // Past a haplotype's end, feed the never-matching code 5 so
+        // its lanes only decay (scores already peaked are kept by
+        // vMax; cheaper than predicating the whole column).
+        const __m256i vRef0 =
+            _mm256_set1_epi16(j < len0 ? hcode(ref0[j]) : 5);
+        const __m256i vRef1 =
+            _mm256_set1_epi16(j < len1 ? hcode(ref1[j]) : 5);
+        __m256i vF0 = vZero, vF1 = vZero;
+        __m256i vDiag0 = vZero, vDiag1 = vZero;
         for (int i = 0; i < max_len; ++i) {
-          __m256i* hp = reinterpret_cast<__m256i*>(&Hcol[16 * i]);
-          __m256i* ep = reinterpret_cast<__m256i*>(&Ecol[16 * i]);
-          const __m256i vHup = _mm256_loadu_si256(hp);  // H[i][j-1]
+          __m256i* hp = reinterpret_cast<__m256i*>(&Hcol[32 * i]);
+          __m256i* ep = reinterpret_cast<__m256i*>(&Ecol[32 * i]);
           const __m256i vQ = _mm256_loadu_si256(
               reinterpret_cast<const __m256i*>(&Q[16 * i]));
-          const __m256i vP = _mm256_and_si256(
-              _mm256_cmpeq_epi16(vQ, vRef), vMatchBias);
-          __m256i vH = _mm256_subs_epu16(
-              _mm256_adds_epu16(vDiag, vP), vBias);
-          const __m256i vE = _mm256_max_epu16(
+          const __m256i vHup0 = _mm256_loadu_si256(hp);
+          const __m256i vHup1 = _mm256_loadu_si256(hp + 1);
+          const __m256i vP0 = _mm256_and_si256(
+              _mm256_cmpeq_epi16(vQ, vRef0), vMatchBias);
+          const __m256i vP1 = _mm256_and_si256(
+              _mm256_cmpeq_epi16(vQ, vRef1), vMatchBias);
+          __m256i vH0 = _mm256_subs_epu16(
+              _mm256_adds_epu16(vDiag0, vP0), vBias);
+          __m256i vH1 = _mm256_subs_epu16(
+              _mm256_adds_epu16(vDiag1, vP1), vBias);
+          const __m256i vE0 = _mm256_max_epu16(
               _mm256_subs_epu16(_mm256_loadu_si256(ep), vGapE),
-              _mm256_subs_epu16(vHup, vGapO));
-          vH = _mm256_max_epu16(vH, vE);
-          vH = _mm256_max_epu16(vH, vF);
-          vMax = _mm256_max_epu16(vMax, vH);
-          vF = _mm256_max_epu16(
-              _mm256_subs_epu16(vF, vGapE),
-              _mm256_subs_epu16(vH, vGapO));
-          _mm256_storeu_si256(ep, vE);
-          _mm256_storeu_si256(hp, vH);
-          vDiag = vHup;
+              _mm256_subs_epu16(vHup0, vGapO));
+          const __m256i vE1 = _mm256_max_epu16(
+              _mm256_subs_epu16(_mm256_loadu_si256(ep + 1), vGapE),
+              _mm256_subs_epu16(vHup1, vGapO));
+          vH0 = _mm256_max_epu16(vH0, vE0);
+          vH1 = _mm256_max_epu16(vH1, vE1);
+          vH0 = _mm256_max_epu16(vH0, vF0);
+          vH1 = _mm256_max_epu16(vH1, vF1);
+          vMax0 = _mm256_max_epu16(vMax0, vH0);
+          vMax1 = _mm256_max_epu16(vMax1, vH1);
+          vF0 = _mm256_max_epu16(
+              _mm256_subs_epu16(vF0, vGapE),
+              _mm256_subs_epu16(vH0, vGapO));
+          vF1 = _mm256_max_epu16(
+              _mm256_subs_epu16(vF1, vGapE),
+              _mm256_subs_epu16(vH1, vGapO));
+          _mm256_storeu_si256(ep, vE0);
+          _mm256_storeu_si256(ep + 1, vE1);
+          _mm256_storeu_si256(hp, vH0);
+          _mm256_storeu_si256(hp + 1, vH1);
+          vDiag0 = vHup0;
+          vDiag1 = vHup1;
         }
       }
       alignas(32) int16_t out16[16];
-      _mm256_store_si256(reinterpret_cast<__m256i*>(out16), vMax);
+      _mm256_store_si256(reinterpret_cast<__m256i*>(out16), vMax0);
       for (int l = 0; l < lanes; ++l) {
-        out_scores[h * n_reads + g + l] =
+        out_scores[h0 * n_reads + g + l] =
             static_cast<int>(static_cast<uint16_t>(out16[l]));
+      }
+      if (paired) {
+        _mm256_store_si256(reinterpret_cast<__m256i*>(out16), vMax1);
+        for (int l = 0; l < lanes; ++l) {
+          out_scores[h1 * n_reads + g + l] =
+              static_cast<int>(static_cast<uint16_t>(out16[l]));
+        }
       }
     }
   }
