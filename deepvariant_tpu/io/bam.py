@@ -505,9 +505,10 @@ class BamReader:
         downsample_fraction: float = 0.0,
         random_seed: int = 2928130004,
         keep_unmapped: bool = False,
+        io_threads: int = 0,
     ):
         self._path = path
-        self._bgzf = BgzfReader(path)
+        self._bgzf = BgzfReader(path, io_threads=io_threads)
         self.requirements = requirements or ReadRequirements()
         self._downsample = downsample_fraction
         self._rng = np.random.Generator(np.random.Philox(random_seed))

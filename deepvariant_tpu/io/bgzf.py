@@ -54,7 +54,12 @@ class BgzfReader:
     # constantly; 256 x 64KiB = 16MiB cap.
     _CACHE_BLOCKS = 256
 
-    def __init__(self, path_or_file):
+    def __init__(self, path_or_file, io_threads: int = 0):
+        """io_threads > 0 enables a host inflation pool (the htslib
+        bgzf-threads analog, samtools -@): on a cache miss the next
+        blocks' compressed bytes are read inline (cheap) and their
+        zlib inflations run on the pool — zlib releases the GIL, so
+        sequential scans overlap decompression across cores."""
         if isinstance(path_or_file, (str, bytes)):
             self._fh: BinaryIO = open(path_or_file, "rb")
             self._owns = True
@@ -68,9 +73,24 @@ class BgzfReader:
         self._block_data = b""
         self._within = 0
         self._next_coffset = 0
+        self._pool = None
+        self._pending: dict = {}
+        self._readahead = 0
+        self._frontier = 0
+        if io_threads > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=io_threads, thread_name_prefix="bgzf"
+            )
+            self._readahead = io_threads * 4
         self._load_block(0)
 
     def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+            self._pending.clear()
         if self._owns:
             self._fh.close()
 
@@ -82,8 +102,11 @@ class BgzfReader:
 
     # -- block management ------------------------------------------------------
 
-    def _load_block(self, coffset: int) -> bool:
-        """Load the block at compressed offset; returns False at EOF."""
+    def _load_block(self, coffset: int, sequential: bool = False) -> bool:
+        """Load the block at compressed offset; returns False at EOF.
+        `sequential` marks streaming consumption (read()/read_all),
+        the only access pattern where pool readahead pays for itself —
+        random BAI-chunk hops skip it."""
         if coffset == self._block_coffset:
             return True
         cached = self._cache.get(coffset)
@@ -94,6 +117,17 @@ class BgzfReader:
             self._block_data = data
             self._next_coffset = next_coffset
             self._within = 0
+            return len(data) > 0 or (next_coffset - coffset) > 28
+        fut = self._pending.pop(coffset, None)
+        if fut is not None:
+            data, next_coffset = fut.result()
+            self._insert_cache(coffset, data, next_coffset)
+            self._block_coffset = coffset
+            self._block_data = data
+            self._next_coffset = next_coffset
+            self._within = 0
+            if sequential:
+                self._schedule_readahead(next_coffset)
             return len(data) > 0 or (next_coffset - coffset) > 28
         self._fh.seek(coffset)
         header = self._fh.read(18)
@@ -114,10 +148,61 @@ class BgzfReader:
         self._block_data = data
         self._next_coffset = coffset + bsize
         self._within = 0
-        self._cache[coffset] = (data, self._next_coffset)
-        if len(self._cache) > self._CACHE_BLOCKS:
-            self._cache.popitem(last=False)
+        self._insert_cache(coffset, data, self._next_coffset)
+        if sequential:
+            self._schedule_readahead(self._next_coffset)
         return len(data) > 0 or bsize > 28
+
+    def _insert_cache(self, coffset: int, data: bytes,
+                      next_coffset: int) -> None:
+        self._cache[coffset] = (data, next_coffset)
+        if len(self._cache) > max(self._CACHE_BLOCKS, self._readahead):
+            self._cache.popitem(last=False)
+
+    def _schedule_readahead(self, coffset: int) -> None:
+        """Read upcoming blocks' compressed bytes inline and hand their
+        inflations to the pool (no file IO on worker threads). A
+        sliding frontier keeps the window `_readahead` blocks deep for
+        sequential scans; a far seek resets it (dropping stale
+        futures' results, not waiting on them)."""
+        if self._pool is None:
+            return
+        window_bytes = (self._readahead + 2) << 16
+        if (coffset > self._frontier
+                or coffset + window_bytes < self._frontier):
+            self._frontier = coffset
+            if len(self._pending) > 2 * self._readahead:
+                self._pending.clear()
+        while len(self._pending) < self._readahead:
+            c = self._frontier
+            cached = self._cache.get(c)
+            if cached is not None:
+                nxt = cached[1]
+                if nxt == c:
+                    break
+                self._frontier = nxt
+                continue
+            if c in self._pending:
+                # Next offset unknown until its inflation is consumed.
+                break
+            self._fh.seek(c)
+            header = self._fh.read(18)
+            if len(header) < 18:
+                break
+            try:
+                bsize = _parse_block_header(header)
+            except ValueError:
+                break
+            comp = header + self._fh.read(bsize - 18)
+            if len(comp) < bsize:
+                break
+            next_coffset = c + bsize
+
+            def inflate(body=comp, nxt=next_coffset):
+                return zlib.decompress(body[18:-8], wbits=-15), nxt
+
+            self._pending[c] = self._pool.submit(inflate)
+            self._frontier = next_coffset
 
     # -- virtual offsets -------------------------------------------------------
 
@@ -139,12 +224,16 @@ class BgzfReader:
         while need > 0:
             avail = len(self._block_data) - self._within
             if avail <= 0:
-                if not self._load_block(self._next_coffset) and not self._block_data:
+                if not self._load_block(
+                    self._next_coffset, sequential=True
+                ) and not self._block_data:
                     break
                 if not self._block_data:
                     # Empty block (possibly EOF marker); try next.
                     prev = self._block_coffset
-                    if not self._load_block(self._next_coffset):
+                    if not self._load_block(
+                        self._next_coffset, sequential=True
+                    ):
                         break
                     if self._block_coffset == prev:
                         break

@@ -184,6 +184,9 @@ class MakeExamplesOptions:
     # --downsample_fraction (make_examples.py:78): keep each read with
     # this probability at read time; 0 disables.
     downsample_fraction: float = 0.0
+    # --hts_io_threads: host BGZF inflation pool size (htslib
+    # bgzf-threads / samtools -@ analog); 0 = inline decode.
+    hts_io_threads: int = 0
     keep_duplicates: bool = False
     keep_secondary_alignments: bool = False
     keep_supplementary_alignments: bool = False
@@ -469,6 +472,7 @@ class RegionProcessor:
                 options.reads_filename, requirements=requirements,
                 downsample_fraction=options.downsample_fraction,
                 random_seed=options.random_seed,
+                io_threads=options.hts_io_threads,
             )
         if options.sort_by_haplotypes:
             options.pileup_options.sort_by_haplotypes = True

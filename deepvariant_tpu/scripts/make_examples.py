@@ -222,6 +222,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--downsample_fraction", type=float, default=0.0,
                    help="keep each read with this probability at read "
                         "time (0 disables)")
+    p.add_argument("--hts_io_threads", type=int, default=0,
+                   help="host BGZF inflation threads for the reads "
+                        "file (htslib bgzf-threads analog; 0=inline)")
     p.add_argument("--denovo_regions", default="")
     _bool_flag(p, "output_debug_info", False)
 
@@ -334,6 +337,7 @@ def options_from_args(args) -> MakeExamplesOptions:
             if args.downsample_classes else None
         ),
         downsample_fraction=args.downsample_fraction,
+        hts_io_threads=args.hts_io_threads,
         denovo_regions=(
             args.denovo_regions.split() if args.denovo_regions else None
         ),

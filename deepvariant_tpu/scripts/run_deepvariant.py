@@ -121,15 +121,27 @@ def main(argv=None) -> int:
         if rc != 0:
             return rc
     else:
+        # Halt-on-first-failure semantics (the reference fans out with
+        # GNU parallel --halt 2, run_deepvariant.py:457-462): the first
+        # shard returning nonzero terminates the remaining shards
+        # instead of letting them run the full stage.
         with multiprocessing.Pool(n) as pool:
-            results = pool.map(
+            failed_rc = 0
+            for rc, out in pool.imap_unordered(
                 _run_make_examples_shard,
                 [(me_argv, task) for task in range(n)],
+            ):
+                print(out, end="")
+                if rc != 0:
+                    failed_rc = rc
+                    pool.terminate()
+                    break
+        if failed_rc != 0:
+            print(
+                f"make_examples shard failed (rc={failed_rc}); "
+                "halting remaining shards"
             )
-        for rc, out in results:
-            print(out, end="")
-            if rc != 0:
-                return rc
+            return failed_rc
     print(f"stage 1 (make_examples x{n}): {time.time() - t0:.1f}s")
 
     # Stage 2: call_variants.

@@ -319,3 +319,52 @@ class TestGziPartialLoads:
             path, index, len(payload) - 7, len(payload)
         )
         assert tail == payload[-7:]
+
+
+class TestBgzfIoThreads:
+    """io_threads: host BGZF inflation pool (htslib bgzf-threads
+    analog). Must be byte-identical to inline decode on every access
+    pattern, and only engage on sequential streaming."""
+
+    @staticmethod
+    def _bam(testdata_dir):
+        return os.path.join(
+            testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+        )
+
+    def test_read_all_identical(self, testdata_dir):
+        from deepvariant_tpu.io.bgzf import BgzfReader
+
+        bam = self._bam(testdata_dir)
+        inline = BgzfReader(bam).read_all()
+        threaded = BgzfReader(bam, io_threads=2).read_all()
+        assert inline == threaded
+
+    def test_query_and_iterate_identical(self, testdata_dir):
+        from deepvariant_tpu.io.bam import BamReader
+        from deepvariant_tpu.core.types import Range
+
+        b0 = BamReader(self._bam(testdata_dir))
+        b4 = BamReader(self._bam(testdata_dir), io_threads=4)
+        for rg in (
+            Range("chr20", 10_000_000, 10_010_000),
+            Range("chr20", 10_090_000, 10_100_000),
+        ):
+            x, y = b0.query(rg), b4.query(rg)
+            assert len(x) == len(y)
+            assert x.seq.tobytes() == y.seq.tobytes()
+            assert (x.pos == y.pos).all()
+
+    def test_interleaved_seeks_identical(self, testdata_dir):
+        from deepvariant_tpu.io.bgzf import BgzfReader
+
+        bam = self._bam(testdata_dir)
+        r0 = BgzfReader(bam)
+        r2 = BgzfReader(bam, io_threads=2)
+        # stream a bit, jump back, stream again
+        a0, a2 = r0.read(300_000), r2.read(300_000)
+        assert a0 == a2
+        vo = 0
+        r0.seek_virtual(vo)
+        r2.seek_virtual(vo)
+        assert r0.read(200_000) == r2.read(200_000)

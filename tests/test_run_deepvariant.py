@@ -1,0 +1,66 @@
+"""run_deepvariant one-step CLI: fan-out failure semantics.
+
+The reference fans make_examples out with GNU parallel --halt 2
+(scripts/run_deepvariant.py:457-462): the first failing shard kills
+the remaining ones and fails the run. These tests pin the same
+behavior for the multiprocessing fan-out.
+"""
+
+import os
+import time
+
+import deepvariant_tpu.scripts.run_deepvariant as rdv
+
+TESTDATA = "/root/reference/deepvariant/testdata"
+
+# Communicated to forked pool workers via module globals (the pool is
+# created after monkeypatching, so fork children see these values).
+_SENTINEL_DIR = None
+
+
+def _failing_shard(args_tuple):
+    argv, task = args_tuple
+    if task == 0:
+        return 42, f"shard {task}: injected failure\n"
+    # Surviving shards would take much longer than the failing one;
+    # if halt-on-failure works they are terminated before finishing.
+    time.sleep(8)
+    with open(os.path.join(_SENTINEL_DIR, f"done{task}"), "w") as f:
+        f.write("finished\n")
+    return 0, f"shard {task}: ok\n"
+
+
+def test_fanout_halts_on_first_shard_failure(tmp_path, monkeypatch):
+    global _SENTINEL_DIR
+    sentinel_dir = tmp_path / "sentinels"
+    sentinel_dir.mkdir()
+    _SENTINEL_DIR = str(sentinel_dir)
+    monkeypatch.setattr(rdv, "_run_make_examples_shard", _failing_shard)
+
+    t0 = time.time()
+    rc = rdv.main([
+        "--reads", f"{TESTDATA}/input/NA12878_S1.chr20.10_10p1mb.bam",
+        "--ref", f"{TESTDATA}/input/ucsc.hg19.chr20.unittest.fasta.gz",
+        "--output_vcf", str(tmp_path / "out.vcf.gz"),
+        "--num_shards", "4",
+    ])
+    elapsed = time.time() - t0
+
+    assert rc == 42  # the failing shard's code propagates
+    # The surviving shards were terminated, not run to completion.
+    assert not list(sentinel_dir.iterdir())
+    assert elapsed < 8
+
+
+def test_single_shard_failure_propagates(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        rdv, "_run_make_examples_shard",
+        lambda args_tuple: (7, "injected single-shard failure\n"),
+    )
+    rc = rdv.main([
+        "--reads", f"{TESTDATA}/input/NA12878_S1.chr20.10_10p1mb.bam",
+        "--ref", f"{TESTDATA}/input/ucsc.hg19.chr20.unittest.fasta.gz",
+        "--output_vcf", str(tmp_path / "out.vcf.gz"),
+        "--num_shards", "1",
+    ])
+    assert rc == 7
