@@ -138,6 +138,57 @@ def _stage1_metrics() -> dict:
     }
 
 
+def _stage3_metrics() -> dict:
+    """postprocess_variants throughput, one core, on the golden CVO
+    batch tiled across chr20 at distinct loci. Reference leg: 6m45s
+    across 96 vCPUs for ~7.5M call outputs (docs/metrics.md:69)
+    => ~193 CVOs/s per core."""
+    import tempfile
+    import time as _time
+
+    from deepvariant_tpu.core.types import (
+        CallVariantsOutput,
+        ContigInfo,
+    )
+    from deepvariant_tpu.io import tfrecord
+    from deepvariant_tpu.postprocess.pipeline import postprocess_variants
+
+    src = os.path.join(
+        TESTDATA,
+        "golden.postprocess_single_site_input-00000-of-00001"
+        ".tfrecord.gz",
+    )
+    records = list(tfrecord.read_tfrecords(src))
+    copies = 200
+    stride = 150_000
+    with tempfile.TemporaryDirectory() as tmp:
+        tiled = os.path.join(tmp, "cvos.tfrecord.gz")
+        n = 0
+        with tfrecord.TFRecordWriter(tiled) as w:
+            for c in range(copies):
+                off = c * stride
+                for rec in records:
+                    cvo = CallVariantsOutput.decode(rec)
+                    cvo.variant.start += off
+                    cvo.variant.end += off
+                    w.write(cvo.encode())
+                    n += 1
+        contigs = [ContigInfo("chr20", 63_025_520, 0)]
+        out_vcf = os.path.join(tmp, "out.vcf.gz")
+        t0 = _time.perf_counter()
+        stats = postprocess_variants(
+            tiled, out_vcf, contigs, sample_name="HG002"
+        )
+        dt = _time.perf_counter() - t0
+    rate = n / dt
+    ref_rate = 7.5e6 / (405.0 * 96)
+    return {
+        "stage3_cvos_per_sec_per_core": round(rate, 1),
+        "stage3_vs_ref_per_core": round(rate / ref_rate, 2),
+        "stage3_vcf_records": stats["vcf_records"],
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -220,6 +271,7 @@ def main():
         "fixed_overhead_ms": round((t1 - per_step) * 1e3, 1),
         "timed_steps": [1, K2],
         **_stage1_metrics(),
+        **_stage3_metrics(),
     }))
 
 
