@@ -1171,12 +1171,80 @@ namespace {
 
 struct DbgGraph {
   // vertex ids in insertion order; adjacency as vectors of ids.
+  // Two id-lookup modes: a packed-u64 open-addressing table when
+  // k <= 32 and every inserted k-mer is ACGT-only (the common case —
+  // read k-mer runs are canonical by construction; the caller checks
+  // the reference), else the generic string_view hash map. `kmers`
+  // stays string_view either way, so haplotype reconstruction and the
+  // topology code below are mode-blind.
   std::unordered_map<std::string_view, int32_t> ids;
   std::vector<std::string_view> kmers;
   std::vector<std::vector<int32_t>> succ, pred;
   // edge (u,v) -> [weight, is_ref]
   std::unordered_map<int64_t, std::pair<int32_t, bool>> edges;
   int32_t k = 0;
+  bool packed = false;
+  std::vector<uint64_t> tkeys;
+  std::vector<int32_t> tvals;
+  size_t tmask = 0;
+
+  void reserve_packed(size_t expected_kmers) {
+    packed = true;
+    size_t size = 64;
+    while (size < expected_kmers * 2) size <<= 1;
+    tmask = size - 1;
+    tkeys.assign(size, 0);
+    tvals.assign(size, -1);
+    kmers.reserve(expected_kmers);
+  }
+
+  static size_t hash_u64(uint64_t key) {
+    key ^= key >> 33;
+    key *= 0xff51afd7ed558ccdULL;
+    key ^= key >> 33;
+    return static_cast<size_t>(key);
+  }
+
+  int32_t ensure_pk(uint64_t key, std::string_view km) {
+    size_t slot = hash_u64(key) & tmask;
+    while (tvals[slot] >= 0 && tkeys[slot] != key) {
+      slot = (slot + 1) & tmask;
+    }
+    if (tvals[slot] >= 0) return tvals[slot];
+    int32_t id = static_cast<int32_t>(kmers.size());
+    tkeys[slot] = key;
+    tvals[slot] = id;
+    kmers.push_back(km);
+    succ.emplace_back();
+    pred.emplace_back();
+    return id;
+  }
+
+  // Rolling-packed variant of add_kmers; bases[start..end+k) must be
+  // ACGT-only (callers pass canonical runs).
+  void add_kmers_packed(std::string_view bases, int32_t start,
+                        int32_t end, bool is_ref) {
+    if (end <= 0 || end < start) return;
+    const uint64_t mask_k =
+        (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    auto code2 = [](char c) -> uint64_t {
+      switch (c) {
+        case 'A': return 0; case 'C': return 1;
+        case 'G': return 2; default: return 3;
+      }
+    };
+    uint64_t roll = 0;
+    for (int32_t i = start; i < start + k; ++i) {
+      roll = (roll << 2) | code2(bases[i]);
+    }
+    int32_t prev = ensure_pk(roll, bases.substr(start, k));
+    for (int32_t i = start + 1; i <= end; ++i) {
+      roll = ((roll << 2) | code2(bases[i + k - 1])) & mask_k;
+      int32_t cur = ensure_pk(roll, bases.substr(i, k));
+      add_edge(prev, cur, is_ref);
+      prev = cur;
+    }
+  }
 
   int32_t ensure(std::string_view km) {
     auto it = ids.find(km);
@@ -1339,13 +1407,42 @@ extern "C" int32_t dv_dbg_haplotypes(
     for (auto& c : reads_up.back()) c = static_cast<char>(toupper(c));
   }
 
+  const bool ref_clean = std::all_of(
+      ref.begin(), ref.end(),
+      [&](char c) { return canonical(c); });
+  int64_t total_read_len = read_offsets[n_reads];
   for (int32_t k = lo_k; k <= hi_k; k += step_k) {
     DbgGraph g;
     g.k = k;
-    g.add_kmers(ref, 0, ref_len - k, true);
-    int32_t source = g.ensure(std::string_view(ref).substr(0, k));
-    int32_t sink =
-        g.ensure(std::string_view(ref).substr(ref_len - k, k));
+    const bool use_packed = ref_clean && k <= 32;
+    if (use_packed) {
+      g.reserve_packed(
+          static_cast<size_t>(ref_len) + total_read_len);
+      g.add_kmers_packed(ref, 0, ref_len - k, true);
+    } else {
+      g.add_kmers(ref, 0, ref_len - k, true);
+    }
+    std::string_view rv(ref);
+    int32_t source, sink;
+    if (use_packed) {
+      // Both substrings are already vertices (added by the ref pass).
+      uint64_t key0 = 0, key1 = 0;
+      for (int32_t i = 0; i < k; ++i) {
+        auto c2 = [&](char c) -> uint64_t {
+          switch (c) {
+            case 'A': return 0; case 'C': return 1;
+            case 'G': return 2; default: return 3;
+          }
+        };
+        key0 = (key0 << 2) | c2(ref[i]);
+        key1 = (key1 << 2) | c2(ref[ref_len - k + i]);
+      }
+      source = g.ensure_pk(key0, rv.substr(0, k));
+      sink = g.ensure_pk(key1, rv.substr(ref_len - k, k));
+    } else {
+      source = g.ensure(rv.substr(0, k));
+      sink = g.ensure(rv.substr(ref_len - k, k));
+    }
     for (int32_t r = 0; r < n_reads; ++r) {
       if (mapqs[r] < min_mapq) continue;
       const std::string& bases = reads_up[r];
@@ -1357,7 +1454,11 @@ extern "C" int32_t dv_dbg_haplotypes(
         int32_t bad = i;
         while (bad < n && canonical(bases[bad]) &&
                quals[bad] >= min_base_quality) ++bad;
-        g.add_kmers(bases, i, bad - k, false);
+        if (use_packed) {
+          g.add_kmers_packed(bases, i, bad - k, false);
+        } else {
+          g.add_kmers(bases, i, bad - k, false);
+        }
         i = bad + 1;
       }
     }
