@@ -150,10 +150,13 @@ class AlleleCounter:
             return
         self.n_reads_counted += len(read_indices)
 
+        units = self._unit_table(batch, read_indices)
+        if units is None:
+            return
         ev_read, ev_pos, ev_order, ev_kind, ev_payload = self._match_events(
-            batch, read_indices
+            batch, units
         )
-        indel_events = self._indel_events(batch, read_indices)
+        indel_events = self._indel_events(batch, units)
 
         # Merge match + indel events, ordered (read, cigar order).
         # Match events already come sorted by (read, order). Indel events are
@@ -163,22 +166,17 @@ class AlleleCounter:
             indel_events,
         )
 
-    def _match_events(self, batch: ReadBatch, read_indices: np.ndarray):
-        """Vectorized per-base events for all M/=/X cigar units.
-
-        Returns (read_idx, interval_pos, order_key, kind, payload) arrays
-        where kind is 0=ref, 1=sub (payload = read base byte) and order_key
-        orders events within a read by cigar position.
-        """
-        # Global per-unit metadata, fully vectorized (segmented cumsum).
+    def _unit_table(self, batch: ReadBatch, read_indices: np.ndarray):
+        """Global per-unit metadata for all cigar units of the selected
+        reads, fully vectorized (segmented cumsums). Shared by the
+        match-base expansion and the indel walk."""
         co = batch.cigar_offsets
         start = self.interval.start
         unit_counts = (co[read_indices + 1] - co[read_indices]).astype(
             np.int64
         )
         if unit_counts.sum() == 0:
-            empty = np.empty(0, np.int64)
-            return empty, empty, empty, empty, empty
+            return None
         # Flattened unit indices for selected reads.
         unit_first = co[read_indices]
         cum_units = np.concatenate([[0], np.cumsum(unit_counts)])
@@ -206,12 +204,29 @@ class AlleleCounter:
             - seg_base_ref
         )
         read_starts = gread[np.arange(total_units)] - seg_base_read
+        return {
+            "read": read_indices[unit_read_sel].astype(np.int64),
+            "ops": ops,
+            "lens": lens,
+            "ref_starts": ref_starts,
+            "read_starts": read_starts,
+            "intra": intra_unit,
+        }
+
+    def _match_events(self, batch: ReadBatch, units: dict):
+        """Vectorized per-base events for all M/=/X cigar units.
+
+        Returns (read_idx, interval_pos, order_key, kind, payload) arrays
+        where kind is 0=ref, 1=sub (payload = read base byte) and order_key
+        orders events within a read by cigar position.
+        """
+        ops = units["ops"]
         m = _MATCH_OPS[ops]
-        u_read = read_indices[unit_read_sel[m]].astype(np.int64)
-        u_len = lens[m]
-        u_ref = ref_starts[m]
-        u_rd = read_starts[m]
-        u_ord = intra_unit[m]
+        u_read = units["read"][m]
+        u_len = units["lens"][m]
+        u_ref = units["ref_starts"][m]
+        u_rd = units["read_starts"][m]
+        u_ord = units["intra"][m]
         if len(u_read) == 0:
             empty = np.empty(0, np.int64)
             return empty, empty, empty, empty, empty
@@ -261,112 +276,109 @@ class AlleleCounter:
         return base_read, base_pos, base_order, kind, payload
 
     def _indel_events(
-        self, batch: ReadBatch, read_indices: np.ndarray
+        self, batch: ReadBatch, units: dict
     ) -> List[tuple]:
-        """Python loop over I/D/S cigar units (rare). Returns event tuples
+        """Python loop over I/D/S cigar units only (rare), pulled from
+        the shared unit table with bulk tolist() conversion — no
+        per-read numpy slicing. Returns event tuples
         (read_idx, interval_pos, order_key, record)."""
         events: List[tuple] = []
-        co = batch.cigar_offsets
         so = batch.seq_offsets
-        start = self.interval.start
         width = len(self.interval)
         min_q = self.options.min_base_quality
-        # Vectorized pre-filter: only walk reads that have any I/D/S
-        # unit (cumsum of the global indel-unit mask gives per-read
-        # counts without per-read slicing).
-        all_ops = batch.cigar_ops
-        indel_unit = (
+        all_ops = units["ops"]
+        mask = (
             (all_ops == _OP_I) | (all_ops == _OP_D) | (all_ops == _OP_S)
         )
-        cs = np.concatenate([[0], np.cumsum(indel_unit)])
-        has_indel = (cs[co[read_indices + 1]] - cs[co[read_indices]]) > 0
-        for r in read_indices[has_indel]:
-            ops = batch.cigar_ops[co[r] : co[r + 1]]
-            lens = batch.cigar_lens[co[r] : co[r + 1]].astype(np.int64)
-            ref_starts = (
-                int(batch.pos[r]) - start
-                + np.concatenate(
-                    [[0], np.cumsum(_REF_CONSUME[ops] * lens)[:-1]]
-                )
-            )
-            read_starts = np.concatenate(
-                [[0], np.cumsum(_READ_CONSUME[ops] * lens)[:-1]]
-            )
-            seq = batch.seq[so[r] : so[r + 1]]
-            qual = batch.qual[so[r] : so[r + 1]]
-            mapq = int(batch.mapq[r])
-            reverse = bool(batch.flag[r] & 0x10)
-            for k, op in enumerate(ops):
-                if op not in (_OP_I, _OP_D, _OP_S):
-                    continue
-                op_len = int(lens[k])
-                interval_offset = int(ref_starts[k])
-                read_offset = int(read_starts[k])
-                anchor_pos = interval_offset - 1
-                # prev base: from read, or from reference at interval-1.
-                if read_offset == 0:
-                    if interval_offset == 0:
-                        prev = self._prev_base
-                    elif 0 < interval_offset <= width:
-                        prev = chr(self.ref[interval_offset - 1])
-                    else:
-                        prev = "N"
+        if not mask.any():
+            return events
+        idx = np.nonzero(mask)[0]
+        u_read = units["read"][idx]
+        r_list = u_read.tolist()
+        op_list = all_ops[idx].tolist()
+        len_list = units["lens"][idx].tolist()
+        refoff_list = units["ref_starts"][idx].tolist()
+        readoff_list = units["read_starts"][idx].tolist()
+        k_list = units["intra"][idx].tolist()
+        mapq_list = batch.mapq[u_read].tolist()
+        rev_list = ((batch.flag[u_read] & 0x10) != 0).tolist()
+        seqoff_list = so[u_read].tolist()
+        seq_all = batch.seq
+        qual_all = batch.qual
+        for r, op, op_len, interval_offset, read_offset, k, mapq, \
+                reverse, sbase in zip(
+                    r_list, op_list, len_list, refoff_list,
+                    readoff_list, k_list, mapq_list, rev_list,
+                    seqoff_list):
+            anchor_pos = interval_offset - 1
+            # prev base: from read, or from reference at interval-1.
+            if read_offset == 0:
+                if interval_offset == 0:
+                    prev = self._prev_base
+                elif 0 < interval_offset <= width:
+                    prev = chr(self.ref[interval_offset - 1])
                 else:
-                    prev = chr(seq[read_offset - 1])
-                if prev not in "ACGT":
+                    prev = "N"
+            else:
+                prev = chr(seq_all[sbase + read_offset - 1])
+            if prev not in "ACGT":
+                continue
+            low_q = False
+            if op == _OP_D:
+                atype = DELETION
+                if interval_offset < 0 or (
+                    interval_offset + op_len
+                    > width + len(self._ref_after)
+                ):
+                    # Deletion starts before the window or spans past
+                    # the available reference tail (the reference only
+                    # drops alleles whose deleted bases run off the
+                    # contig, allelecounter.cc:426-443).
                     continue
-                low_q = False
-                if op == _OP_D:
-                    atype = DELETION
-                    if interval_offset < 0 or (
-                        interval_offset + op_len
-                        > width + len(self._ref_after)
-                    ):
-                        # Deletion starts before the window or spans past
-                        # the available reference tail (the reference only
-                        # drops alleles whose deleted bases run off the
-                        # contig, allelecounter.cc:426-443).
-                        continue
-                    if interval_offset + op_len > width:
-                        del_ref = np.concatenate([
-                            self.ref[interval_offset:],
-                            self._ref_after[
-                                : interval_offset + op_len - width
-                            ],
-                        ])
-                    else:
-                        del_ref = self.ref[
-                            interval_offset : interval_offset + op_len
-                        ]
-                    if not _IS_CANONICAL[del_ref].all():
-                        continue
-                    bases = prev + del_ref.tobytes().decode()
-                    avg_q = int(qual[max(0, read_offset - 1)])
+                if interval_offset + op_len > width:
+                    del_ref = np.concatenate([
+                        self.ref[interval_offset:],
+                        self._ref_after[
+                            : interval_offset + op_len - width
+                        ],
+                    ])
                 else:
-                    atype = INSERTION if op == _OP_I else SOFT_CLIP
-                    ins = seq[read_offset : read_offset + op_len]
-                    insq = qual[read_offset : read_offset + op_len]
-                    if not _IS_CANONICAL[ins].all():
+                    del_ref = self.ref[
+                        interval_offset : interval_offset + op_len
+                    ]
+                if not _IS_CANONICAL[del_ref].all():
+                    continue
+                bases = prev + del_ref.tobytes().decode()
+                avg_q = int(qual_all[sbase + max(0, read_offset - 1)])
+            else:
+                atype = INSERTION if op == _OP_I else SOFT_CLIP
+                ins = seq_all[
+                    sbase + read_offset : sbase + read_offset + op_len
+                ]
+                insq = qual_all[
+                    sbase + read_offset : sbase + read_offset + op_len
+                ]
+                if not _IS_CANONICAL[ins].all():
+                    continue
+                qsum = int(insq.sum())
+                if self.options.keep_legacy_behavior:
+                    if (insq < min_q).any():
                         continue
-                    qsum = int(insq.sum())
-                    if self.options.keep_legacy_behavior:
-                        if (insq < min_q).any():
-                            continue
-                    elif qsum < min_q * op_len:
-                        low_q = True
-                    bases = prev + ins.tobytes().decode()
-                    avg_q = qsum // max(1, op_len)
-                rec = ReadAlleleRecord(
-                    read_idx=int(r),
-                    bases=bases,
-                    type=atype,
-                    is_low_quality=low_q,
-                    mapping_quality=mapq,
-                    avg_base_quality=avg_q,
-                    is_reverse_strand=reverse,
-                )
-                order = (k << 32)  # indel unit: intra = 0
-                events.append((int(r), anchor_pos, order, rec))
+                elif qsum < min_q * op_len:
+                    low_q = True
+                bases = prev + ins.tobytes().decode()
+                avg_q = qsum // max(1, op_len)
+            rec = ReadAlleleRecord(
+                read_idx=r,
+                bases=bases,
+                type=atype,
+                is_low_quality=low_q,
+                mapping_quality=mapq,
+                avg_base_quality=avg_q,
+                is_reverse_strand=reverse,
+            )
+            order = (k << 32)  # indel unit: intra = 0
+            events.append((r, anchor_pos, order, rec))
         return events
 
     def _apply_events(
