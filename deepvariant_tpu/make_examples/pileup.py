@@ -706,6 +706,11 @@ class PileupEncoder:
         for ci, ch in enumerate(o.channels):
             if modes[ci] != 3:
                 continue
+            vec = self._const_color_vec(ch, batch, indices,
+                                        support_codes)
+            if vec is not None:
+                consts[:, ci] = vec
+                continue
             for k, idx in enumerate(indices):
                 consts[k, ci] = self._const_color_one(
                     ch, batch, idx, support_codes[k], af_values[k],
@@ -727,6 +732,45 @@ class PileupEncoder:
             ord(o.indel_anchoring_base_char), self._base_lut,
             self._match_color, self._mismatch_color,
         )
+
+    def _const_color_vec(
+        self,
+        ch: int,
+        batch: ReadBatch,
+        indices: np.ndarray,
+        support_codes,
+    ) -> Optional[np.ndarray]:
+        """Vectorized per-read const colors for the common channels
+        (identical truncation semantics to _const_color_one); returns
+        None for channels that keep the scalar fallback."""
+        o = self.options
+        if ch == CH_MAPPING_QUALITY:
+            return _scale_color(
+                batch.mapq[indices].astype(np.int64),
+                o.mapping_quality_cap,
+            )
+        if ch == CH_STRAND:
+            return self._strand_lut[
+                ((batch.flag[indices] & FLAG_REVERSE) != 0)
+                .astype(np.int64)
+            ]
+        if ch == CH_READ_SUPPORTS_VARIANT:
+            return self._support_lut[
+                np.asarray(support_codes, np.int64)
+            ]
+        if ch == CH_INSERT_SIZE:
+            frag = np.minimum(
+                np.abs(batch.tlen[indices].astype(np.int64)), 1000
+            )
+            return (MAX_PIXEL_FLOAT * frag / 1000.0).astype(np.uint8)
+        if ch == CH_SUPPLEMENTARY_ALIGNMENT:
+            supp = (batch.flag[indices] & 0x800) != 0
+            alpha = np.where(
+                supp, o.allele_supporting_read_alpha,
+                o.allele_unsupporting_read_alpha,
+            )
+            return (MAX_PIXEL_FLOAT * alpha).astype(np.uint8)
+        return None
 
     def _const_color_one(
         self,
