@@ -34,6 +34,52 @@ MIN_REF_ALLELE_DEPTH = 3  # direct_phasing.cc:68
 REF_BASES = "REF"
 NUM_PHASES = 2
 
+# Allele classification (direct_phasing.cc:904-955 free helpers).
+SUBSTITUTION = 1
+INSERTION = 2
+DELETION = 3
+
+
+def allele_type_from_candidate(bases: str,
+                               candidate: DeepVariantCall) -> int:
+    """AlleleTypeFromCandidate (direct_phasing.cc:904-916): classify by
+    allele length vs the candidate's reference span."""
+    span = candidate.variant.end - candidate.variant.start
+    if len(bases) > span:
+        return INSERTION
+    if len(bases) < span:
+        return DELETION
+    return SUBSTITUTION
+
+
+def num_of_substitution_alleles(candidate: DeepVariantCall) -> int:
+    """NumOfSubstitutionAlleles (direct_phasing.cc:918-928)."""
+    return sum(
+        1 for bases in candidate.allele_support
+        if bases != SUPPORTING_UNCALLED_ALLELE
+        and allele_type_from_candidate(bases, candidate) == SUBSTITUTION
+    )
+
+
+def num_of_indel_alleles(candidate: DeepVariantCall) -> int:
+    """NumOfIndelAlleles (direct_phasing.cc:930-942)."""
+    return sum(
+        1 for bases in candidate.allele_support
+        if bases != SUPPORTING_UNCALLED_ALLELE
+        and allele_type_from_candidate(bases, candidate)
+        in (INSERTION, DELETION)
+    )
+
+
+def substitution_alleles_depth(candidate: DeepVariantCall) -> int:
+    """SubstitutionAllelesDepth (direct_phasing.cc:944-955); counts
+    every supporting read, including low-quality ones."""
+    return sum(
+        len(reads) for bases, reads in candidate.allele_support.items()
+        if bases != SUPPORTING_UNCALLED_ALLELE
+        and allele_type_from_candidate(bases, candidate) == SUBSTITUTION
+    )
+
 
 @dataclasses.dataclass
 class DirectPhasingOptions:
@@ -136,7 +182,17 @@ class DirectPhasing:
     def build(self, candidates: Sequence[DeepVariantCall]):
         self._clear()
         indel_end = [0]
+        prev_start = None
         for candidate in candidates:
+            # Candidates must arrive in strictly increasing position
+            # order (direct_phasing.cc:846 CHECK_LT).
+            if prev_start is not None and \
+                    candidate.variant.start <= prev_start:
+                raise ValueError(
+                    "phasing candidates must be ordered by position: "
+                    f"{candidate.variant.start} after {prev_start}"
+                )
+            prev_start = candidate.variant.start
             if _candidate_filter(candidate, indel_end):
                 self._add_candidate(candidate)
                 self.positions.append(candidate.variant.start)
