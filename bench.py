@@ -189,7 +189,7 @@ def _stage3_metrics() -> dict:
     }
 
 
-def main():
+def _device_metrics() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -257,7 +257,7 @@ def main():
     device = jax.devices()[0]
     peak = _peak_flops(device.device_kind)
 
-    print(json.dumps({
+    return {
         "metric": "call_examples_per_sec_per_chip",
         "value": round(rate, 1),
         "unit": "examples/s",
@@ -270,9 +270,38 @@ def main():
         "device": device.device_kind,
         "fixed_overhead_ms": round((t1 - per_step) * 1e3, 1),
         "timed_steps": [1, K2],
-        **_stage1_metrics(),
-        **_stage3_metrics(),
-    }))
+    }
+
+
+def main():
+    import subprocess
+    import sys
+
+    if "--device-only" in sys.argv:
+        print(json.dumps(_device_metrics()))
+        return
+
+    # Host-side (CPU) metrics first, then the TPU section in a
+    # subprocess under a hard timeout: a hung device tunnel must not
+    # take the whole bench down with it.
+    host = {**_stage1_metrics(), **_stage3_metrics()}
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device-only"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if \
+            proc.stdout.strip() else ""
+        device = json.loads(line)
+    except Exception as e:  # timeout, crash, or unparsable output
+        device = {
+            "metric": "call_examples_per_sec_per_chip",
+            "value": None,
+            "unit": "examples/s",
+            "vs_baseline": None,
+            "device_error": f"device bench unavailable: {e}",
+        }
+    print(json.dumps({**device, **host}))
 
 
 if __name__ == "__main__":

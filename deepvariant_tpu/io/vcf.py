@@ -101,15 +101,17 @@ class VcfHeader:
         sample_names: Sequence[str],
         extras: Optional[Sequence[Tuple[str, str]]] = None,
         extra_format_lines: Optional[Sequence[Tuple[str, str, str, str]]] = None,
+        extra_filter_lines: Optional[Sequence[Tuple[str, str]]] = None,
     ):
         self.contigs = list(contigs)
         self.sample_names = list(sample_names)
         self.extras = list(extras or [])
         self.extra_format_lines = list(extra_format_lines or [])
+        self.extra_filter_lines = list(extra_filter_lines or [])
 
     def lines(self) -> List[str]:
         out = ["##fileformat=VCFv4.2"]
-        for fid, desc in _FILTER_LINES:
+        for fid, desc in list(_FILTER_LINES) + self.extra_filter_lines:
             out.append(f'##FILTER=<ID={fid},Description="{desc}">')
         for iid, num, typ, desc in _INFO_LINES:
             out.append(
@@ -133,10 +135,12 @@ class VcfHeader:
 
 
 def deepvariant_header(
-    contigs: Sequence[ContigInfo], sample_names: Sequence[str]
+    contigs: Sequence[ContigInfo], sample_names: Sequence[str],
+    extra_filter_lines: Optional[Sequence[Tuple[str, str]]] = None,
 ) -> VcfHeader:
     """The standard DeepVariant output header (dv_vcf_constants.py:84)."""
-    return VcfHeader(contigs, sample_names)
+    return VcfHeader(contigs, sample_names,
+                     extra_filter_lines=extra_filter_lines)
 
 
 def _format_info(info: Dict[str, List]) -> str:

@@ -21,7 +21,9 @@ from deepvariant_tpu.core.sharded_files import glob_sharded_inputs
 from deepvariant_tpu.core.types import CallVariantsOutput, ContigInfo, Variant
 from deepvariant_tpu.io.tfrecord import TFRecordReader
 from deepvariant_tpu.io.vcf import (
+    GERMLINE_FILTER,
     PASS_FILTER,
+    PON_FILTER,
     VcfHeader,
     VcfWriter,
     deepvariant_header,
@@ -339,18 +341,35 @@ def postprocess_variants(
     group_variants: bool = True,
     phased_reads_switches_path: Optional[str] = None,
     use_multiallelic_model: bool = False,
+    process_somatic: bool = False,
+    pon_vcf_path: Optional[str] = None,
+    regions=None,
 ) -> dict:
     """Full stage-3 run. Returns summary stats.
 
     `cvo_path` may be a single sharded spec or a list of specs (e.g.
     CNN CVOs + small-model CVOs, joined before grouping like the
-    reference's --small_model_cvo_records input)."""
+    reference's --small_model_cvo_records input).
+
+    `process_somatic` (DeepSomatic, --process_somatic): heterozygous
+    calls are germline — their GT becomes 0/0 and a non-empty filter
+    is replaced with GERMLINE (vcf_writer.cc WriteSomatic:163-177).
+    `pon_vcf_path` marks PASS variants found in the Panel of Normals
+    VCF with the PON filter (postprocess_variants.py:1315-1346)."""
     specs = [cvo_path] if isinstance(cvo_path, str) else list(cvo_path)
     paths: List[str] = []
     for spec in specs:
         if spec:
             paths.extend(glob_sharded_inputs(spec))
     cvos = read_cvos_sorted(paths, contigs)
+    if regions is not None:
+        # --regions (postprocess_variants.py:262): only candidates
+        # starting inside the requested ranges are emitted.
+        cvos = [
+            c for c in cvos
+            if regions.overlaps(c.variant.reference_name,
+                                c.variant.start)
+        ]
     phase_switches = None
     if phased_reads_switches_path:
         phase_switches = load_phase_switches(phased_reads_switches_path)
@@ -377,7 +396,21 @@ def postprocess_variants(
     variants = haplotypes.maybe_resolve_conflicting_variants(
         variants, qual_filter=qual_filter
     )
-    header = deepvariant_header(contigs, [sample_name])
+    extra_filters = []
+    if process_somatic:
+        extra_filters.append(("GERMLINE", "Non somatic variants"))
+        if pon_vcf_path:
+            extra_filters.append(
+                ("PON", "Filtered by Panel of Normals (PON)")
+            )
+        variants = _apply_somatic_filters(variants, pon_vcf_path)
+    elif pon_vcf_path:
+        raise ValueError(
+            "PON filtering is only supported for somatic variant calling."
+        )
+    header = deepvariant_header(
+        contigs, [sample_name], extra_filter_lines=extra_filters or None
+    )
     n_vcf = n_gvcf = 0
     if nonvariant_site_path and output_gvcf:
         nonvariants = _read_nonvariants(nonvariant_site_path, contigs)
@@ -400,6 +433,39 @@ def postprocess_variants(
                     vcf_w.write(v)
                     n_vcf += 1
     return {"vcf_records": n_vcf, "gvcf_records": n_gvcf}
+
+
+def _apply_somatic_filters(
+    variants: Iterable[Variant], pon_vcf_path: Optional[str]
+) -> Iterator[Variant]:
+    """DeepSomatic output semantics: het calls become germline
+    (GT 0/0, GERMLINE filter; vcf_writer.cc WriteSomatic), then PASS
+    variants matching a Panel-of-Normals record get the PON filter
+    (postprocess_variants.py add_pon_filter:1335-1346)."""
+    pon_keys = None
+    if pon_vcf_path:
+        from deepvariant_tpu.io.vcf import VcfReader
+
+        pon_keys = set()
+        for rec in VcfReader(pon_vcf_path):
+            pon_keys.add((
+                rec.reference_name, rec.start, rec.reference_bases,
+                tuple(sorted(rec.alternate_bases)),
+            ))
+    for v in variants:
+        gt = v.calls[0].genotype if v.calls else []
+        if gt not in ([0, 0], [-1, -1], [1, 1]):
+            v.calls[0].genotype = [0, 0]
+            if v.filter:
+                v.filter = [GERMLINE_FILTER]
+        if (pon_keys is not None and PASS_FILTER in v.filter):
+            key = (v.reference_name, v.start, v.reference_bases,
+                   tuple(sorted(v.alternate_bases)))
+            if key in pon_keys:
+                v.filter = [
+                    f for f in v.filter if f != PASS_FILTER
+                ] + [PON_FILTER]
+        yield v
 
 
 def _read_nonvariants(

@@ -41,6 +41,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--phased_reads_switches_output_path", default="",
                    help="switches TSV from merge_phased_reads; enables "
                         "cross-region phase-set stitching")
+    p.add_argument("--process_somatic", action="store_true",
+                   help="DeepSomatic output: het calls become GT 0/0 "
+                        "with the GERMLINE filter")
+    p.add_argument("--pon_filtering", default="",
+                   help="Panel-of-Normals VCF; PASS variants matching "
+                        "it get the PON filter (somatic only)")
+    p.add_argument("--regions", default="",
+                   help="space-separated region literals or BED paths; "
+                        "restrict emitted records")
+    p.add_argument("--vcf_stats_report", action="store_true",
+                   help="write the <outfile>.visual_report.html stats "
+                        "page after the VCF")
     return p
 
 
@@ -62,6 +74,9 @@ def main(argv=None) -> int:
 
     sample_name = args.sample_name or _sample_name_from_cvos(args.infile) \
         or "default"
+    regions = None
+    if args.regions:
+        regions = RangeSet.from_regions(args.regions.split())
     infiles = [args.infile]
     if args.small_model_cvo_records:
         infiles.append(args.small_model_cvo_records)
@@ -85,6 +100,9 @@ def main(argv=None) -> int:
             args.phased_reads_switches_output_path or None
         ),
         use_multiallelic_model=args.use_multiallelic_model,
+        process_somatic=args.process_somatic,
+        pon_vcf_path=args.pon_filtering or None,
+        regions=regions,
     )
     # Tabix-index bgzipped outputs (postprocess_variants.py:1583
     # build_index).
@@ -93,6 +111,16 @@ def main(argv=None) -> int:
             from deepvariant_tpu.io.tabix import build_index
 
             build_index(out)
+    if args.vcf_stats_report:
+        from deepvariant_tpu.tools import vcf_stats
+
+        base = args.outfile
+        for suffix in (".gz", ".vcf"):
+            if base.endswith(suffix):
+                base = base[: -len(suffix)]
+        vcf_stats.main([
+            "--input_vcf", args.outfile, "--outfile_base", base,
+        ])
     print(
         f"postprocess_variants done: {stats['vcf_records']} VCF records"
         + (f", {stats['gvcf_records']} gVCF records"

@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--intermediate_results_dir", default="")
     p.add_argument("--batch_size", type=int, default=2048)
     p.add_argument("--allow_uninitialized_model", action="store_true")
+    p.add_argument("--pon_filtering", default="",
+                   help="Panel-of-Normals VCF; matching PASS variants "
+                        "get the PON filter")
     p.add_argument("--filter_low_vaf_candidates",
                    action=argparse.BooleanOptionalAction, default=False)
     return p
@@ -101,12 +104,16 @@ def main(argv=None) -> int:
     if rc != 0:
         return rc
 
-    rc = pp_main([
+    pp_argv = [
         "--ref", args.ref,
         "--infile", cvo,
         "--outfile", args.output_vcf,
         "--sample_name", args.sample_name_tumor,
-    ])
+        "--process_somatic",
+    ]
+    if args.pon_filtering:
+        pp_argv += ["--pon_filtering", args.pon_filtering]
+    rc = pp_main(pp_argv)
     if rc != 0:
         return rc
     print(f"total: {time.time() - t_start:.1f}s -> {args.output_vcf}")

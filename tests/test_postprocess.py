@@ -419,3 +419,78 @@ class TestPhaseSetStitching:
         )
         assert "PS" not in out[1].calls[0].info
         assert out[2].calls[0].info["PS"] == [11]
+
+
+class TestSomaticPostprocess:
+    """--process_somatic / --pon_filtering semantics
+    (vcf_writer.cc WriteSomatic:163-177, postprocess_variants.py
+    add_pon_filter:1335-1346)."""
+
+    def _run(self, tmp_path, probs_list, pon_lines=None,
+             process_somatic=True):
+        from deepvariant_tpu.io.tfrecord import TFRecordWriter
+
+        contigs = [ContigInfo("chr1", 1_000_000, 0)]
+        cvo_path = str(tmp_path / "cvos.tfrecord.gz")
+        with TFRecordWriter(cvo_path) as w:
+            for i, probs in enumerate(probs_list):
+                v = Variant(
+                    reference_name="chr1", start=100 + 10 * i,
+                    end=101 + 10 * i, reference_bases="A",
+                    alternate_bases=["T"],
+                )
+                v.calls.append(VariantCall(
+                    call_set_name="tumor", genotype=[-1, -1],
+                    info={"AD": [5, 5], "DP": [10], "VAF": [0.5]},
+                ))
+                cvo = CallVariantsOutput(
+                    variant=v, alt_allele_indices=[0],
+                    genotype_probabilities=list(probs),
+                )
+                w.write(cvo.encode())
+        pon = None
+        if pon_lines is not None:
+            pon = str(tmp_path / "pon.vcf")
+            with open(pon, "w") as f:
+                f.write("##fileformat=VCFv4.2\n")
+                f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+                for line in pon_lines:
+                    f.write(line + "\n")
+        out = str(tmp_path / "out.vcf")
+        postprocess_variants(
+            cvo_path, out, contigs, sample_name="tumor",
+            process_somatic=process_somatic, pon_vcf_path=pon,
+        )
+        header = [l for l in open(out) if l.startswith("##FILTER")]
+        body = [l.strip().split("\t") for l in open(out)
+                if not l.startswith("#")]
+        return header, body
+
+    def test_het_becomes_germline(self, tmp_path):
+        header, body = self._run(
+            tmp_path,
+            [[0.01, 0.98, 0.01],   # het -> germline
+             [0.01, 0.01, 0.98]],  # hom-alt -> somatic PASS
+        )
+        assert any("GERMLINE" in h for h in header)
+        gts = [(cols[6], cols[9].split(":")[0]) for cols in body]
+        assert gts[0] == ("GERMLINE", "0/0")
+        assert gts[1] == ("PASS", "1/1")
+
+    def test_pon_marks_pass_variants(self, tmp_path):
+        header, body = self._run(
+            tmp_path,
+            [[0.01, 0.01, 0.98], [0.01, 0.01, 0.98]],
+            pon_lines=["chr1\t101\t.\tA\tT\t50\tPASS\t."],
+        )
+        assert any("PON" in h for h in header)
+        filters = [cols[6] for cols in body]
+        assert filters == ["PON", "PASS"]
+
+    def test_pon_requires_somatic(self, tmp_path):
+        with pytest.raises(ValueError):
+            self._run(
+                tmp_path, [[0.01, 0.01, 0.98]],
+                pon_lines=["chr1\t101\t.\tA\tT\t50\tPASS\t."],
+                process_somatic=False,
+            )
