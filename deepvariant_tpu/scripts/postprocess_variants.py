@@ -12,7 +12,10 @@ import sys
 from deepvariant_tpu.core.ranges import RangeSet, read_bed
 from deepvariant_tpu.core.types import Range
 from deepvariant_tpu.io.fasta import FastaReader
-from deepvariant_tpu.postprocess.pipeline import postprocess_variants
+from deepvariant_tpu.postprocess.pipeline import (
+    postprocess_variants,
+    postprocess_variants_parallel,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -53,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vcf_stats_report", action="store_true",
                    help="write the <outfile>.visual_report.html stats "
                         "page after the VCF")
+    p.add_argument("--cpus", type=int, default=0,
+                   help="worker processes for partitioned postprocess "
+                        "(reference --cpus); 0 = single process")
+    p.add_argument("--num_partitions", type=int, default=0,
+                   help="contig-range partitions when --cpus > 0 "
+                        "(default: same as --cpus)")
     return p
 
 
@@ -80,6 +89,34 @@ def main(argv=None) -> int:
     infiles = [args.infile]
     if args.small_model_cvo_records:
         infiles.append(args.small_model_cvo_records)
+    if args.cpus > 0:
+        # Partition-parallel path (postprocess_variants.py:1887): only
+        # the plain-VCF flow partitions; gVCF merge stays single
+        # process like the reference's merge step.
+        if args.nonvariant_site_tfrecord_path:
+            raise SystemExit(
+                "--cpus parallelism applies to the VCF-only flow; "
+                "run gVCF merging without --cpus"
+            )
+        stats = postprocess_variants_parallel(
+            infiles,
+            args.outfile,
+            ref.contigs,
+            sample_name=sample_name,
+            num_partitions=args.num_partitions or args.cpus,
+            processes=args.cpus,
+            qual_filter=args.qual_filter,
+            multi_allelic_qual_filter=args.multi_allelic_qual_filter,
+            cnn_homref_call_min_gq=args.cnn_homref_call_min_gq,
+            multiallelic_mode=args.multiallelic_mode,
+            haploid_contigs=haploid,
+            par_regions=par_regions,
+        )
+        print(
+            f"postprocess_variants done: {stats['vcf_records']} VCF "
+            f"records across {stats['partitions']} partitions"
+        )
+        return 0
     stats = postprocess_variants(
         infiles,
         args.outfile,
