@@ -50,6 +50,7 @@ class ExampleRecord:
     image: np.ndarray  # (H, W, C) uint8
     variant: Variant
     alt_allele_indices: List[int]
+    label: Optional[int] = None  # training examples only
 
 
 def iter_examples(paths: Sequence[str]) -> Iterator[ExampleRecord]:
@@ -61,6 +62,7 @@ def iter_examples(paths: Sequence[str]) -> Iterator[ExampleRecord]:
                     image=ex.image,
                     variant=ex.variant,
                     alt_allele_indices=ex.alt_allele_indices,
+                    label=ex.label,
                 )
 
 
@@ -191,6 +193,9 @@ def call_variants(
     writer_cls=TFRecordWriter,
     log_every: int = 100,
     num_writers: int = 1,
+    include_debug_info: bool = False,
+    limit: int = 0,
+    max_batches: int = 0,
 ) -> dict:
     """Run inference over sharded example TFRecords, write CVO TFRecord.
 
@@ -212,13 +217,44 @@ def call_variants(
     )
     n = 0
     start = time.time()
+    # --limit / --max_batches (reference call_variants.py:199,124):
+    # hard caps on examples processed.
+    cap = limit if limit > 0 else 0
+    if max_batches > 0:
+        batch_cap = max_batches * predictor.batch_size
+        cap = min(cap, batch_cap) if cap else batch_cap
+
+    def capped(records):
+        for i, item in enumerate(records):
+            if cap and i >= cap:
+                break
+            yield item
+
+    def make_debug_info(rec, gls):
+        """DebugInfo under --include_debug_info (reference
+        call_variants.py:373-388 via variant_utils)."""
+        import numpy as _np
+
+        from deepvariant_tpu.core.types import CvoDebugInfo
+
+        v = rec.variant
+        ref_len = len(v.reference_bases)
+        alts = v.alternate_bases
+        return CvoDebugInfo(
+            predicted_label=int(_np.argmax(gls)),
+            has_insertion=any(len(a) > ref_len for a in alts),
+            has_deletion=any(len(a) < ref_len for a in alts),
+            is_snp=ref_len == 1 and all(len(a) == 1 for a in alts),
+            true_label=int(rec.label) if rec.label is not None else 0,
+        )
     if num_writers > 1:
         from deepvariant_tpu.calling.cvo_writer import CvoWriterPool
 
         pool = CvoWriterPool(output_path, num_writers)
         out_paths = pool.paths
         buf = []
-        for rec, probs in predictor.predict_stream(iter_examples(paths)):
+        for rec, probs in predictor.predict_stream(
+                capped(iter_examples(paths))):
             buf.append(
                 (rec.variant, rec.alt_allele_indices,
                  [float(p) for p in probs])
@@ -238,12 +274,16 @@ def call_variants(
         out_paths = [output_path]
         with writer_cls(output_path) as writer:
             for rec, probs in predictor.predict_stream(
-                    iter_examples(paths)):
+                    capped(iter_examples(paths))):
                 gls = round_gls([float(p) for p in probs])
                 cvo = CallVariantsOutput(
                     variant=rec.variant,
                     alt_allele_indices=rec.alt_allele_indices,
                     genotype_probabilities=gls,
+                    debug_info=(
+                        make_debug_info(rec, gls)
+                        if include_debug_info else None
+                    ),
                 )
                 writer.write(cvo.encode())
                 n += 1

@@ -487,10 +487,61 @@ class Read:
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass
+class CvoDebugInfo:
+    """CallVariantsOutput.DebugInfo (deepvariant.proto:376-399),
+    emitted under --include_debug_info."""
+
+    predicted_label: int = 0
+    has_insertion: bool = False
+    has_deletion: bool = False
+    is_snp: bool = False
+    true_label: int = 0
+    logits: List[float] = dataclasses.field(default_factory=list)
+
+    def encode(self) -> bytes:
+        out = []
+        if self.predicted_label:
+            out.append(pw.field_varint(1, self.predicted_label))
+        if self.has_insertion:
+            out.append(pw.field_varint(2, 1))
+        if self.has_deletion:
+            out.append(pw.field_varint(3, 1))
+        if self.is_snp:
+            out.append(pw.field_varint(4, 1))
+        if self.true_label:
+            out.append(pw.field_varint(5, self.true_label))
+        if self.logits:
+            out.append(pw.packed_doubles(6, self.logits))
+        return b"".join(out)
+
+    @staticmethod
+    def decode(buf) -> "CvoDebugInfo":
+        d = CvoDebugInfo()
+        for num, wt, val in pw.iter_fields(buf):
+            if num == 1:
+                d.predicted_label = val
+            elif num == 2:
+                d.has_insertion = bool(val)
+            elif num == 3:
+                d.has_deletion = bool(val)
+            elif num == 4:
+                d.is_snp = bool(val)
+            elif num == 5:
+                d.true_label = val
+            elif num == 6:
+                if wt == pw.WIRETYPE_LEN:
+                    d.logits.extend(pw.decode_packed_doubles(val))
+                else:
+                    d.logits.append(pw.decode_fixed64_double(val))
+        return d
+
+
+@dataclasses.dataclass
 class CallVariantsOutput:
     variant: Variant
     alt_allele_indices: List[int]
     genotype_probabilities: List[float]
+    debug_info: Optional["CvoDebugInfo"] = None
 
     def encode(self) -> bytes:
         out = [pw.field_message(1, self.variant.encode())]
@@ -501,6 +552,8 @@ class CallVariantsOutput:
         )
         if self.genotype_probabilities:
             out.append(pw.packed_doubles(3, self.genotype_probabilities))
+        if self.debug_info is not None:
+            out.append(pw.field_message(4, self.debug_info.encode()))
         return b"".join(out)
 
     @staticmethod
@@ -508,6 +561,7 @@ class CallVariantsOutput:
         variant = Variant()
         indices: List[int] = []
         probs: List[float] = []
+        debug = None
         for num, wt, val in pw.iter_fields(buf):
             if num == 1:
                 variant = Variant.decode(val)
@@ -523,4 +577,6 @@ class CallVariantsOutput:
                     probs.extend(pw.decode_packed_doubles(val))
                 else:
                     probs.append(pw.decode_fixed64_double(val))
-        return CallVariantsOutput(variant, indices, probs)
+            elif num == 4:
+                debug = CvoDebugInfo.decode(val)
+        return CallVariantsOutput(variant, indices, probs, debug)

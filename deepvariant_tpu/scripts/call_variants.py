@@ -83,6 +83,18 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True)
     p.add_argument("--allow_uninitialized_model", action="store_true",
                    help="run with fresh-init weights (smoke testing only)")
+    p.add_argument("--include_debug_info", action="store_true",
+                   help="emit CallVariantsOutput.DebugInfo (predicted/"
+                        "true label, variant class flags)")
+    p.add_argument("--limit", type=int, default=0,
+                   help="process at most this many examples (0 = all)")
+    p.add_argument("--max_batches", type=int, default=0,
+                   help="process at most this many batches (0 = all)")
+    p.add_argument("--allow_empty_examples",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="succeed on empty example inputs (writes an "
+                        "empty CVO file); --no-allow_empty_examples "
+                        "errors instead")
     p.add_argument(
         "--writer_threads", type=int, default=0,
         help="CVO writer processes (reference call_variants.py:189). "
@@ -118,7 +130,13 @@ def main(argv=None) -> int:
         args.examples, args.outfile, variables,
         batch_size=args.batch_size, model=model,
         num_writers=resolve_writer_processes(args.writer_threads),
+        include_debug_info=args.include_debug_info,
+        limit=args.limit, max_batches=args.max_batches,
     )
+    if stats["num_examples"] == 0 and not args.allow_empty_examples:
+        print("error: no examples found (pass --allow_empty_examples "
+              "to accept empty inputs)", file=sys.stderr)
+        return 1
     print(
         f"call_variants done: {stats['num_examples']} examples at "
         f"{stats['examples_per_sec']:.1f} examples/s"

@@ -494,3 +494,31 @@ class TestSomaticPostprocess:
                 pon_lines=["chr1\t101\t.\tA\tT\t50\tPASS\t."],
                 process_somatic=False,
             )
+
+
+def test_cvo_debug_info_roundtrip():
+    """CvoDebugInfo wire codec (deepvariant.proto:376-399 fields 1-6)."""
+    from deepvariant_tpu.core.types import CvoDebugInfo
+
+    v = Variant(reference_name="chr1", start=5, end=6,
+                reference_bases="A", alternate_bases=["T", "TG"])
+    cvo = CallVariantsOutput(
+        variant=v, alt_allele_indices=[0],
+        genotype_probabilities=[0.1, 0.7, 0.2],
+        debug_info=CvoDebugInfo(
+            predicted_label=1, has_insertion=True, has_deletion=False,
+            is_snp=False, true_label=2, logits=[0.5, -1.25, 3.0],
+        ),
+    )
+    back = CallVariantsOutput.decode(cvo.encode())
+    assert back.debug_info is not None
+    d = back.debug_info
+    assert (d.predicted_label, d.has_insertion, d.has_deletion,
+            d.is_snp, d.true_label) == (1, True, False, False, 2)
+    assert d.logits == [0.5, -1.25, 3.0]
+    # Without debug info the field stays absent.
+    plain = CallVariantsOutput.decode(CallVariantsOutput(
+        variant=v, alt_allele_indices=[0],
+        genotype_probabilities=[0.1, 0.7, 0.2],
+    ).encode())
+    assert plain.debug_info is None
