@@ -293,13 +293,26 @@ def main():
         line = proc.stdout.strip().splitlines()[-1] if \
             proc.stdout.strip() else ""
         device = json.loads(line)
-    except Exception as e:  # timeout, crash, or unparsable output
+    except subprocess.TimeoutExpired:
         device = {
             "metric": "call_examples_per_sec_per_chip",
             "value": None,
             "unit": "examples/s",
             "vs_baseline": None,
-            "device_error": f"device bench unavailable: {e}",
+            "device_error": "device bench timed out (tunnel hung?)",
+        }
+    except Exception as e:  # crash or unparsable output
+        detail = ""
+        try:
+            detail = (proc.stderr or "").strip().splitlines()[-1][:200]
+        except Exception:
+            pass
+        device = {
+            "metric": "call_examples_per_sec_per_chip",
+            "value": None,
+            "unit": "examples/s",
+            "vs_baseline": None,
+            "device_error": f"device bench unavailable: {e}; {detail}",
         }
     print(json.dumps({**device, **host}))
 
