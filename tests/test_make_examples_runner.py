@@ -177,3 +177,39 @@ class TestPhasingOutputs:
             assert "/" in frag
             assert phase in ("0", "1", "2")
             assert region_n.isdigit()
+
+
+def test_downsample_fraction_deterministic(testdata_dir, tmp_path):
+    """--downsample_fraction: same seed -> byte-identical examples;
+    fewer reads survive than at full coverage (make_examples.py:78
+    read-time Bernoulli keep)."""
+    from deepvariant_tpu.io import tfrecord
+    from deepvariant_tpu.make_examples.core import (
+        MakeExamplesOptions,
+        make_examples_runner,
+    )
+
+    def run(name, fraction, seed=2101079370):
+        out = str(tmp_path / name)
+        make_examples_runner(MakeExamplesOptions(
+            reads_filename=os.path.join(
+                testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+            ),
+            ref_filename=os.path.join(
+                testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+            ),
+            examples_filename=out,
+            mode="calling",
+            regions=["chr20:10,000,000-10,002,000"],
+            realigner_enabled=False,
+            write_run_info=False,
+            downsample_fraction=fraction,
+            random_seed=seed,
+        ))
+        return list(tfrecord.read_tfrecords(out))
+
+    a = run("a.tfrecord.gz", 0.5)
+    b = run("b.tfrecord.gz", 0.5)
+    assert a == b  # deterministic under a fixed seed
+    full = run("full.tfrecord.gz", 0.0)
+    assert a != full  # downsampling actually changed the input reads
