@@ -314,7 +314,23 @@ def main():
             "vs_baseline": None,
             "device_error": f"device bench unavailable: {e}; {detail}",
         }
-    print(json.dumps({**device, **host}))
+    merged = {**device, **host}
+    # End-to-end WGS wall-clock estimate (reference: 1h08m58s on
+    # n2-standard-96, docs/metrics.md:56): our stage-1 at 96 cores +
+    # stage-2 on ONE TPU chip + stage-3 at 96 cores over the same
+    # ~7.5M examples.
+    if merged.get("value"):
+        e2e_h = (
+            merged["stage1_genome_hours_at_96_cores"]
+            + 7.5e6 / merged["value"] / 3600.0
+            + 7.5e6 / (merged["stage3_cvos_per_sec_per_core"] * 96)
+            / 3600.0
+        )
+        merged["e2e_genome_hours_estimate"] = round(e2e_h, 3)
+        merged["e2e_vs_ref_wall_clock"] = round(
+            (3600 + 8 * 60 + 58) / 3600.0 / e2e_h, 2
+        )
+    print(json.dumps(merged))
 
 
 if __name__ == "__main__":
