@@ -137,8 +137,12 @@ def convert_cvos_to_probs_dict(
     canonical_variant: Variant,
     cvos: Sequence[CallVariantsOutput],
     alt_alleles_to_remove: Set[str],
+    keep_filtered: bool = False,
 ) -> Dict[Tuple[str, str], List[float]]:
-    """{(allele1, allele2): [probs]} flattening of the per-image probs."""
+    """{(allele1, allele2): [probs]} flattening of the per-image probs.
+    `keep_filtered` (--debug_output_all_candidates=ALT) keeps pruned
+    alleles with the _FILTERED_ALT_PROB placeholder
+    (postprocess_variants.py:783-793)."""
     flattened: Dict[Tuple[str, str], List[float]] = collections.defaultdict(
         list
     )
@@ -148,9 +152,15 @@ def convert_cvos_to_probs_dict(
             canonical_variant.alternate_bases[i]
             for i in cvo.alt_allele_indices
         )
-        if alt_alleles_to_remove.intersection(allele_set2):
+        has_alleles_to_rm = bool(
+            alt_alleles_to_remove.intersection(allele_set2)
+        )
+        if has_alleles_to_rm and not keep_filtered:
             continue
-        p11, p12, p22 = cvo.genotype_probabilities
+        if has_alleles_to_rm:
+            p11 = p12 = p22 = _FILTERED_ALT_PROB
+        else:
+            p11, p12, p22 = cvo.genotype_probabilities
         for set1, set2, p in [
             (allele_set1, allele_set1, p11),
             (allele_set1, allele_set2, p12),
@@ -174,8 +184,12 @@ def _merge_product_mode(
     cvos: Sequence[CallVariantsOutput],
     canonical_variant: Variant,
     alt_alleles_to_remove: Set[str],
+    keep_filtered: bool = False,
 ) -> List[float]:
-    """'product' fusion: per-genotype overlap-count prob product."""
+    """'product' fusion: per-genotype overlap-count prob product.
+    `keep_filtered` keeps pruned-allele examples with placeholder
+    probs (postprocess_variants.py:1243-1253,
+    --debug_output_all_candidates=ALT)."""
     example_info = []
     original_variant = cvos[0].variant
     for cvo in cvos:
@@ -183,11 +197,12 @@ def _merge_product_mode(
             original_variant.alternate_bases[i]
             for i in cvo.alt_allele_indices
         )
-        if alt_alleles_to_remove.intersection(example_alts):
+        pruned = bool(alt_alleles_to_remove.intersection(example_alts))
+        if pruned and not keep_filtered:
             continue
-        example_info.append(
-            {"probs": cvo.genotype_probabilities, "alts": example_alts}
-        )
+        probs = ((_FILTERED_ALT_PROB,) * 3 if pruned
+                 else cvo.genotype_probabilities)
+        example_info.append({"probs": probs, "alts": example_alts})
     predictions = []
     for _, _, allele1, allele2 in genotype_ordering_in_likelihoods(
         canonical_variant
@@ -212,8 +227,14 @@ def merge_predictions(
     haploid_contigs: Optional[Set[str]] = None,
     par_regions=None,
     multiallelic_model=None,
+    debug_output_all_candidates: Optional[str] = None,
 ) -> Tuple[Variant, List[float]]:
-    """Merge one locus's CVOs -> (canonical variant, genotype probs)."""
+    """Merge one locus's CVOs -> (canonical variant, genotype probs).
+
+    `debug_output_all_candidates` ('ALT'|'INFO'|None,
+    postprocess_variants.py:212-224): INFO records the full candidate
+    alt list in an INFO field before pruning; ALT keeps pruned alleles
+    in the output ALTs with zeroed probabilities."""
     if not cvos:
         raise ValueError("Expected 1 or more call_variants_outputs.")
     if not is_valid_call_variants_outputs(cvos):
@@ -239,12 +260,19 @@ def merge_predictions(
         return canonical_variant, probs
 
     alt_alleles_to_remove = get_alt_alleles_to_remove(cvos, qual_filter)
+    keep_filtered = debug_output_all_candidates == "ALT"
     flattened = convert_cvos_to_probs_dict(
-        canonical_variant, cvos, alt_alleles_to_remove
+        canonical_variant, cvos, alt_alleles_to_remove,
+        keep_filtered=keep_filtered,
     )
-    canonical_variant = prune_alleles(
-        canonical_variant, alt_alleles_to_remove
-    )
+    if debug_output_all_candidates == "INFO":
+        canonical_variant.info["CANDIDATES"] = [
+            "|".join(canonical_variant.alternate_bases)
+        ]
+    if not keep_filtered:
+        canonical_variant = prune_alleles(
+            canonical_variant, alt_alleles_to_remove
+        )
 
     if (multiallelic_model is not None
             and len(canonical_variant.alternate_bases) == 2):
@@ -267,7 +295,8 @@ def merge_predictions(
         ]
     elif multiallelic_mode == "product":
         normalized = _merge_product_mode(
-            cvos, canonical_variant, alt_alleles_to_remove
+            cvos, canonical_variant, alt_alleles_to_remove,
+            keep_filtered=keep_filtered,
         )
     else:
         def min_alt_filter(probs):

@@ -186,6 +186,7 @@ def cvos_to_variants(
     group_variants: bool = True,
     phase_switches: Optional[Dict[Tuple[str, str], int]] = None,
     multiallelic_model=None,
+    debug_output_all_candidates: Optional[str] = None,
 ) -> Iterator[Variant]:
     """CVO stream (sorted) -> resolved Variant stream.
 
@@ -207,6 +208,7 @@ def cvos_to_variants(
             haploid_contigs=haploid_contigs,
             par_regions=par_regions,
             multiallelic_model=multiallelic_model,
+            debug_output_all_candidates=debug_output_all_candidates,
         )
         variant = gt.add_call_to_variant(
             canonical_variant,
@@ -344,6 +346,7 @@ def postprocess_variants(
     process_somatic: bool = False,
     pon_vcf_path: Optional[str] = None,
     regions=None,
+    debug_output_all_candidates: Optional[str] = None,
 ) -> dict:
     """Full stage-3 run. Returns summary stats.
 
@@ -380,6 +383,11 @@ def postprocess_variants(
         )
 
         multiallelic_model = load_multiallelic_model()
+    if use_multiallelic_model and debug_output_all_candidates == "ALT":
+        raise ValueError(
+            "debug_output_all_candidates=ALT is incompatible with the "
+            "multiallelic model. Use INFO instead."
+        )
     variants = cvos_to_variants(
         cvos,
         sample_name,
@@ -392,6 +400,7 @@ def postprocess_variants(
         group_variants=group_variants,
         phase_switches=phase_switches,
         multiallelic_model=multiallelic_model,
+        debug_output_all_candidates=debug_output_all_candidates,
     )
     variants = haplotypes.maybe_resolve_conflicting_variants(
         variants, qual_filter=qual_filter

@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vcf_stats_report", action="store_true",
                    help="write the <outfile>.visual_report.html stats "
                         "page after the VCF")
+    p.add_argument("--debug_output_all_candidates", default=None,
+                   choices=["ALT", "INFO"],
+                   help="emit all considered candidates: INFO adds a "
+                        "CANDIDATES info field; ALT keeps filtered "
+                        "alleles as zero-probability ALTs")
     p.add_argument("--cpus", type=int, default=0,
                    help="worker processes for partitioned postprocess "
                         "(reference --cpus); 0 = single process")
@@ -140,6 +145,7 @@ def main(argv=None) -> int:
         process_somatic=args.process_somatic,
         pon_vcf_path=args.pon_filtering or None,
         regions=regions,
+        debug_output_all_candidates=args.debug_output_all_candidates,
     )
     # Tabix-index bgzipped outputs (postprocess_variants.py:1583
     # build_index).

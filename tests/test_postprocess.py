@@ -522,3 +522,60 @@ def test_cvo_debug_info_roundtrip():
         genotype_probabilities=[0.1, 0.7, 0.2],
     ).encode())
     assert plain.debug_info is None
+
+
+class TestDebugOutputAllCandidates:
+    """--debug_output_all_candidates (postprocess_variants.py:212-224,
+    783-793, 1218-1225): INFO records the full candidate list; ALT
+    keeps filtered alleles as zero-probability ALTs."""
+
+    def _triallelic_cvos(self):
+        # Two alts; alt "G" is weakly supported (pruned by the
+        # multi-allelic qual filter), "T" is confidently het.
+        v = Variant(
+            reference_name="chr1", start=100, end=101,
+            reference_bases="A", alternate_bases=["T", "G"],
+        )
+        v.calls.append(VariantCall(
+            call_set_name="s1", genotype=[-1, -1],
+            info={"AD": [5, 5, 0], "DP": [10], "VAF": [0.5, 0.0]},
+        ))
+        mk = lambda idx, probs: CallVariantsOutput(
+            variant=v, alt_allele_indices=list(idx),
+            genotype_probabilities=list(probs),
+        )
+        return [
+            mk([0], [0.01, 0.98, 0.01]),
+            mk([1], [0.995, 0.004, 0.001]),
+            mk([0, 1], [0.02, 0.93, 0.05]),
+        ]
+
+    def test_info_mode_adds_candidates_field(self):
+        from deepvariant_tpu.postprocess.merge import merge_predictions
+
+        variant, probs = merge_predictions(
+            self._triallelic_cvos(), qual_filter=3.0,
+            debug_output_all_candidates="INFO",
+        )
+        assert variant.info["CANDIDATES"] == ["T|G"]
+        assert variant.alternate_bases == ["T"]  # still pruned
+
+    def test_alt_mode_keeps_pruned_allele(self):
+        from deepvariant_tpu.postprocess.merge import merge_predictions
+
+        variant, probs = merge_predictions(
+            self._triallelic_cvos(), qual_filter=3.0,
+            debug_output_all_candidates="ALT",
+        )
+        assert variant.alternate_bases == ["T", "G"]
+        # 6 genotypes for 2 alts; G-involving genotypes ~zero prob.
+        assert len(probs) == 6
+
+    def test_default_prunes(self):
+        from deepvariant_tpu.postprocess.merge import merge_predictions
+
+        variant, probs = merge_predictions(
+            self._triallelic_cvos(), qual_filter=3.0,
+        )
+        assert variant.alternate_bases == ["T"]
+        assert "CANDIDATES" not in variant.info
