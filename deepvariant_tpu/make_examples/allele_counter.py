@@ -55,6 +55,56 @@ _REF_CONSUME = np.zeros(10, dtype=np.int8)
 _REF_CONSUME[[_OP_M, _OP_D, _OP_N, _OP_EQ, _OP_X]] = 1
 
 
+def build_unit_table(batch: ReadBatch, read_indices: np.ndarray,
+                     interval_start: int):
+    """Global per-unit metadata for all cigar units of the selected
+    reads, fully vectorized (segmented cumsums): per unit its read
+    index, op, length, interval-relative reference start, read-offset
+    start, and within-read cigar index. Shared by the allele counter's
+    match/indel event extraction and the window selector's scoring."""
+    co = batch.cigar_offsets
+    unit_counts = (co[read_indices + 1] - co[read_indices]).astype(
+        np.int64
+    )
+    if unit_counts.sum() == 0:
+        return None
+    # Flattened unit indices for selected reads.
+    unit_first = co[read_indices]
+    cum_units = np.concatenate([[0], np.cumsum(unit_counts)])
+    total_units = int(cum_units[-1])
+    unit_read_sel = np.repeat(
+        np.arange(len(read_indices)), unit_counts
+    )  # index into read_indices
+    intra_unit = (
+        np.arange(total_units) - cum_units[unit_read_sel]
+    )
+    unit_global = unit_first[unit_read_sel] + intra_unit
+    ops = batch.cigar_ops[unit_global]
+    lens = batch.cigar_lens[unit_global].astype(np.int64)
+    ref_consume = _REF_CONSUME[ops] * lens
+    read_consume = _READ_CONSUME[ops] * lens
+    # Segmented exclusive prefix sums within each read.
+    gref = np.concatenate([[0], np.cumsum(ref_consume)])
+    gread = np.concatenate([[0], np.cumsum(read_consume)])
+    seg_base_ref = gref[cum_units[unit_read_sel]]
+    seg_base_read = gread[cum_units[unit_read_sel]]
+    ref_starts = (
+        batch.pos[read_indices][unit_read_sel]
+        - interval_start
+        + gref[np.arange(total_units)]
+        - seg_base_ref
+    )
+    read_starts = gread[np.arange(total_units)] - seg_base_read
+    return {
+        "read": read_indices[unit_read_sel].astype(np.int64),
+        "ops": ops,
+        "lens": lens,
+        "ref_starts": ref_starts,
+        "read_starts": read_starts,
+        "intra": intra_unit,
+    }
+
+
 @dataclasses.dataclass
 class AlleleCounterOptions:
     min_base_quality: int = 10
@@ -167,51 +217,7 @@ class AlleleCounter:
         )
 
     def _unit_table(self, batch: ReadBatch, read_indices: np.ndarray):
-        """Global per-unit metadata for all cigar units of the selected
-        reads, fully vectorized (segmented cumsums). Shared by the
-        match-base expansion and the indel walk."""
-        co = batch.cigar_offsets
-        start = self.interval.start
-        unit_counts = (co[read_indices + 1] - co[read_indices]).astype(
-            np.int64
-        )
-        if unit_counts.sum() == 0:
-            return None
-        # Flattened unit indices for selected reads.
-        unit_first = co[read_indices]
-        cum_units = np.concatenate([[0], np.cumsum(unit_counts)])
-        total_units = int(cum_units[-1])
-        unit_read_sel = np.repeat(
-            np.arange(len(read_indices)), unit_counts
-        )  # index into read_indices
-        intra_unit = (
-            np.arange(total_units) - cum_units[unit_read_sel]
-        )
-        unit_global = unit_first[unit_read_sel] + intra_unit
-        ops = batch.cigar_ops[unit_global]
-        lens = batch.cigar_lens[unit_global].astype(np.int64)
-        ref_consume = _REF_CONSUME[ops] * lens
-        read_consume = _READ_CONSUME[ops] * lens
-        # Segmented exclusive prefix sums within each read.
-        gref = np.concatenate([[0], np.cumsum(ref_consume)])
-        gread = np.concatenate([[0], np.cumsum(read_consume)])
-        seg_base_ref = gref[cum_units[unit_read_sel]]
-        seg_base_read = gread[cum_units[unit_read_sel]]
-        ref_starts = (
-            batch.pos[read_indices][unit_read_sel]
-            - start
-            + gref[np.arange(total_units)]
-            - seg_base_ref
-        )
-        read_starts = gread[np.arange(total_units)] - seg_base_read
-        return {
-            "read": read_indices[unit_read_sel].astype(np.int64),
-            "ops": ops,
-            "lens": lens,
-            "ref_starts": ref_starts,
-            "read_starts": read_starts,
-            "intra": intra_unit,
-        }
+        return build_unit_table(batch, read_indices, self.interval.start)
 
     def _match_events(self, batch: ReadBatch, units: dict):
         """Vectorized per-base events for all M/=/X cigar units.

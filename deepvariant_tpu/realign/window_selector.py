@@ -113,6 +113,175 @@ def allele_count_linear_scores(
     return scores
 
 
+def _variant_reads_counts_vectorized(
+    batch: ReadBatch,
+    read_indices: np.ndarray,
+    ref: np.ndarray,
+    interval: Range,
+    prev_base: str,
+    config: WindowSelectorOptions,
+) -> Optional[np.ndarray]:
+    """variant_reads_counts computed straight off the shared cigar-unit
+    table — no PositionCount / ReadAlleleRecord materialization. Same
+    event semantics as AlleleCounter (anchored indels, consecutive-
+    event dedup, HQ-only sums) followed by the per-allele spreading of
+    window_selector.cc:105-146. Returns None when a case needs the
+    counter-based fallback (strict insertion filter wants per-position
+    total depth)."""
+    from deepvariant_tpu.make_examples.allele_counter import (
+        _IS_CANONICAL,
+        _MATCH_OPS,
+        _OP_D,
+        _OP_I,
+        _OP_S,
+        build_unit_table,
+    )
+
+    if config.enable_strict_insertion_filter:
+        return None
+    width = len(interval)
+    counts = np.zeros(width, np.int64)
+    units = build_unit_table(batch, read_indices, interval.start)
+    if units is None:
+        return counts
+    min_q = config.min_base_quality
+    legacy = config.keep_legacy_behavior
+
+    # --- substitution events (vectorized per-base expansion) -------------
+    ops = units["ops"]
+    m = _MATCH_OPS[ops]
+    u_read = units["read"][m]
+    u_len = units["lens"][m]
+    u_ref = units["ref_starts"][m]
+    u_rd = units["read_starts"][m]
+    sub_read = sub_pos = sub_base = np.empty(0, np.int64)
+    total = int(u_len.sum())
+    if total:
+        rep = u_len
+        base_read = np.repeat(u_read, rep)
+        cum = np.concatenate([[0], np.cumsum(rep)[:-1]])
+        intra = np.arange(total, dtype=np.int64) - np.repeat(cum, rep)
+        base_pos = np.repeat(u_ref, rep) + intra
+        base_readoff = np.repeat(u_rd, rep) + intra
+        seq_global = batch.seq_offsets[base_read] + base_readoff
+        bases = batch.seq[seq_global]
+        quals = batch.qual[seq_global]
+        ok = (
+            (base_pos >= 0) & (base_pos < width)
+            & _IS_CANONICAL[bases]
+        )
+        base_read, base_pos = base_read[ok], base_pos[ok]
+        bases, quals = bases[ok], quals[ok]
+        # HQ substitutions only (low-quality subs never reach
+        # sum_allele_counts; legacy mode drops them earlier with the
+        # same observable effect here).
+        is_sub = (bases != ref[base_pos]) & (quals >= min_q)
+        sub_read = base_read[is_sub]
+        sub_pos = base_pos[is_sub]
+        sub_base = bases[is_sub].astype(np.int64)
+
+    # --- indel events (rare; scalar walk over indel units) ---------------
+    indel_mask = (ops == _OP_I) | (ops == _OP_D) | (ops == _OP_S)
+    # (read, anchor_pos) -> (intra, bases, type, low_q); "last indel at
+    # an anchor wins" like _apply_events.
+    last_indel: dict = {}
+    if indel_mask.any():
+        idx = np.nonzero(indel_mask)[0]
+        r_l = units["read"][idx].tolist()
+        op_l = ops[idx].tolist()
+        len_l = units["lens"][idx].tolist()
+        refoff_l = units["ref_starts"][idx].tolist()
+        readoff_l = units["read_starts"][idx].tolist()
+        k_l = units["intra"][idx].tolist()
+        so_l = batch.seq_offsets[units["read"][idx]].tolist()
+        seq_all, qual_all = batch.seq, batch.qual
+        for r, op, op_len, ioff, roff, k, sbase in zip(
+                r_l, op_l, len_l, refoff_l, readoff_l, k_l, so_l):
+            anchor = ioff - 1
+            if roff == 0:
+                if ioff == 0:
+                    prev = prev_base
+                elif 0 < ioff <= width:
+                    prev = chr(ref[ioff - 1])
+                else:
+                    prev = "N"
+            else:
+                prev = chr(seq_all[sbase + roff - 1])
+            if prev not in "ACGT":
+                continue
+            low_q = False
+            if op == _OP_D:
+                atype = DELETION
+                # The selector's counter has no reference tail:
+                # deletions running past the window drop, matching
+                # AlleleCounter(ref_bases_after=empty).
+                if ioff < 0 or ioff + op_len > width:
+                    continue
+                dref = ref[ioff:ioff + op_len]
+                if not _IS_CANONICAL[dref].all():
+                    continue
+                bases_s = prev + dref.tobytes().decode()
+            else:
+                atype = INSERTION if op == _OP_I else SOFT_CLIP
+                ins = seq_all[sbase + roff: sbase + roff + op_len]
+                insq = qual_all[sbase + roff: sbase + roff + op_len]
+                if not _IS_CANONICAL[ins].all():
+                    continue
+                qsum = int(insq.sum())
+                if legacy:
+                    if (insq < min_q).any():
+                        continue
+                elif qsum < min_q * op_len:
+                    low_q = True
+                bases_s = prev + ins.tobytes().decode()
+            key = (r, anchor)
+            prev_entry = last_indel.get(key)
+            if prev_entry is None or k > prev_entry[0]:
+                last_indel[key] = (k, bases_s, atype, low_q)
+
+    # --- consecutive-event dedup: drop subs superseded by indels ---------
+    if last_indel and len(sub_read):
+        stride = width + 2
+        keys = np.fromiter(
+            (r * stride + p + 1 for r, p in last_indel),
+            np.int64, len(last_indel),
+        )
+        ev_key = sub_read * stride + sub_pos + 1
+        keep2 = ~np.isin(ev_key, keys)
+        sub_pos, sub_base = sub_pos[keep2], sub_base[keep2]
+
+    # --- aggregate + spread (window_selector.cc:105-146) ------------------
+    min_support = config.min_allele_support
+    if len(sub_pos):
+        packed = sub_pos * 256 + sub_base
+        uniq, cnt = np.unique(packed, return_counts=True)
+        okg = cnt >= min_support
+        np.add.at(counts, (uniq[okg] // 256), cnt[okg])
+
+    indel_agg: dict = {}
+    for (r, pos), (_, bases_s, atype, low_q) in last_indel.items():
+        if low_q or not 0 <= pos < width:
+            continue
+        indel_agg[(pos, bases_s, atype)] = indel_agg.get(
+            (pos, bases_s, atype), 0
+        ) + 1
+    diff = np.zeros(width + 1, np.int64)
+    for (pos, bases_s, atype), cnt in indel_agg.items():
+        if cnt < min_support:
+            continue
+        n = len(bases_s)
+        if atype == DELETION:
+            lo, hi = pos + 1, pos + n
+        else:
+            lo, hi = pos + 1 - (n - 1), pos + n
+        lo, hi = max(lo, 0), min(hi, width)
+        if lo < hi:
+            diff[lo] += cnt
+            diff[hi] -= cnt
+    counts += np.cumsum(diff[:-1])
+    return counts
+
+
 def candidates_from_reads(
     config: WindowSelectorOptions,
     ref_query,
@@ -134,6 +303,30 @@ def candidates_from_reads(
         prev_arr = ref_query(Range(region.reference_name, start - 1, start))
         prev = prev_arr if isinstance(prev_arr, str) else \
             bytes(prev_arr).decode()
+    keep_idx = np.nonzero(batch.mapq >= config.min_mapq)[0]
+
+    if config.model_type == "variant_reads":
+        model = config.variant_reads_model
+        counts = _variant_reads_counts_vectorized(
+            batch, keep_idx, ref_bases, expanded, prev, config
+        )
+        if counts is None:
+            counter = AlleleCounter(
+                ref_bases, expanded,
+                AlleleCounterOptions(
+                    min_base_quality=config.min_base_quality,
+                    min_mapping_quality=config.min_mapq,
+                    keep_legacy_behavior=config.keep_legacy_behavior,
+                ),
+                ref_prev_base=prev,
+            )
+            counter.add_batch(batch.subset(keep_idx))
+            counts = variant_reads_counts(counter, config)
+        lo = model.min_num_supporting_reads
+        hi = model.max_num_supporting_reads
+        hits = np.nonzero((counts >= lo) & (counts <= hi))[0]
+        return [expanded.start + int(i) for i in hits]
+
     counter = AlleleCounter(
         ref_bases,
         expanded,
@@ -144,19 +337,9 @@ def candidates_from_reads(
         ),
         ref_prev_base=prev,
     )
-    keep = batch.mapq >= config.min_mapq
-    counter.add_batch(batch.subset(np.nonzero(keep)[0]))
+    counter.add_batch(batch.subset(keep_idx))
 
-    if config.model_type == "variant_reads":
-        model = config.variant_reads_model
-        counts = variant_reads_counts(counter, config)
-        return [
-            expanded.start + i
-            for i, c in enumerate(counts)
-            if model.min_num_supporting_reads <= c
-            <= model.max_num_supporting_reads
-        ]
-    elif config.model_type == "allele_count_linear":
+    if config.model_type == "allele_count_linear":
         model = config.allele_count_linear_model
         scores = allele_count_linear_scores(counter, config)
         return [

@@ -470,3 +470,54 @@ def test_ssw_score_multi_matches_striped_and_python():
                     continue
                 py = aligner.align(reads[ri].decode())
                 assert got[hi, ri] == py.sw_score
+
+
+@pytest.mark.integration
+def test_window_counts_vectorized_matches_counter(testdata_dir):
+    """The unit-table window scorer must equal the counter-based
+    variant_reads_counts on real windows (same anchored-indel,
+    dedup, and HQ-sum semantics)."""
+    import numpy as np
+
+    from deepvariant_tpu.io.bam import BamReader
+    from deepvariant_tpu.io.fasta import FastaReader
+    from deepvariant_tpu.make_examples.allele_counter import (
+        AlleleCounter,
+        AlleleCounterOptions,
+    )
+    from deepvariant_tpu.realign import window_selector as ws
+    from deepvariant_tpu.realign.config import WindowSelectorOptions
+
+    fa = FastaReader(os.path.join(
+        testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+    ))
+    bam = BamReader(os.path.join(
+        testdata_dir, "input/NA12878_S1.chr20.10_10p1mb.bam"
+    ))
+    cfg = WindowSelectorOptions()
+    pad = cfg.region_expansion_in_bp
+    for start in range(10_000_000, 10_012_000, 1000):
+        s, e = start - pad, start + 1000 + pad
+        expanded = Range("chr20", s, e)
+        batch = bam.query(expanded)
+        ref = fa.query(expanded)
+        if isinstance(ref, str):
+            ref = np.frombuffer(ref.encode(), np.uint8)
+        prev = fa.query(Range("chr20", s - 1, s))
+        prev = prev if isinstance(prev, str) else bytes(prev).decode()
+        keep = np.nonzero(batch.mapq >= cfg.min_mapq)[0]
+        fast = ws._variant_reads_counts_vectorized(
+            batch, keep, ref, expanded, prev, cfg
+        )
+        counter = AlleleCounter(
+            ref, expanded,
+            AlleleCounterOptions(
+                min_base_quality=cfg.min_base_quality,
+                min_mapping_quality=cfg.min_mapq,
+                keep_legacy_behavior=cfg.keep_legacy_behavior,
+            ),
+            ref_prev_base=prev,
+        )
+        counter.add_batch(batch.subset(keep))
+        slow = ws.variant_reads_counts(counter, cfg)
+        assert (fast == slow).all(), start
