@@ -411,6 +411,48 @@ def ssw_score_multi(haplotypes, hap_mask, reads, match: int,
     return out
 
 
+def has_merge_cigar() -> bool:
+    return hasattr(_LIB, "dv_merge_read_to_ref_cigar")
+
+
+# Scratch buffers for the (tiny, very frequent) cigar-merge calls:
+# per-call numpy construction would cost more than the merge itself.
+_MC_CAP = 65536
+_mc_bufs = None
+
+
+def merge_read_to_ref_cigar(read_len: int, read_to_hap, hap_to_ref,
+                            read_to_hap_pos: int):
+    """CalculateReadToRefAlignment merge (dv_merge_read_to_ref_cigar).
+    read_to_hap / hap_to_ref: sequences of [op, len]. Returns the
+    merged [[op, len], ...], [] for the leftover-read case (the Python
+    implementation's `return []`), or None for its AssertionError
+    paths."""
+    global _mc_bufs
+    if _mc_bufs is None:
+        arr = ctypes.c_int32 * _MC_CAP
+        _mc_bufs = (arr(), arr(), arr(), arr(), arr(), arr())
+    rh_o, rh_l, hr_o, hr_l, out_o, out_l = _mc_bufs
+    n_rh, n_hr = len(read_to_hap), len(hap_to_ref)
+    if n_rh > _MC_CAP or n_hr > _MC_CAP:
+        return None
+    for i, (o, l) in enumerate(read_to_hap):
+        rh_o[i] = o
+        rh_l[i] = l
+    for i, (o, l) in enumerate(hap_to_ref):
+        hr_o[i] = o
+        hr_l[i] = l
+    n = _LIB.dv_merge_read_to_ref_cigar(
+        read_len, rh_o, rh_l, n_rh, hr_o, hr_l, n_hr,
+        read_to_hap_pos, out_o, out_l, _MC_CAP,
+    )
+    if n == -3:
+        return []  # python "return []" (leftover read cigar)
+    if n < 0:
+        return None  # python AssertionError paths
+    return [[out_o[i], out_l[i]] for i in range(n)]
+
+
 def has_shuffle() -> bool:
     return hasattr(_LIB, "dv_shuffle_indices")
 

@@ -173,9 +173,28 @@ def calculate_read_to_ref_alignment(
     hap_to_ref_ops: List[List[int]],
 ) -> List[List[int]]:
     """Merge read->hap and hap->ref cigars
-    (CalculateReadToRefAlignment, fast_pass_aligner.cc:861-993)."""
+    (CalculateReadToRefAlignment, fast_pass_aligner.cc:861-993).
+
+    Dispatches to the native port (dv_merge_read_to_ref_cigar) when
+    available; this Python body is its behavioral oracle."""
     read_len = len(read_seq)
     read_to_hap = cigar_string_to_ops(read_alignment.cigar)
+    try:
+        from deepvariant_tpu.io import native as _native
+
+        if _native.has_merge_cigar():
+            merged = _native.merge_read_to_ref_cigar(
+                read_len, read_to_hap, hap_to_ref_ops,
+                read_alignment.position,
+            )
+            if merged is None:
+                # Mirrors the Python paths that end in "no usable
+                # alignment": callers treat [] and AssertionError the
+                # same way.
+                assert False, "read must overlap haplotype"
+            return merged
+    except ImportError:
+        pass
     hap_to_ref = left_trim_hap_to_ref(hap_to_ref_ops,
                                       read_alignment.position)
     assert hap_to_ref, "read must overlap haplotype"

@@ -1166,6 +1166,7 @@ extern "C" void dv_ssw_score_batch(
 #include <unordered_map>
 #include <unordered_set>
 #include <deque>
+#include <array>
 
 namespace {
 
@@ -2438,6 +2439,169 @@ extern "C" void dv_ssw_score_multi2(
                        reads_concat, read_offsets, n_reads, match,
                        mismatch, gap_open, gap_extend, out_scores);
   }
+}
+
+// ---------------------------------------------------------------------------
+// Read->ref cigar merge (CalculateReadToRefAlignment,
+// fast_pass_aligner.cc:861-993): merge a read->haplotype cigar with the
+// haplotype->reference cigar. Scalar port of
+// realign/fast_pass_aligner.py calculate_read_to_ref_alignment /
+// left_trim_hap_to_ref / merge_cigar_op / _merge_one_base, which stays
+// as the behavioral oracle. Returns the merged op count, -1 for the
+// "no alignment" cases (python returns []), -2 on output overflow.
+// Op codes are the proto enum (M=1 I=2 D=3 S=5).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int32_t kOpM = 1, kOpI = 2, kOpD = 3, kOpS = 5;
+
+struct CigarBuf {
+  std::vector<std::array<int32_t, 2>> ops;
+  int64_t aligned = 0;  // sum of non-D lengths
+
+  void recount_pop_back() {
+    if (ops.back()[0] != kOpD) aligned -= ops.back()[1];
+    ops.pop_back();
+  }
+
+  // MergeCigarOp (fast_pass_aligner.cc:712-776).
+  void merge(int32_t op, int32_t len, int32_t read_len) {
+    const int32_t last_op = ops.empty() ? 0 : ops.back()[0];
+    int64_t new_len;
+    if (op != kOpD) {
+      new_len = std::min<int64_t>(len, read_len - aligned);
+    } else {
+      new_len = len;
+    }
+    if (new_len <= 0 || aligned == read_len) return;
+    if ((op == kOpI && last_op == kOpD) ||
+        (op == kOpD && last_op == kOpI)) {
+      // INS and DEL annihilate one base; a MATCH grows before the
+      // trailing indel.
+      if (ops.size() > 1 && ops[ops.size() - 2][0] == kOpM) {
+        ops[ops.size() - 2][1] += 1;
+      } else {
+        ops.insert(ops.end() - 1, {kOpM, 1});
+      }
+      aligned += 1;
+      if (ops.back()[1] == 1) {
+        recount_pop_back();
+      } else {
+        ops.back()[1] -= 1;
+        if (ops.back()[0] != kOpD) aligned -= 1;
+      }
+    } else if (op == last_op) {
+      ops.back()[1] += static_cast<int32_t>(new_len);
+      if (op != kOpD) aligned += new_len;
+    } else {
+      ops.push_back({op, static_cast<int32_t>(new_len)});
+      if (op != kOpD) aligned += new_len;
+    }
+  }
+
+  void merge_one_base(int32_t rh_op, int32_t hr_op, int32_t read_len) {
+    for (int32_t op : {kOpS, kOpD, kOpI, kOpM}) {
+      if (rh_op == op || hr_op == op) {
+        merge(op, 1, read_len);
+        return;
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" int32_t dv_merge_read_to_ref_cigar(
+    int32_t read_len,
+    const int32_t* rh_ops, const int32_t* rh_lens, int32_t n_rh,
+    const int32_t* hr_ops, const int32_t* hr_lens, int32_t n_hr,
+    int32_t read_to_hap_pos,
+    int32_t* out_ops, int32_t* out_lens, int32_t out_cap) {
+  std::deque<std::array<int32_t, 2>> rh, hr;
+  for (int32_t i = 0; i < n_rh; ++i) rh.push_back({rh_ops[i], rh_lens[i]});
+  for (int32_t i = 0; i < n_hr; ++i) hr.push_back({hr_ops[i], hr_lens[i]});
+
+  // LeftTrimHaplotypeToRefAlignment (fast_pass_aligner.cc:783-822).
+  int32_t cur_pos = 0;
+  while (cur_pos != read_to_hap_pos) {
+    if (hr.empty()) return -1;  // "ran out of cigar while trimming"
+    std::array<int32_t, 2> cur = hr.front();
+    hr.pop_front();
+    if (cur[0] == kOpM || cur[0] == kOpS || cur[0] == kOpI) {
+      if (cur[1] + cur_pos > read_to_hap_pos) {
+        hr.push_front({cur[0], cur[1] - (read_to_hap_pos - cur_pos)});
+      }
+      cur_pos = std::min(cur[1] + cur_pos, read_to_hap_pos);
+    }
+  }
+  if (!hr.empty() && hr.front()[0] == kOpD) hr.pop_front();
+  if (hr.empty()) return -1;  // "read must overlap haplotype"
+
+  CigarBuf out;
+  if (!rh.empty() && rh.front()[0] == kOpS) {
+    out.merge(kOpS, rh.front()[1], read_len);
+    rh.pop_front();
+  }
+  std::array<int32_t, 2> cur_rh{0, 0}, cur_hr{0, 0};
+  while ((!rh.empty() || !hr.empty()) && out.aligned < read_len) {
+    if (!rh.empty() && hr.empty() && cur_hr[1] == 0) {
+      std::array<int32_t, 2> op = rh.front();
+      rh.pop_front();
+      out.merge(op[0], op[1], read_len);
+      continue;
+    }
+    if (rh.empty() && cur_rh[1] == 0 && !hr.empty()) break;
+    if (cur_rh[1] == 0) {
+      cur_rh = rh.front();
+      rh.pop_front();
+    }
+    if (cur_hr[1] == 0) {
+      cur_hr = hr.front();
+      hr.pop_front();
+    }
+    while (cur_rh[1] > 0 && cur_hr[1] > 0) {
+      if (cur_rh[0] == kOpM && cur_hr[0] == kOpM) {
+        const int32_t n = std::min(cur_rh[1], cur_hr[1]);
+        out.merge(kOpM, n, read_len);
+        cur_rh[1] -= n;
+        cur_hr[1] -= n;
+        continue;
+      }
+      if ((cur_rh[0] == kOpD && cur_hr[0] == kOpI) ||
+          (cur_rh[0] == kOpI && cur_hr[0] == kOpD)) {
+        cur_hr[1] -= 1;
+        cur_rh[1] -= 1;
+        if (cur_hr[0] == kOpD) {
+          hr.push_front({kOpM, 1});
+          rh.push_front({kOpM, 1});
+        }
+        continue;
+      }
+      out.merge_one_base(cur_rh[0], cur_hr[0], read_len);
+      if (cur_rh[0] == kOpI) {
+        cur_rh[1] -= 1;
+      } else if (cur_hr[0] == kOpD) {
+        cur_hr[1] -= 1;
+      } else {
+        cur_hr[1] -= 1;
+        cur_rh[1] -= 1;
+      }
+    }
+  }
+  if (cur_rh[1] > 0 && cur_rh[0] == kOpS) {
+    while (cur_rh[1] > 0) {
+      out.merge_one_base(cur_rh[0], cur_hr[0], read_len);
+      cur_rh[1] -= 1;
+    }
+  }
+  if (!rh.empty() || cur_rh[1] > 0) return -3;  // python "return []"
+  if (static_cast<int32_t>(out.ops.size()) > out_cap) return -2;
+  for (size_t i = 0; i < out.ops.size(); ++i) {
+    out_ops[i] = out.ops[i][0];
+    out_lens[i] = out.ops[i][1];
+  }
+  return static_cast<int32_t>(out.ops.size());
 }
 
 // The striped AVX2 kernel stays exported for cross-validation tests.
