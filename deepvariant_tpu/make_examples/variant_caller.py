@@ -114,6 +114,19 @@ def _quantize_gq(raw_gq: int, binsize: int) -> int:
     return (raw_gq - 1) // binsize * binsize + 1
 
 
+def rescale_read_counts_if_necessary(
+    n_ref: int, n_total: int, max_allowed_reads: int
+) -> Tuple[int, int]:
+    """_rescale_read_counts_if_necessary (variant_caller.py:76-101):
+    scale counts so n_total <= max_allowed, rounding n_ref UP
+    (math.ceil — e.g. 1/1000 of 100 becomes 1, not 0)."""
+    if n_total > max_allowed_reads:
+        ratio = n_ref / (1.0 * n_total)
+        n_ref = int(math.ceil(ratio * max_allowed_reads))
+        n_total = max_allowed_reads
+    return n_ref, n_total
+
+
 class ReferenceConfidence:
     """gVCF reference-confidence model with GQ cache (variant_caller.py:124)."""
 
@@ -168,12 +181,9 @@ class ReferenceConfidence:
 
     def __call__(self, n_ref: int, n_total: int,
                  is_haploid: bool = False) -> Tuple[int, np.ndarray]:
-        if n_total > self.max_cache_coverage:
-            # Rescale counts to the max coverage (reference
-            # _rescale_read_counts_if_necessary keeps the ratio).
-            ratio = n_ref / n_total
-            n_total = self.max_cache_coverage
-            n_ref = int(round(ratio * n_total))
+        n_ref, n_total = rescale_read_counts_if_necessary(
+            n_ref, n_total, self.max_cache_coverage
+        )
         return self._cache[is_haploid][n_total][n_ref]
 
     def _calc(self, n_ref: int, n_total: int,
