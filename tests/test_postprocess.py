@@ -579,3 +579,85 @@ class TestDebugOutputAllCandidates:
         )
         assert variant.alternate_bases == ["T"]
         assert "CANDIDATES" not in variant.info
+
+
+class TestComputeQualsTable:
+    """postprocess_variants_test.py:1764-1807 exact GQ/QUAL tables."""
+
+    @pytest.mark.parametrize("probs,call,expected_gq,expected_qual", [
+        ([0.01, 0.0, 0.99], 0, 0, 20.0),
+        ([0.01, 0.0, 0.99], 1, 0, 20.0),
+        ([0.01, 0.0, 0.99], 2, 20, 20.0),
+        ([0.001, 0.0, 0.999], 0, 0, 30.0),
+        ([0.001, 0.0, 0.999], 1, 0, 30.0),
+        ([0.001, 0.0, 0.999], 2, 30, 30.0),
+        ([0.0001, 0.0, 0.9999], 0, 0, 40.0),
+        ([0.0001, 0.0, 0.9999], 1, 0, 40.0),
+        ([0.0001, 0.0, 0.9999], 2, 40, 40.0),
+        ([0.0001, 0.0, 0.0, 0.9999], 0, 0, 40.0),
+        ([0.0001, 0.0, 0.0, 0.0, 0.9999], 0, 0, 40.0),
+        ([0.0001, 0.0, 0.0, 0.0, 0.0, 0.9999], 0, 0, 40.0),
+        ([0.0001, 0.0, 0.0, 0.0, 0.0, 0.9999], 5, 40, 40.0),
+        ([0.0001, 0.0, 0.0, 0.0, 0.0, 0.0, 0.9999], 0, 0, 40.0),
+        # Confidence cap rounding.
+        ([1e-11, 1 - 1e-11, 0.0], 0, 0, 99.03089987),
+        ([1e-11, 1 - 1e-11, 0.0], 1, 99, 99.03089987),
+        ([1e-11, 1 - 1e-11, 0.0], 2, 0, 99.03089987),
+        ([1e-15, 1 - 1e-15, 0.0], 0, 0, 99.03089987),
+        ([1e-15, 1 - 1e-15, 0.0], 1, 99, 99.03089987),
+        ([1e-15, 1 - 1e-15, 0.0], 2, 0, 99.03089987),
+    ])
+    def test_compute_quals(self, probs, call, expected_gq,
+                           expected_qual):
+        gq, qual = gt.compute_quals(probs, call)
+        assert gq == expected_gq
+        assert qual == pytest.approx(expected_qual, abs=1e-6)
+
+    @pytest.mark.parametrize("probs,call,expected_gq", [
+        ([0.0, 0.0001, 0.9999], 2, 40),
+        ([0.0, 0.00011, 0.9999], 2, 40),  # sums > 1.0: no exception
+    ])
+    def test_numerical_stability(self, probs, call, expected_gq):
+        from deepvariant_tpu.core import genomics_math
+
+        # _QUAL_PRECISION=7 (postprocess_variants.py:320)
+        max_qual = round(genomics_math.ptrue_to_bounded_phred(1.0), 7)
+        gq, qual = gt.compute_quals(probs, call)
+        assert gq == expected_gq
+        assert qual == max_qual
+
+
+class TestMostLikelyGenotypeTable:
+    @pytest.mark.parametrize("probs,expected", [
+        ([1, 0, 0], (0, [0, 0])),
+        ([0, 1, 0], (1, [0, 1])),
+        ([0, 0, 1], (2, [1, 1])),
+        ([1, 0, 0, 0, 0, 0], (0, [0, 0])),
+        ([0, 1, 0, 0, 0, 0], (1, [0, 1])),
+        ([0, 0, 1, 0, 0, 0], (2, [1, 1])),
+        ([0, 0, 0, 1, 0, 0], (3, [0, 2])),
+        ([0, 0, 0, 0, 1, 0], (4, [1, 2])),
+        ([0, 0, 0, 0, 0, 1], (5, [2, 2])),
+    ])
+    def test_table(self, probs, expected):
+        idx, alleles = gt.most_likely_genotype(probs)
+        assert (idx, list(alleles)) == (expected[0], expected[1])
+
+
+class TestCorrectNonautosomeProbabilities:
+    """postprocess_variants_test.py:2133-2180: haploid-contig prob
+    correction zeroes het entries and renormalizes."""
+
+    @pytest.mark.parametrize("probs,alts,expected", [
+        ([0.02, 0.98, 0], ["C"], [1.0, 0, 0]),
+        ([0.98, 0.02, 0], ["C"], [1.0, 0, 0]),
+        ([0.2, 0.5, 0.3], ["C"], [0.4, 0, 0.6]),
+        ([0.0, 1.0, 0.0], ["C"], [0, 0, 0]),
+        ([0.02, 0.03, 0.45, 0.07, 0.3, 0.13], ["C", "CAA"],
+         [0.033, 0, 0.75, 0, 0, 0.216]),
+    ])
+    def test_table(self, probs, alts, expected):
+        v = make_variant(alts=tuple(alts)) if len(alts) == 1 else \
+            make_variant(alts=tuple(alts), ad=tuple([4] * (1 + len(alts))))
+        got = gt.correct_nonautosome_probabilities(list(probs), v)
+        assert got == pytest.approx(expected, abs=1e-3)
