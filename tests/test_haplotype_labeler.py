@@ -630,3 +630,144 @@ def test_training_examples_golden_label_parity(testdata_dir, tmp_path):
     common = set(golden) & set(ours)
     assert len(common) == len(golden) == 49
     assert all(golden[k] == ours[k] for k in common)
+
+
+class TestReferenceRegressionExamples:
+    """haplotype_labeler_test.py:1839-2001 real-pileup regression
+    examples (exact expected genotypes for tricky equivalent
+    representations) plus the overlapping-deletion and false-variant
+    sweeps (:1606-1680)."""
+
+    def _check(self, candidates, truths, ref_bases, ref_start,
+               expected_genotypes):
+        lo = ref_start
+        hi = ref_start + len(ref_bases)
+        labeler = make_labeler(
+            truths, ref_bases=ref_bases, ref_start=lo,
+            confident=RangeSet([Range(CHROM, lo, hi)]),
+        )
+        labels = list(labeler.label_variants(
+            candidates, Range(CHROM, lo, hi)
+        ))
+        assert [list(l.genotype) for l in labels] == expected_genotypes
+
+    def test_example1(self):
+        self._check(
+            [variant(3528531, "ATAG", ["A"]),
+             variant(3528537, "A", ["ATT"])],
+            [variant(3528533, "A", ["T"], gt=(1, 1)),
+             variant(3528534, "G", ["A"], gt=(1, 1)),
+             variant(3528536, "TA", ["T"], gt=(1, 1))],
+            "xATAGTTATC", 3528530,
+            [[1, 1], [1, 1]],
+        )
+
+    def test_example2(self):
+        self._check(
+            [variant(4030067, "TC", ["T"]),
+             variant(4030072, "C", ["G"])],
+            [variant(4030071, "CC", ["G"], gt=(1, 1))],
+            "xTCCCCCA", 4030066,
+            [[1, 1], [1, 1]],
+        )
+
+    def test_example3(self):
+        self._check(
+            [variant(4568151, "AC", ["A"]),
+             variant(4568154, "TG", ["T"]),
+             variant(4568156, "G", ["T"]),
+             variant(4568157, "A", ["ATACCCTTT"])],
+            [variant(4568152, "C", ["A"], gt=(1, 1)),
+             variant(4568153, "A", ["T"], gt=(1, 1)),
+             variant(4568155, "G", ["A"], gt=(1, 1)),
+             variant(4568156, "G", ["T"], gt=(1, 1)),
+             variant(4568157, "A", ["ACCCTTT"], gt=(1, 1))],
+            "xACATGGATGGA", 4568150,
+            [[1, 1], [1, 1], [1, 1], [1, 1]],
+        )
+
+    def test_example4(self):
+        self._check(
+            [variant(1689633, "C", ["CT"]),
+             variant(1689635, "TG", ["T"]),
+             variant(1689638, "ATG", ["A"]),
+             variant(1689641, "A", ["ACAG"])],
+            [variant(1689633, "C", ["CT"], gt=(1, 0)),
+             variant(1689636, "G", ["A"], gt=(1, 0)),
+             variant(1689639, "T", ["C"], gt=(1, 0)),
+             variant(1689640, "G", ["A"], gt=(1, 0)),
+             variant(1689641, "A", ["G"], gt=(1, 0))],
+            "xCGTGAATGAAA", 1689632,
+            [[0, 1], [0, 1], [0, 1], [0, 1]],
+        )
+
+    def test_example5(self):
+        self._check(
+            [variant(2401510, "ATGT", ["A"]),
+             variant(2401515, "C", ["T"])],
+            [variant(2401511, "TG", ["A"], gt=(1, 1)),
+             variant(2401513, "TAC", ["T"], gt=(1, 1))],
+            "xATGTACACAG", 2401509,
+            [[1, 1], [1, 1]],
+        )
+
+    def test_example6_overlapping_candidates(self):
+        self._check(
+            [variant(2525696, "AAT", ["A"]),
+             variant(2525697, "AT", ["T"])],
+            [variant(2525696, "AAT", ["A"], gt=(0, 1))],
+            "xAATT", 2525695,
+            [[0, 1], [0, 0]],
+        )
+
+    def test_example7_complex_multiallelic(self):
+        self._check(
+            [variant(279768, "G", ["C"]),
+             variant(279773, "ATA", ["C", "CTA"])],
+            [variant(279773, "A", ["C"], gt=(0, 1))],
+            "CGCCCCATACCTTTT", 279767,
+            [[0, 0], [0, 2]],
+        )
+
+    def test_overlapping_deletions_followed_by_snp(self):
+        self._check(
+            [variant(61, "GAA", ["G", "GA"]),
+             variant(62, "A", ["G"]),
+             variant(63, "A", ["G"])],
+            [variant(61, "GA", ["G"], gt=(1, 1)),
+             variant(63, "A", ["G"], gt=(0, 1))],
+            "GGAAAAAAAAAAAAAAAAGGTATAA", 60,
+            [[2, 2], [0, 0], [0, 1]],
+        )
+
+    def test_deletion_insertion_same_position(self):
+        self._check(
+            [variant(61, "GAA", ["G", "GAAA"])],
+            [variant(61, "GAA", ["G", "GAAA"], gt=(1, 2))],
+            "GGAAAAAAAAAAAAAAAAGGTATAA", 60,
+            [[1, 2]],
+        )
+
+    def test_false_variants_get_homref_genotype(self):
+        import itertools
+
+        ref_bases, ref_start = "xACGTAy", 10
+        v1 = variant(11, "A", ["T"], gt=(0, 1))
+        v2 = variant(13, "G", ["GG"], gt=(1, 1))
+        all_fps = [
+            variant(12, "C", ["G"], gt=(0, 0)),
+            variant(14, "T", ["A"], gt=(0, 0)),
+            variant(15, "A", ["AA"], gt=(0, 0)),
+        ]
+        for n_fps in range(1, len(all_fps) + 1):
+            for fps in itertools.combinations(all_fps, n_fps):
+                cands = sorted(
+                    [v1, v2] + list(fps),
+                    key=lambda v: (v.start, v.end),
+                )
+                expected = [list(v.calls[0].genotype) for v in cands]
+                self._check(
+                    [variant(v.start, v.reference_bases,
+                             v.alternate_bases) for v in cands],
+                    [v1, v2], ref_bases, ref_start, expected,
+                )
