@@ -9,6 +9,8 @@ behavior for the multiprocessing fan-out.
 import os
 import time
 
+import pytest
+
 import deepvariant_tpu.scripts.run_deepvariant as rdv
 
 TESTDATA = "/root/reference/deepvariant/testdata"
@@ -64,3 +66,33 @@ def test_single_shard_failure_propagates(tmp_path, monkeypatch):
         "--num_shards", "1",
     ])
     assert rc == 7
+
+
+@pytest.mark.integration
+def test_one_step_pipeline_end_to_end(tmp_path):
+    """Full one-step run on real chr20 data: sharded make_examples ->
+    jit inference (uninitialized model) -> postprocess -> bgzf VCF +
+    gVCF with .tbi; the sharded fan-out and every stage's CLI wiring
+    run for real."""
+    out_vcf = str(tmp_path / "out.vcf.gz")
+    out_gvcf = str(tmp_path / "out.g.vcf.gz")
+    rc = rdv.main([
+        "--reads", f"{TESTDATA}/input/NA12878_S1.chr20.10_10p1mb.bam",
+        "--ref", f"{TESTDATA}/input/ucsc.hg19.chr20.unittest.fasta.gz",
+        "--regions", "chr20:10,000,000-10,004,000",
+        "--output_vcf", out_vcf,
+        "--output_gvcf", out_gvcf,
+        "--num_shards", "2",
+        "--batch_size", "8",
+        "--allow_uninitialized_model",
+        "--intermediate_results_dir", str(tmp_path / "intermediate"),
+    ])
+    assert rc == 0
+    from deepvariant_tpu.io.vcf import VcfReader
+
+    records = list(VcfReader(out_vcf))
+    assert len(records) > 0
+    gvcf_records = list(VcfReader(out_gvcf))
+    # gVCF covers the region with ref blocks + variant rows.
+    assert len(gvcf_records) > len(records)
+    assert os.path.exists(out_vcf + ".tbi")
