@@ -173,6 +173,12 @@ def run(
     config.learning_rate = learning_rate
     config.early_stopping_patience = num_epochs  # run all epochs
     config.num_validation_examples = 0
+    # bfloat16 only helps on the MXU; CPU fallback runs faster (and
+    # more stably) in float32.
+    import jax
+
+    if jax.default_backend() == "cpu":
+        config.use_mixed_precision = False
     # The slice run is ~10^3 steps; keras' bn momentum 0.9997 would
     # leave running stats near init and wreck held-out inference.
     config.bn_momentum = 0.90
