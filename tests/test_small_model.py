@@ -203,3 +203,120 @@ class TestSmallModelTraining:
         assert probs.shape == (8, 3)
         # Class-2-like rows classify as class 2.
         assert (np.argmax(probs, axis=1) == 2).mean() > 0.8
+
+
+class TestReferenceFeatureTable:
+    """make_small_model_examples_test.py:40-410 base-feature table on
+    the FAKE_VARIANT_CALL_HET fixture (exact integer feature values)."""
+
+    def _fixture(self):
+        # ref reads: mapq 60/20/40, avg baseq 30/35/25, strand F/T/T;
+        # alt "C" reads: mapq 60/30/60, baseq 50/60/40, strand F/F/F.
+        specs = [
+            (60, 30, False), (20, 35, True), (40, 25, True),
+            (60, 50, False), (30, 60, False), (60, 40, False),
+        ]
+        reads = [
+            Read(
+                fragment_name=f"read_{i + 1}",
+                aligned_sequence="ACGT" * 5,
+                aligned_quality=bytes([bq] * 20),
+                reference_name=CHROM,
+                position=4990,
+                mapping_quality=mq,
+                cigar=parse_cigar_string("20M"),
+                reverse_strand=rev,
+            )
+            for i, (mq, bq, rev) in enumerate(specs)
+        ]
+        batch = ReadBatch.from_reads(reads, [CHROM])
+        candidate = DeepVariantCall(
+            variant=Variant(
+                reference_name=CHROM, start=5000, end=5001,
+                reference_bases="A", alternate_bases=["C"],
+            ),
+            allele_support={"C": [3, 4, 5]},
+            ref_support=[0, 1, 2],
+        )
+        return batch, candidate
+
+    def test_base_feature_table(self):
+        from deepvariant_tpu.small_model.features import FeatureEncoder
+
+        batch, candidate = self._fixture()
+        enc = FeatureEncoder(candidate, (0,), batch)
+        values = dict(zip(BASE_FEATURES, enc.base_feature_values()))
+        assert values["num_reads_supports_ref"] == 3
+        assert values["num_reads_supports_alt"] == 3
+        assert values["alt_indices_depth"] == 6
+        assert values["total_depth"] == 6
+        assert values["variant_allele_frequency"] == 50
+        assert values["alt_indices_variant_allele_frequency"] == 50
+        assert values["ref_mapping_quality"] == 40
+        assert values["alt_mapping_quality"] == 50
+        assert values["ref_base_quality"] == 30
+        assert values["alt_base_quality"] == 50
+        assert values["ref_reverse_strand_ratio"] == 66
+        assert values["alt_reverse_strand_ratio"] == 0
+
+    def test_multiallelic_depths(self):
+        from deepvariant_tpu.small_model.features import FeatureEncoder
+
+        # ref 3 reads; alts AC:2, ACC:2, ACCC:2 (total depth 9).
+        reads = [
+            Read(
+                fragment_name=f"r{i}", aligned_sequence="ACGT" * 5,
+                aligned_quality=bytes([30] * 20),
+                reference_name=CHROM, position=4990,
+                mapping_quality=60,
+                cigar=parse_cigar_string("20M"),
+            )
+            for i in range(9)
+        ]
+        batch = ReadBatch.from_reads(reads, [CHROM])
+        candidate = DeepVariantCall(
+            variant=Variant(
+                reference_name=CHROM, start=5000, end=5001,
+                reference_bases="A",
+                alternate_bases=["AC", "ACC", "ACCC"],
+            ),
+            allele_support={"AC": [3, 4], "ACC": [5, 6],
+                            "ACCC": [7, 8]},
+            ref_support=[0, 1, 2],
+        )
+        enc = FeatureEncoder(candidate, (0, 1), batch)
+        values = dict(zip(BASE_FEATURES, enc.base_feature_values()))
+        assert values["alt_indices_depth"] == 7
+        assert values["total_depth"] == 9
+        # 4 alt reads over the 7 alt-indices reads -> 57.
+        assert values["alt_indices_variant_allele_frequency"] == 57
+
+    def test_variant_feature_flags(self):
+        from deepvariant_tpu.small_model.features import FeatureEncoder
+
+        batch, _ = self._fixture()
+
+        def flags(ref, alts):
+            cand = DeepVariantCall(
+                variant=Variant(
+                    reference_name=CHROM, start=5000,
+                    end=5000 + len(ref), reference_bases=ref,
+                    alternate_bases=list(alts),
+                ),
+                allele_support={a: [] for a in alts},
+            )
+            enc = FeatureEncoder(cand, (0,), batch)
+            return dict(zip(VARIANT_FEATURES,
+                            enc.variant_feature_values()))
+
+        ins = flags("A", ["AAC"])
+        assert (ins["is_snp"], ins["is_insertion"],
+                ins["is_deletion"]) == (0, 1, 0)
+        assert ins["insertion_length"] == 2
+        dele = flags("AACC", ["C"])
+        assert (dele["is_snp"], dele["is_insertion"],
+                dele["is_deletion"]) == (0, 0, 1)
+        assert dele["deletion_length"] == 3
+        snp = flags("A", ["C"])
+        assert (snp["is_snp"], snp["is_insertion"],
+                snp["is_deletion"]) == (1, 0, 0)
