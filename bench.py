@@ -113,7 +113,7 @@ def _stage1_metrics() -> dict:
             _options(["chr20:10,020,000-10,021,000"], "warm.tfrecord")
         )
         best = None
-        for _ in range(3):
+        for _ in range(5):
             options = _options(
                 ["chr20:10,000,000-10,010,000"], "ex.tfrecord"
             )
