@@ -192,9 +192,12 @@ class MultiSampleRegionProcessor:
         )
         from deepvariant_tpu.realign.realigner import Realigner
 
-        self._main.caller = VerySensitiveCaller(
-            options.variant_caller_options
-        )
+        # The target sample's role gates somatic matched-normal fields
+        # (variant_calling_multisample.cc:923 target_role_).
+        self._main.caller = VerySensitiveCaller(dataclasses.replace(
+            options.variant_caller_options,
+            target_sample_role=samples[main_sample_index].role,
+        ))
         self._main.examples_builder = self.builders[main_sample_index]
         self._main.realigner = Realigner(
             options.realigner_options, self.ref_reader

@@ -86,6 +86,9 @@ class VariantCallerOptions:
     par_regions_bed: str = ""
     skip_uncalled_genotypes: bool = False
     small_model_vaf_context_window_size: int = 0
+    # Role of the target sample ("tumor" enables the matched-normal
+    # NDP/NAD/NAF fields, variant_calling_multisample.cc:1131-1146).
+    target_sample_role: str = ""
 
 
 @dataclasses.dataclass
@@ -549,15 +552,17 @@ class VerySensitiveCaller:
             return None
         alleles = counter.sum_allele_counts(interval_pos)
         total_count = counter.total_allele_count(interval_pos)
+        non_target_counters = []
+        nt_by_key: Dict[Tuple[str, int], Allele] = {}
         if context_counters:
             all_by_key: Dict[Tuple[str, int], Allele] = {}
             all_total = 0
-            nt_by_key: Dict[Tuple[str, int], Allele] = {}
             nt_total = 0
             for c in context_counters:
                 is_target = c is counter
                 all_total += c.total_allele_count(interval_pos)
                 if not is_target:
+                    non_target_counters.append(c)
                     nt_total += c.total_allele_count(interval_pos)
                 for a in c.sum_allele_counts(interval_pos):
                     key = (a.bases, a.type)
@@ -631,6 +636,27 @@ class VerySensitiveCaller:
                 vaf.append(a.count / dp if dp else 0.0)
             call.info["AD"] = ad
             call.info["VAF"] = vaf
+
+        # Matched-normal depths on the tumor call (AddNormalReadDepths,
+        # variant_calling_multisample.cc:810-844, gated at :1131-1146):
+        # NDP/NAD's ref row come from the FIRST non-target (normal)
+        # sample's counter; per-alt NAD counts from the non-target
+        # pooled alleles, 0 when the normal lacks the tumor allele.
+        if (self.options.target_sample_role == "tumor"
+                and non_target_counters and allele_map):
+            first_nt = non_target_counters[0]
+            ndp = first_nt.total_allele_count(interval_pos)
+            nad = [int(first_nt.ref_count[interval_pos])]
+            naf = []
+            for alt in variant.alternate_bases:
+                a = alt_to_allele[alt]
+                na = nt_by_key.get((a.bases, a.type))
+                n_count = na.count if na is not None else 0
+                nad.append(n_count)
+                naf.append(n_count / ndp if ndp > 0 else 0.0)
+            call.info["NDP"] = [ndp]
+            call.info["NAD"] = nad
+            call.info["NAF"] = naf
 
         # Supporting reads per alt (AddSupportingReads, :1180): reads whose
         # allele maps to a variant alt support it; other non-ref alleles
