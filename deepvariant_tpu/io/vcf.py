@@ -134,13 +134,30 @@ class VcfHeader:
         return out
 
 
+# FORMAT fields specific to T-N somatic calling
+# (dv_vcf_constants.py:57-79 SOMATIC_FORMAT_FIELDS).
+SOMATIC_FORMAT_LINES = [
+    ('NDP', '1', 'Integer', 'Number of reads in the normal sample.'),
+    ('NAD', 'R', 'Integer',
+     'Read depth in the normal sample for alleles reported in the '
+     'tumor sample'),
+    ('NAF', 'R', 'Float', 'VAF of ALT alleles in the normal sample.'),
+]
+
+
 def deepvariant_header(
     contigs: Sequence[ContigInfo], sample_names: Sequence[str],
     extra_filter_lines: Optional[Sequence[Tuple[str, str]]] = None,
+    include_somatic_fields: bool = False,
 ) -> VcfHeader:
     """The standard DeepVariant output header (dv_vcf_constants.py:84)."""
-    return VcfHeader(contigs, sample_names,
-                     extra_filter_lines=extra_filter_lines)
+    return VcfHeader(
+        contigs, sample_names,
+        extra_filter_lines=extra_filter_lines,
+        extra_format_lines=(
+            SOMATIC_FORMAT_LINES if include_somatic_fields else None
+        ),
+    )
 
 
 def _format_info(info: Dict[str, List]) -> str:
@@ -174,7 +191,8 @@ def _format_gt(call: VariantCall) -> str:
 # writer emits PL (phred-scaled) and never GL (see
 # golden.postprocess_single_site_output.vcf: GT:GQ:DP:AD:VAF:PL).
 _FORMAT_ORDER = ["GT", "GQ", "DP", "MIN_DP", "AD", "VAF", "PL",
-                 "MED_DP", "PS", "MF", "MD", "MT", "MI"]
+                 "MED_DP", "PS", "MF", "MD", "MT", "MI",
+                 "NDP", "NAD", "NAF"]
 
 
 def format_variant_line(variant: Variant) -> str:
@@ -236,6 +254,14 @@ def format_variant_line(variant: Variant) -> str:
             fields["MT"] = str(ci["MT"][0])
         if "MI" in ci:
             fields["MI"] = format_float(float(ci["MI"][0]))
+        if "NDP" in ci:
+            fields["NDP"] = str(int(ci["NDP"][0]))
+        if "NAD" in ci:
+            fields["NAD"] = ",".join(str(int(v)) for v in ci["NAD"])
+        if "NAF" in ci:
+            fields["NAF"] = ",".join(
+                format_float(float(v)) for v in ci["NAF"]
+            )
         keys = [k for k in _FORMAT_ORDER if k in fields]
         line.append(":".join(keys))
         line.append(":".join(fields[k] for k in keys))

@@ -418,7 +418,8 @@ def postprocess_variants(
             "PON filtering is only supported for somatic variant calling."
         )
     header = deepvariant_header(
-        contigs, [sample_name], extra_filter_lines=extra_filters or None
+        contigs, [sample_name], extra_filter_lines=extra_filters or None,
+        include_somatic_fields=process_somatic,
     )
     n_vcf = n_gvcf = 0
     if nonvariant_site_path and output_gvcf:
@@ -564,7 +565,18 @@ def postprocess_variants_parallel(
     processes = processes or min(len(jobs), os.cpu_count() or 1)
     with multiprocessing.Pool(processes) as pool:
         counts = pool.map(_partition_worker, jobs)
-    header = deepvariant_header(contigs, [sample_name])
+    extra_filters = []
+    if kwargs.get("process_somatic"):
+        extra_filters.append(("GERMLINE", "Non somatic variants"))
+        if kwargs.get("pon_vcf_path"):
+            extra_filters.append(
+                ("PON", "Filtered by Panel of Normals (PON)")
+            )
+    header = deepvariant_header(
+        contigs, [sample_name],
+        extra_filter_lines=extra_filters or None,
+        include_somatic_fields=bool(kwargs.get("process_somatic")),
+    )
     with open(output_vcf, "w") as out:
         for line in header.lines():
             out.write(line + "\n")

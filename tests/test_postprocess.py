@@ -487,6 +487,45 @@ class TestSomaticPostprocess:
         filters = [cols[6] for cols in body]
         assert filters == ["PON", "PASS"]
 
+    def test_matched_normal_fields_reach_vcf(self, tmp_path):
+        """NDP/NAD/NAF from make_examples ride through the CVO codec
+        and postprocess into the somatic VCF, with the
+        SOMATIC_FORMAT_FIELDS header lines (dv_vcf_constants.py:57-79,
+        postprocess_variants.py:2301 include_somatic_fields)."""
+        from deepvariant_tpu.io.tfrecord import TFRecordWriter
+
+        contigs = [ContigInfo("chr1", 1_000_000, 0)]
+        cvo_path = str(tmp_path / "cvos.tfrecord.gz")
+        v = Variant(
+            reference_name="chr1", start=100, end=101,
+            reference_bases="A", alternate_bases=["T"],
+        )
+        v.calls.append(VariantCall(
+            call_set_name="tumor", genotype=[-1, -1],
+            info={"AD": [5, 5], "DP": [10], "VAF": [0.5],
+                  "NDP": [25], "NAD": [24, 1], "NAF": [0.04]},
+        ))
+        with TFRecordWriter(cvo_path) as w:
+            w.write(CallVariantsOutput(
+                variant=v, alt_allele_indices=[0],
+                genotype_probabilities=[0.01, 0.01, 0.98],
+            ).encode())
+        out = str(tmp_path / "out.vcf")
+        postprocess_variants(
+            cvo_path, out, contigs, sample_name="tumor",
+            process_somatic=True,
+        )
+        lines = open(out).read().splitlines()
+        fmt_ids = [l.split("ID=")[1].split(",")[0] for l in lines
+                   if l.startswith("##FORMAT")]
+        assert {"NDP", "NAD", "NAF"} <= set(fmt_ids)
+        row = [l for l in lines if not l.startswith("#")][0].split("\t")
+        fmt = row[8].split(":")
+        sample = dict(zip(fmt, row[9].split(":")))
+        assert sample["NDP"] == "25"
+        assert sample["NAD"] == "24,1"
+        assert sample["NAF"] == "0.04"
+
     def test_pon_requires_somatic(self, tmp_path):
         with pytest.raises(ValueError):
             self._run(
