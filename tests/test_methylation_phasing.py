@@ -139,6 +139,97 @@ class TestVotingLoop:
         assert p_values == []
 
 
+class TestReferenceCorpusPort:
+    """Exact cases from methylation_aware_phasing_test.cc:74-225,
+    with raw uint8 methylation levels normalized as level/255
+    (GetMethylationLevelAtSite)."""
+
+    def test_distinct_distributions_low_p(self):
+        # :74-81
+        p = wilcoxon_rank_sum_test(
+            [0.10, 0.15, 0.20, 0.12, 0.18],
+            [0.75, 0.80, 0.85, 0.78, 0.82],
+        )
+        assert p < 0.05
+
+    def test_identical_distributions_high_p(self):
+        # :84-90
+        vals = [0.35, 0.40, 0.45, 0.50, 0.42]
+        assert wilcoxon_rank_sum_test(vals, list(vals)) > 0.05
+
+    def test_empty_haplotypes_sentinel(self):
+        # :92-102
+        assert wilcoxon_rank_sum_test([], []) == -1.0
+        assert wilcoxon_rank_sum_test([], [0.2, 0.4, 0.6]) == -1.0
+
+    def test_sort_order_matters(self):
+        # :104-113
+        p = wilcoxon_rank_sum_test(
+            [0.9, 0.85, 0.88, 0.95, 0.92],
+            [0.1, 0.12, 0.15, 0.05, 0.09],
+        )
+        assert p < 0.01
+
+    def test_group_assignment_matters(self):
+        # :115-123
+        assert wilcoxon_rank_sum_test(
+            [0.1, 0.2, 0.3], [0.8, 0.9, 1.0]
+        ) < 0.05
+
+    def _call(self, pos, hap1_levels_u8, hap2_levels_u8, start_idx=0):
+        """MakeMethylCall analog (:47-71): read indices count up, raw
+        uint8 levels normalize to level/255; a raw level of 0 means
+        'no methylation data' and is excluded from the site entirely
+        (GetMethylationLevelAtSiteReturnsMinusOne, :132-135)."""
+        levels = {}
+        i = start_idx
+        for m in hap1_levels_u8 + hap2_levels_u8:
+            if m > 0:
+                levels[i] = m / 255.0
+            i += 1
+        hap1 = frozenset(range(start_idx, start_idx + len(hap1_levels_u8)))
+        hap2 = frozenset(range(start_idx + len(hap1_levels_u8), i))
+        return MethylatedRefSite(pos, levels), hap1, hap2
+
+    def test_identify_informative_sites_filters(self):
+        """IdentifyInformativeSitesFiltersCorrectly (:157-183): only the
+        3v3 25-vs-230 site survives, with p == 0.049534."""
+        informative, h1a, h2a = self._call(100, [25] * 3, [230] * 3)
+        low_coverage, h1b, h2b = self._call(
+            200, [25], [230], start_idx=6
+        )
+        low_total, h1c, h2c = self._call(
+            300, [25] * 2, [230] * 2, start_idx=8
+        )
+        low_mean_diff, h1d, h2d = self._call(
+            250, [125] * 3, [130] * 3, start_idx=12
+        )
+        high_stddev, h1e, h2e = self._call(
+            400, [10, 10, 10, 250], [200] * 3, start_idx=18
+        )
+        hap1 = frozenset().union(h1a, h1b, h1c, h1d, h1e)
+        hap2 = frozenset().union(h2a, h2b, h2c, h2d, h2e)
+        sites = [informative, low_coverage, low_total,
+                 low_mean_diff, high_stddev]
+        out = identify_informative_sites(hap1, hap2, sites)
+        assert [s.position for s in out] == [100]
+        assert out[0].p_value == pytest.approx(0.049534, abs=1e-6)
+
+    def test_haplotype_vote_with_methylation(self):
+        """HaplotypeVoteWithMethylationVotesCorrectly (:186-225): three
+        informative sites, hap1 read at 25/255, hap2 read at 230/255,
+        the unphased read at 240/255 tracks hap2 -> vote 2."""
+        sites = []
+        for i in range(3):
+            sites.append(MethylatedRefSite(1000 + i, {
+                0: 25 / 255.0, 1: 230 / 255.0, 2: 240 / 255.0,
+            }))
+        vote = haplotype_vote(
+            2, sites, frozenset({0}), frozenset({1})
+        )
+        assert vote == 2
+
+
 class TestSiteExtraction:
     def test_extract_from_batch(self):
         from deepvariant_tpu.core.cigar import parse_cigar_string
