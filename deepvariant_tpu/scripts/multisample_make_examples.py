@@ -55,7 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     somatic = sub.add_parser("somatic")
     _common_args(somatic)
     somatic.add_argument("--reads_tumor", required=True)
-    somatic.add_argument("--reads_normal", required=True)
+    somatic.add_argument(
+        "--reads_normal", default="",
+        help="omit for tumor-only calling (make_examples_somatic.py "
+             "tumor_normal_samples_from_flags single-sample path)")
     somatic.add_argument("--sample_name_tumor", default="tumor")
     somatic.add_argument("--sample_name_normal", default="normal")
 
@@ -68,9 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     pangenome.add_argument("--reads", required=True)
     pangenome.add_argument(
         "--pangenome", required=True,
-        help="haplotype-panel alignments (BAM). GBZ graphs must be "
-             "surjected to BAM first; native GBZ parsing is not "
-             "implemented.")
+        help="haplotype panel: alignments (BAM) or a .gbz pangenome "
+             "graph (decoded natively by io.gbz.extract_panel_bam, "
+             "the GbzReader/load_gbz_into_shared_memory analog)")
     pangenome.add_argument("--sample_name_reads", default="reads")
     pangenome.add_argument("--sample_name_pangenome",
                            default="pangenome")
@@ -100,11 +103,19 @@ def main(argv=None) -> int:
         main_reads = args.reads_child
         sample_name = args.sample_name_child
     elif args.product == "somatic":
-        samples = somatic_samples(
-            args.reads_tumor, args.reads_normal,
-            args.sample_name_tumor, args.sample_name_normal,
-        )
-        main_index = 1
+        if args.reads_normal:
+            samples = somatic_samples(
+                args.reads_tumor, args.reads_normal,
+                args.sample_name_tumor, args.sample_name_normal,
+            )
+            main_index = 1
+        else:
+            # Tumor-only (make_examples_somatic.py
+            # tumor_normal_samples_from_flags when reads_normal unset).
+            samples = [SampleSpec(
+                "tumor", args.reads_tumor, args.sample_name_tumor, 100,
+            )]
+            main_index = 0
         main_reads = args.reads_tumor
         sample_name = args.sample_name_tumor
     else:
@@ -113,8 +124,19 @@ def main(argv=None) -> int:
             pangenome_samples,
         )
 
+        pangenome_path = args.pangenome
+        if pangenome_path.endswith(".gbz"):
+            import os
+
+            from deepvariant_tpu.io.gbz import extract_panel_bam
+
+            pangenome_path = extract_panel_bam(
+                pangenome_path, args.ref,
+                os.path.splitext(args.examples)[0] + ".panel.bam",
+                regions=args.regions.split() if args.regions else None,
+            )
         samples = pangenome_samples(
-            args.reads, args.pangenome,
+            args.reads, pangenome_path,
             args.sample_name_reads, args.sample_name_pangenome,
             variant_types_to_blank=[
                 v for v in args.variant_types_to_blank.split(",") if v

@@ -31,6 +31,101 @@ def test_somatic_sample_order():
     assert [s.role for s in samples] == ["normal", "tumor"]
 
 
+class TestSomaticCli:
+    """Port of make_examples_somatic_test.py:54-156: flag -> sample
+    mapping, tumor-only mode, and unsuffixed calling-mode outputs."""
+
+    def _parse(self, extra):
+        from deepvariant_tpu.scripts.multisample_make_examples import (
+            build_parser,
+        )
+
+        return build_parser().parse_args([
+            "somatic", "--ref", "r.fa", "--examples", "ex.tfrecord",
+            "--reads_tumor", "t.bam",
+        ] + extra)
+
+    def test_options_and_sample_names(self):
+        # test_options_and_sample_names (:54-71): normal at index 0,
+        # tumor (the calling sample) at index 1, names from flags.
+        samples = somatic_samples(
+            "t.bam", "n.bam",
+            sample_name_tumor="TUMOR", sample_name_normal="NORMAL",
+        )
+        assert len(samples) == 2
+        assert samples[0].sample_name == "NORMAL"
+        assert samples[1].sample_name == "TUMOR"
+        assert samples[1].role == "tumor"
+
+    def test_tumor_only_flag_options(self):
+        # test_tumor_only_flag_options (:103-115): no --reads_normal
+        # -> a single tumor sample.
+        args = self._parse(["--sample_name_tumor", "TUMOR"])
+        assert args.reads_normal == ""
+
+    def test_tumor_normal_flag_options(self):
+        args = self._parse([
+            "--reads_normal", "n.bam",
+            "--sample_name_tumor", "TUMOR",
+            "--sample_name_normal", "NORMAL",
+        ])
+        assert args.reads_normal == "n.bam"
+
+    @pytest.mark.integration
+    def test_calling_mode_writes_unsuffixed_examples(
+        self, testdata_dir, tmp_path
+    ):
+        """make_examples_somatic end2end suffix check (:73-101): in
+        calling mode only the tumor sample emits examples, to the
+        plain --examples path (no _tumor/_normal suffixes)."""
+        from deepvariant_tpu.scripts.multisample_make_examples import main
+
+        bam = os.path.join(
+            testdata_dir, "input", "NA12878_S1.chr20.10_10p1mb.bam"
+        )
+        ref = os.path.join(
+            testdata_dir, "input", "ucsc.hg19.chr20.unittest.fasta.gz"
+        )
+        out = str(tmp_path / "TEST_SUFFIX.tfrecord.gz")
+        rc = main([
+            "somatic", "--ref", ref, "--examples", out,
+            "--reads_tumor", bam, "--reads_normal", bam,
+            "--sample_name_tumor", "TUMOR",
+            "--sample_name_normal", "NORMAL",
+            "--regions", "chr20:10,000,000-10,002,000",
+            "--no-realign_reads",
+        ])
+        assert rc == 0
+        assert os.path.exists(out)
+        assert not os.path.exists(
+            str(tmp_path / "TEST_SUFFIX_normal.tfrecord.gz")
+        )
+        assert not os.path.exists(
+            str(tmp_path / "TEST_SUFFIX_tumor.tfrecord.gz")
+        )
+        assert len(list(TFRecordReader(out))) > 0
+
+    @pytest.mark.integration
+    def test_tumor_only_end2end(self, testdata_dir, tmp_path):
+        from deepvariant_tpu.scripts.multisample_make_examples import main
+
+        bam = os.path.join(
+            testdata_dir, "input", "NA12878_S1.chr20.10_10p1mb.bam"
+        )
+        ref = os.path.join(
+            testdata_dir, "input", "ucsc.hg19.chr20.unittest.fasta.gz"
+        )
+        out = str(tmp_path / "tumor_only.tfrecord.gz")
+        rc = main([
+            "somatic", "--ref", ref, "--examples", out,
+            "--reads_tumor", bam,
+            "--regions", "chr20:10,000,000-10,002,000",
+            "--no-realign_reads",
+        ])
+        assert rc == 0
+        assert len(list(TFRecordReader(out))) > 0
+
+
 @pytest.mark.integration
 def test_real_ceph_trio(testdata_dir, tmp_path):
     """Real CEPH trio: HG001 child + NA12891/NA12892 parents."""
