@@ -53,6 +53,23 @@ def perror_to_phred(perror: float) -> float:
     return -10.0 * math.log10(perror)
 
 
+def log10_binomial(k: int, n: int, p: float) -> float:
+    """log10 of the binomial pmf C(n,k) p^k (1-p)^(n-k)
+    (genomics_math.py log10_binomial; math.cc Log10Binomial), computed
+    with lgamma so large n stays exact to double precision."""
+    if not 0 <= k <= n:
+        raise ValueError(f"k must be in [0, n]: k={k} n={n}")
+    log_comb = (
+        math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1)
+    )
+    terms = log_comb * LOG_10_OF_E
+    if k > 0:
+        terms += k * math.log10(p)
+    if n - k > 0:
+        terms += (n - k) * math.log10(1.0 - p)
+    return terms
+
+
 def normalize_log10_probs(log10_probs: Sequence[float]) -> np.ndarray:
     """Normalize log10 probabilities so probs sum to 1 (genomics_math.py:196).
 
