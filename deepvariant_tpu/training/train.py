@@ -412,6 +412,12 @@ def train(
             os.path.join(ckpt_dir, f"ckpt-{epoch}.msgpack"),
             state, example_info,
         )
+        # Keep only the latest epoch checkpoint plus best.msgpack
+        # (the reference's CheckpointManager max_to_keep analog);
+        # a full InceptionV3 state is ~260 MB per epoch otherwise.
+        prev = os.path.join(ckpt_dir, f"ckpt-{epoch - 1}.msgpack")
+        if epoch > 0 and os.path.exists(prev):
+            os.unlink(prev)
         metric_val = results.get(config.best_checkpoint_metric, 0.0)
         if metric_val > best_metric:
             best_metric = metric_val
