@@ -183,6 +183,42 @@ class RangeSet:
                 yield Range(r.reference_name, pos, min(pos + max_size, r.end))
 
 
+def partition_calling_regions(
+    calling_regions: "RangeSet", num_partitions: int
+) -> List[List[Range]]:
+    """Split the calling space into exactly `num_partitions` contiguous
+    groups of windows (calling_regions_utils.py:97-149): chunk at
+    total_bp // N, group greedily until a group exceeds the chunk size,
+    then halve the largest groups until N groups exist, preserving
+    genome order."""
+    if num_partitions <= 0:
+        raise ValueError(f"num_partitions must be positive: {num_partitions}")
+    total_bps = sum(len(r) for r in calling_regions)
+    max_partition_size = max(1, total_bps // num_partitions)
+    partitions = list(calling_regions.partition(max_partition_size))
+
+    groups: List[List[Range]] = []
+    current: List[Range] = []
+    for part in partitions:
+        if sum(len(p) for p in current) > max_partition_size:
+            groups.append(current)
+            current = []
+        current.append(part)
+    if current:
+        groups.append(current)
+
+    order = {id(p): i for i, p in enumerate(partitions)}
+    while len(groups) < num_partitions:
+        groups.sort(key=lambda ps: sum(len(p) for p in ps))
+        largest = groups.pop()
+        mid = len(largest) // 2
+        groups.extend([largest[:mid], largest[mid:]])
+    # Halving can strand an empty half when a group has one window.
+    groups = [g for g in groups if g]
+    groups.sort(key=lambda ps: order[id(ps[0])])
+    return groups
+
+
 def read_bed(path: str) -> List[Range]:
     """Read a BED (optionally gzipped) into Ranges."""
     import gzip

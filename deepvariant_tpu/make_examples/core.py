@@ -1385,13 +1385,20 @@ class OutputsWriter:
 def calling_regions_from_options(
     options: MakeExamplesOptions, contigs: Sequence[ContigInfo]
 ) -> Optional[RangeSet]:
-    regions = None
+    """build_calling_regions (calling_regions_utils.py:47-95): contig
+    space intersected with --regions (clipped to contig bounds; bare
+    contig names allowed) minus --exclude_regions. None means 'call
+    everything' (the unrestricted fast path)."""
+    if not options.regions and not options.exclude_regions:
+        return None
+    regions = RangeSet.from_contigs(contigs)
     if options.regions:
-        regions = RangeSet.from_regions(options.regions)
+        regions = regions.intersection(
+            RangeSet.from_regions(options.regions, contigs)
+        )
     if options.exclude_regions:
-        base = regions or RangeSet.from_contigs(contigs)
-        regions = base.exclude_regions(
-            RangeSet.from_regions(options.exclude_regions)
+        regions = regions.exclude_regions(
+            RangeSet.from_regions(options.exclude_regions, contigs)
         )
     return regions
 

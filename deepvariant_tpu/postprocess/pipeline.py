@@ -501,9 +501,17 @@ def _read_nonvariants(
 # ---------------------------------------------------------------------------
 
 def _partition_worker(args):
-    """Process one contig-range partition into a temp body-only VCF."""
-    (cvo_path, contigs, partition, sample_name, kwargs, tmp_path) = args
-    import io
+    """Process one partition group (a list of contig ranges,
+    calling_regions_utils.py partition_calling_regions) into a temp
+    body-only VCF."""
+    (cvo_path, contigs, group, sample_name, kwargs, tmp_path) = args
+
+    def in_group(v):
+        return any(
+            v.reference_name == p.reference_name
+            and p.start <= v.start < p.end
+            for p in group
+        )
 
     cvos = [
         c for c in read_cvos_sorted(
@@ -512,8 +520,7 @@ def _partition_worker(args):
             ) for p in glob_sharded_inputs(spec)],
             contigs,
         )
-        if c.variant.reference_name == partition.reference_name
-        and partition.start <= c.variant.start < partition.end
+        if in_group(c.variant)
     ]
     variants = haplotypes.maybe_resolve_conflicting_variants(
         cvos_to_variants(cvos, sample_name, **kwargs),
@@ -547,19 +554,20 @@ def postprocess_variants_parallel(
     import multiprocessing
     import tempfile
 
-    from deepvariant_tpu.core.ranges import RangeSet
+    from deepvariant_tpu.core.ranges import (
+        RangeSet,
+        partition_calling_regions,
+    )
     from deepvariant_tpu.io.vcf import deepvariant_header
 
-    all_ranges = list(
-        RangeSet.from_contigs(list(contigs)).partition(
-            max(1, sum(c.n_bases for c in contigs) // num_partitions)
-        )
+    groups = partition_calling_regions(
+        RangeSet.from_contigs(list(contigs)), num_partitions
     )
     tmpdir = tempfile.mkdtemp(prefix="dv_postprocess_")
     jobs = []
-    for i, partition in enumerate(all_ranges):
+    for i, group in enumerate(groups):
         jobs.append((
-            cvo_path, list(contigs), partition, sample_name, kwargs,
+            cvo_path, list(contigs), group, sample_name, kwargs,
             os.path.join(tmpdir, f"part-{i:05d}.vcf_body"),
         ))
     processes = processes or min(len(jobs), os.cpu_count() or 1)

@@ -1,0 +1,156 @@
+"""Port of calling_regions_utils_test.py (:102-330):
+build_calling_regions include/exclude algebra and the exact
+partition_calling_regions grouping tables over the 5-contig fixture."""
+
+import pytest
+
+from deepvariant_tpu.core.ranges import RangeSet, partition_calling_regions
+from deepvariant_tpu.core.types import ContigInfo, Range
+from deepvariant_tpu.make_examples.core import (
+    MakeExamplesOptions,
+    calling_regions_from_options,
+)
+
+# Total bps: 2100 (calling_regions_utils_test.py:40-66).
+CONTIGS = [
+    ContigInfo("chr1", 1000, 0),
+    ContigInfo("chr2", 500, 1),
+    ContigInfo("chr3", 300, 2),
+    ContigInfo("chr4", 200, 3),
+    ContigInfo("chr5", 100, 4),
+]
+
+
+def _parse_literal(lit):
+    """1-based inclusive literal ('1:5-10') -> Range."""
+    if ":" not in lit:
+        raise ValueError(lit)
+    name, span = lit.split(":")
+    lo, hi = span.split("-")
+    return Range(name, int(lo) - 1, int(hi))
+
+
+@pytest.mark.parametrize("includes,excludes,expected", [
+    ([], [], ["1:1-100", "2:1-200"]),
+    (["1"], [], ["1:1-100"]),
+    ([], ["1"], ["2:1-200"]),
+    ([], ["2"], ["1:1-100"]),
+    ([], ["1", "2"], []),
+    (["1"], ["1:1-10"], ["1:11-100"]),
+    (["1", "2"], ["1:5-10", "1:20-50", "2:10-20"],
+     ["1:1-4", "1:11-19", "1:51-100", "2:1-9", "2:21-200"]),
+    (["1"], ["1:5-10", "1:20-50", "2:10-20"],
+     ["1:1-4", "1:11-19", "1:51-100"]),
+    (["2"], ["1:5-10", "1:20-50", "2:10-20"],
+     ["2:1-9", "2:21-200"]),
+    (["1:10-20", "2:50-60", "2:70-80"],
+     ["1:1-13", "1:19-50", "2:10-65"],
+     ["1:14-18", "2:70-80"]),
+])
+def test_build_calling_regions(includes, excludes, expected):
+    contigs = [ContigInfo("1", 100, 0), ContigInfo("2", 200, 1)]
+    options = MakeExamplesOptions(
+        reads_filename="", ref_filename="", examples_filename="",
+        regions=list(includes) or None,
+        exclude_regions=list(excludes) or None,
+    )
+    actual = calling_regions_from_options(options, contigs)
+    if actual is None:  # None = unrestricted = the full contig space
+        actual = RangeSet.from_contigs(contigs)
+    got = sorted(
+        (r.reference_name, r.start, r.end) for r in actual
+    )
+    want = sorted(
+        (r.reference_name, r.start, r.end)
+        for r in map(_parse_literal, expected)
+    )
+    assert got == want
+
+
+PARTITION_CASES = [
+    (1, [
+        [("chr1", 0, 1000), ("chr2", 0, 500), ("chr3", 0, 300),
+         ("chr4", 0, 200), ("chr5", 0, 100)],
+    ]),
+    (2, [
+        [("chr1", 0, 1000), ("chr2", 0, 500)],
+        [("chr3", 0, 300), ("chr4", 0, 200), ("chr5", 0, 100)],
+    ]),
+    (3, [
+        [("chr1", 0, 700), ("chr1", 700, 1000)],
+        [("chr2", 0, 500), ("chr3", 0, 300)],
+        [("chr4", 0, 200), ("chr5", 0, 100)],
+    ]),
+    (4, [
+        [("chr1", 0, 525)],
+        [("chr1", 525, 1000)],
+        [("chr2", 0, 500), ("chr3", 0, 300)],
+        [("chr4", 0, 200), ("chr5", 0, 100)],
+    ]),
+    (10, [
+        [("chr1", 0, 210)],
+        [("chr1", 210, 420)],
+        [("chr1", 420, 630)],
+        [("chr1", 630, 840)],
+        [("chr1", 840, 1000)],
+        [("chr2", 0, 210)],
+        [("chr2", 210, 420), ("chr2", 420, 500)],
+        [("chr3", 0, 210), ("chr3", 210, 300)],
+        [("chr4", 0, 200)],
+        [("chr5", 0, 100)],
+    ]),
+    (11, [
+        [("chr1", 0, 190)],
+        [("chr1", 190, 380)],
+        [("chr1", 380, 570)],
+        [("chr1", 570, 760)],
+        [("chr1", 760, 950), ("chr1", 950, 1000)],
+        [("chr2", 0, 190)],
+        [("chr2", 190, 380)],
+        [("chr2", 380, 500)],
+        [("chr3", 0, 190)],
+        [("chr3", 190, 300), ("chr4", 0, 190)],
+        [("chr4", 190, 200), ("chr5", 0, 100)],
+    ]),
+]
+
+
+@pytest.mark.parametrize("num_partitions,expected", PARTITION_CASES)
+def test_partition_calling_regions(num_partitions, expected):
+    groups = partition_calling_regions(
+        RangeSet.from_contigs(CONTIGS), num_partitions
+    )
+    assert len(groups) == num_partitions
+    got = [
+        [(r.reference_name, r.start, r.end) for r in g] for g in groups
+    ]
+    assert got == expected
+
+
+@pytest.mark.parametrize("includes,excludes,num_partitions,expected", [
+    (["chr1", "chr2", "chr3"], [], 4, [
+        [("chr1", 0, 450)],
+        [("chr1", 450, 900)],
+        [("chr1", 900, 1000), ("chr2", 0, 450)],
+        [("chr2", 450, 500), ("chr3", 0, 300)],
+    ]),
+    (["chr1", "chr2"], ["chr1:0-200"], 3, [
+        [("chr1", 200, 633)],
+        [("chr1", 633, 1000)],
+        [("chr2", 0, 433), ("chr2", 433, 500)],
+    ]),
+])
+def test_build_and_partition_calling_regions(
+    includes, excludes, num_partitions, expected
+):
+    options = MakeExamplesOptions(
+        reads_filename="", ref_filename="", examples_filename="",
+        regions=list(includes) or None,
+        exclude_regions=list(excludes) or None,
+    )
+    regions = calling_regions_from_options(options, CONTIGS)
+    groups = partition_calling_regions(regions, num_partitions)
+    got = [
+        [(r.reference_name, r.start, r.end) for r in g] for g in groups
+    ]
+    assert got == expected
