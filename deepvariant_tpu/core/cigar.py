@@ -28,15 +28,32 @@ for _op in OPS_CONSUME_REF:
 
 
 def parse_cigar_string(text: str) -> List[Tuple[int, int]]:
-    """'10M2I5D' -> [(op, length), ...] with proto op codes."""
+    """'10M2I5D' -> [(op, length), ...] with proto op codes.
+
+    Rejects malformed strings the way nucleus util/cigar.py
+    parse_cigar_string does: empty input, an op with no leading
+    length, trailing digits, zero/negative lengths, unknown op
+    characters, and lengths beyond int64."""
     units = []
     num = 0
+    have_digits = False
     for ch in text:
         if ch.isdigit():
             num = num * 10 + ord(ch) - 48
+            have_digits = True
         else:
-            units.append((CHAR_TO_PROTO_OP[ch], num))
+            op = CHAR_TO_PROTO_OP.get(ch)
+            if op is None:
+                raise ValueError(f"invalid cigar operation {ch!r} in {text!r}")
+            if not have_digits or num <= 0:
+                raise ValueError(f"cigar unit needs a positive length: {text!r}")
+            if num > 0x7FFFFFFFFFFFFFFF:
+                raise ValueError(f"cigar length overflows int64: {text!r}")
+            units.append((op, num))
             num = 0
+            have_digits = False
+    if have_digits or not units:
+        raise ValueError(f"malformed cigar string: {text!r}")
     return units
 
 
