@@ -49,6 +49,8 @@ GRAPH_VERSION = 3
 
 ENDMARKER = 0
 
+# Byte-translation fast path of core.sequence_utils.reverse_complement
+# (node sequences are strict upper/lower ACGT).
 _COMPLEMENT = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
 
 
