@@ -28,18 +28,39 @@ def _merge_sorted(intervals: List[tuple]) -> List[tuple]:
 
 
 class RangeSet:
-    """A set of genomic intervals, merged per contig (ranges.py:64)."""
+    """A set of genomic intervals, merged per contig (ranges.py:64).
 
-    def __init__(self, ranges: Iterable[Range] = ()):  # noqa: D107
+    Iteration order follows the nucleus contract
+    (ranges_test.py:505-529): contig order comes from the `contigs`
+    metadata when provided (FASTA order), else contig names sort
+    lexicographically; within a contig, intervals sort by position."""
+
+    def __init__(
+        self,
+        ranges: Iterable[Range] = (),
+        contigs: Optional[Sequence[ContigInfo]] = None,
+    ):
         by_contig: Dict[str, List[tuple]] = {}
         for r in ranges:
             if r.end > r.start:
                 by_contig.setdefault(r.reference_name, []).append(
                     (r.start, r.end)
                 )
+        if contigs is not None:
+            known = [c.name for c in contigs]
+            unknown = set(by_contig) - set(known)
+            if unknown:
+                raise ValueError(
+                    f"ranges on contigs missing from metadata: "
+                    f"{sorted(unknown)}"
+                )
+            order = [n for n in known if n in by_contig]
+        else:
+            order = sorted(by_contig)
         self._starts: Dict[str, np.ndarray] = {}
         self._ends: Dict[str, np.ndarray] = {}
-        for contig, intervals in by_contig.items():
+        for contig in order:
+            intervals = by_contig[contig]
             intervals.sort()
             merged = _merge_sorted(intervals)
             self._starts[contig] = np.array(
@@ -70,11 +91,29 @@ class RangeSet:
                         "metadata was provided"
                     )
                 out.append(Range(spec, 0, contig_len[spec]))
-        return RangeSet(out)
+        return RangeSet(out, contigs if contigs else None)
 
     @staticmethod
     def from_contigs(contigs: Sequence[ContigInfo]) -> "RangeSet":
-        return RangeSet(Range(c.name, 0, c.n_bases) for c in contigs)
+        return RangeSet(
+            (Range(c.name, 0, c.n_bases) for c in contigs), contigs
+        )
+
+    @classmethod
+    def _ordered(
+        cls, ranges: Iterable[Range], order: Sequence[str]
+    ) -> "RangeSet":
+        """Build a set whose contig order follows `order` (used by the
+        set operations to preserve the left operand's FASTA order)."""
+        out = cls(ranges)
+        pos = {name: i for i, name in enumerate(order)}
+        for attr in ("_starts", "_ends"):
+            cur = getattr(out, attr)
+            setattr(out, attr, {
+                k: cur[k]
+                for k in sorted(cur, key=lambda n: pos.get(n, len(pos)))
+            })
+        return out
 
     # -- queries ---------------------------------------------------------------
 
@@ -144,7 +183,7 @@ class RangeSet:
                     i += 1
                 else:
                     j += 1
-        return RangeSet(out)
+        return RangeSet._ordered(out, list(self._starts))
 
     def exclude_regions(self, exclude: "RangeSet") -> "RangeSet":
         """Subtract `exclude` from this set."""
@@ -169,7 +208,7 @@ class RangeSet:
                     k += 1
                 if cur < e:
                     out.append(Range(contig, cur, int(e)))
-        return RangeSet(out)
+        return RangeSet._ordered(out, list(self._starts))
 
     # -- partitioning ------------------------------------------------------------
 
