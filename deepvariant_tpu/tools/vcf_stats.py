@@ -33,14 +33,20 @@ REFCALL = "RefCall"
 
 
 def variant_type(variant: Variant) -> str:
-    """Classify like vcf_stats.get_variant_type."""
-    if variant.filter and variant.filter != ["PASS"]:
-        if variant.filter == [REFCALL]:
-            return REFCALL
-    alts = variant.alternate_bases
+    """Classify like vcf_stats._get_variant_type (:69-96), which gates
+    on nucleus is_variant_call: the gVCF <*> alt never counts, any
+    failing FILTER means RefCall, and a called hom-ref genotype means
+    RefCall."""
+    if variant.filter and variant.filter not in (["PASS"], ["."]):
+        return REFCALL
+    alts = [a for a in variant.alternate_bases if a != "<*>"]
     ref = variant.reference_bases
     if not alts:
         return REFCALL
+    if variant.calls:
+        gt = variant.calls[0].genotype
+        if gt and all(g == 0 for g in gt):
+            return REFCALL
     biallelic = len(alts) == 1
     is_snp = all(len(a) == len(ref) == 1 for a in alts)
     is_insertion = all(len(a) > len(ref) for a in alts)

@@ -29,6 +29,75 @@ def _variant(ref="A", alts=("G",), qual=30.0, gt=(0, 1), flt=("PASS",)):
     )
 
 
+class TestVariantTypePort:
+    """Port of vcf_stats_test.py test_get_variant_type (:60-148) and
+    the genotype/filter gating from test_get_variant_stats (:150-255)."""
+
+    CASES = [
+        (("A", ["C"]), "Biallelic_SNP"),
+        (("A", ["C", "<*>"]), "Biallelic_SNP"),
+        (("A", ["AG"]), "Biallelic_Insertion"),
+        (("A", ["AG", "<*>"]), "Biallelic_Insertion"),
+        (("AG", ["A"]), "Biallelic_Deletion"),
+        (("AG", ["A", "<*>"]), "Biallelic_Deletion"),
+        (("A", ["C", "G"]), "Multiallelic_SNP"),
+        (("A", ["C", "G", "<*>"]), "Multiallelic_SNP"),
+        (("A", ["AC", "AG"]), "Multiallelic_Insertion"),
+        (("A", ["AC", "AG", "<*>"]), "Multiallelic_Insertion"),
+        (("AGC", ["AC", "A", "AG"]), "Multiallelic_Deletion"),
+        (("AGC", ["AC", "A", "AG", "<*>"]), "Multiallelic_Deletion"),
+        (("AG", ["AC", "A"]), "Multiallelic_Complex"),
+        (("AG", ["AC", "A", "<*>"]), "Multiallelic_Complex"),
+        (("A", ["G", "AT"]), "Multiallelic_Complex"),
+        (("A", ["G", "AT", "<*>"]), "Multiallelic_Complex"),
+        (("AG", ["TC"]), "Biallelic_MNP"),
+        (("AG", ["TC", "<*>"]), "Biallelic_MNP"),
+        (("A", []), "RefCall"),
+        (("A", ["<*>"]), "RefCall"),
+    ]
+
+    def test_get_variant_type_table(self):
+        from deepvariant_tpu.tools.vcf_stats import variant_type
+
+        for (ref, alts), expected in self.CASES:
+            v = Variant(
+                reference_name="chr1", start=10, end=10 + len(ref),
+                reference_bases=ref, alternate_bases=list(alts),
+            )
+            assert variant_type(v) == expected, (ref, alts)
+
+    def test_failing_filter_is_refcall(self):
+        from deepvariant_tpu.tools.vcf_stats import variant_type
+
+        for filters in (["FAIL"], ["RefCall"]):
+            v = Variant(
+                reference_name="chr1", start=10, end=11,
+                reference_bases="A", alternate_bases=["G"],
+                filter=list(filters),
+            )
+            assert variant_type(v) == "RefCall"
+        for filters in (["PASS"], ["."], []):
+            v = Variant(
+                reference_name="chr1", start=10, end=11,
+                reference_bases="A", alternate_bases=["G"],
+                filter=list(filters),
+            )
+            assert variant_type(v) == "Biallelic_SNP"
+
+    def test_homref_genotype_is_refcall(self):
+        from deepvariant_tpu.core.types import VariantCall
+        from deepvariant_tpu.tools.vcf_stats import variant_type
+
+        v = Variant(
+            reference_name="chr1", start=10, end=11,
+            reference_bases="A", alternate_bases=["G"],
+            calls=[VariantCall(call_set_name="s", genotype=[0, 0])],
+        )
+        assert variant_type(v) == "RefCall"
+        v.calls[0].genotype = [0, 1]
+        assert variant_type(v) == "Biallelic_SNP"
+
+
 class TestVcfStats:
     def test_variant_type(self):
         assert variant_type(_variant()) == "Biallelic_SNP"
