@@ -136,6 +136,41 @@ def test_allele_indices_with_num_alts(alt_bases, num_alts, expected):
     ) == expected
 
 
+@pytest.mark.parametrize("mf,expected", [
+    # variantcall_utils_test.py:284-295 determine_methylation_type.
+    ([0.0, 0.0], "0/0"),
+    ([0.2, 0.2], "0/0"),
+    ([0.1, 0.9], "0/1"),
+    ([0.5, 0.5], "0/0"),
+    ([0.9, 0.1], "0/1"),
+    ([0.8, 0.8], "1/1"),
+    ([1.0, 1.0], "1/1"),
+    ([], ""),
+    (None, ""),
+])
+def test_determine_methylation_type(mf, expected):
+    assert gt.determine_methylation_type(mf) == expected
+
+
+@pytest.mark.parametrize("genotype,expected", [
+    # variantcall_utils_test.py:211-283 has_variation/genotype classes
+    # mapped onto genotype_type.
+    ([0, 0], "hom_ref"),
+    ([0, 1], "het"),
+    ([0, 2], "het"),
+    ([1, 1], "hom_alt"),
+    ([2, 2], "hom_alt"),
+    ([1, 2], "het"),
+    ([-1, -1], "no_call"),
+    ([-1, 0], "no_call"),
+    ([], "no_call"),
+])
+def test_genotype_type_classes(genotype, expected):
+    v = _variant("A", ["C", "G"])
+    v.calls.append(VariantCall(call_set_name="s", genotype=list(genotype)))
+    assert gt.genotype_type(v) == expected
+
+
 @pytest.mark.parametrize("num_alts,ploidy,exc", [
     (0, 1, NotImplementedError),
     (0, 3, NotImplementedError),
