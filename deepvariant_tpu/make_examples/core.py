@@ -351,6 +351,35 @@ def regions_to_process(
     return windows[task_id::num_shards] if num_shards else windows
 
 
+# Minimum length of a reference N-run excluded by
+# --discard_non_dna_regions (make_examples_core.py:137).
+MIN_NON_DNA_REGION = 300_000
+
+
+def find_ref_n_regions(ref_reader, min_region_len: int) -> List[Range]:
+    """Reference runs of non-ACGT bases at least `min_region_len` long
+    (make_examples_core.py:675-711), found with a vectorized run-length
+    scan per contig instead of the reference's strided byte walk."""
+    out: List[Range] = []
+    for contig in ref_reader.contigs:
+        bases = ref_reader.bases(Range(contig.name, 0, contig.n_bases))
+        bases = np.frombuffer(
+            bases.encode() if isinstance(bases, str) else
+            np.ascontiguousarray(bases).tobytes(),
+            np.uint8,
+        )
+        non_dna = ~(
+            (bases == ord("A")) | (bases == ord("C"))
+            | (bases == ord("G")) | (bases == ord("T"))
+        )
+        edges = np.flatnonzero(np.diff(non_dna.astype(np.int8)))
+        bounds = np.concatenate(([0], edges + 1, [len(bases)]))
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if non_dna[lo] and hi - lo >= min_region_len:
+                out.append(Range(contig.name, int(lo), int(hi)))
+    return out
+
+
 def partition_by_candidates(
     regions: Iterator[Range] | Sequence[Range],
     candidate_positions: Sequence[int],
@@ -1540,6 +1569,16 @@ def make_examples_runner(
             contigs, processor.bam_reader.header.contigs, vcf_names
         )
     calling_regions = calling_regions_from_options(options, contigs)
+    if options.discard_non_dna_regions and not options.regions:
+        # Exclude long reference N-runs up front
+        # (make_examples_core.py:3381-3385; only without explicit
+        # --regions, matching the reference gate).
+        n_regions = find_ref_n_regions(
+            processor.ref_reader, MIN_NON_DNA_REGION
+        )
+        if n_regions:
+            base = calling_regions or RangeSet.from_contigs(contigs)
+            calling_regions = base.exclude_regions(RangeSet(n_regions))
     regions = regions_to_process(
         contigs,
         options.partition_size,
@@ -1565,12 +1604,6 @@ def make_examples_runner(
     n_candidates_logged = 0
     with OutputsWriter(options) as writer:
         for region in regions:
-            if options.discard_non_dna_regions:
-                ref = processor.ref_reader.bases(region)
-                ref_b = ref.encode() if isinstance(ref, str) else \
-                    ref.tobytes()
-                if not ref_b.strip(b"Nn"):
-                    continue
             outputs = processor.process(region)
             if options.output_sitelist:
                 sitelist.extend(

@@ -127,6 +127,28 @@ def test_partition_calling_regions(num_partitions, expected):
     assert got == expected
 
 
+@pytest.mark.parametrize("seq,expected,min_region_len", [
+    # make_examples_core_test.py:720-757 test_find_ref_n_regions.
+    ("GATACA", [], 3),
+    ("NNNGATACA", [("chr1", 0, 3)], 3),
+    ("GATACANNN", [("chr1", 6, 9)], 3),
+    ("GATACANNNTTT", [("chr1", 6, 9)], 3),
+    ("GATACANNNAAAAANNN", [("chr1", 6, 9), ("chr1", 14, 17)], 3),
+    # Runs shorter than the threshold are kept.
+    ("GANNCA", [], 3),
+])
+def test_find_ref_n_regions(seq, expected, min_region_len):
+    from deepvariant_tpu.io.fasta import InMemoryFasta
+    from deepvariant_tpu.make_examples.core import find_ref_n_regions
+
+    reader = InMemoryFasta({"chr1": seq})
+    got = [
+        (r.reference_name, r.start, r.end)
+        for r in find_ref_n_regions(reader, min_region_len)
+    ]
+    assert got == expected
+
+
 @pytest.mark.parametrize("includes,excludes,num_partitions,expected", [
     (["chr1", "chr2", "chr3"], [], 4, [
         [("chr1", 0, 450)],
