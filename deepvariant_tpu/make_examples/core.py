@@ -356,6 +356,55 @@ def regions_to_process(
 MIN_NON_DNA_REGION = 300_000
 
 
+def fetch_vcf_positions(
+    vcf_paths: Sequence[str],
+    contigs: Sequence[ContigInfo],
+    calling_regions: Optional[RangeSet],
+) -> List[Range]:
+    """Positions of variants inside the calling space
+    (make_examples_core.py:891-920)."""
+    regions = RangeSet.from_contigs(contigs)
+    if calling_regions:
+        regions = regions.intersection(calling_regions)
+    positions: List[Range] = []
+    from deepvariant_tpu.io.vcf import VcfReader
+
+    for path in vcf_paths:
+        reader = VcfReader(path)
+        for region in regions:
+            for variant in reader.query(region):
+                positions.append(Range(
+                    variant.reference_name, variant.start, variant.end
+                ))
+    return positions
+
+
+def filter_regions_by_vcf(
+    regions: Sequence[Range], variant_positions: Sequence[Range]
+) -> List[Range]:
+    """Keep only regions containing at least one variant START
+    (make_examples_core.py:923-972; a variant spanning several regions
+    belongs to the one containing its start), preserving input order.
+    Vectorized: per-contig searchsorted over sorted variant starts."""
+    starts_by_chrom: Dict[str, np.ndarray] = {}
+    for chrom in {v.reference_name for v in variant_positions}:
+        starts_by_chrom[chrom] = np.sort(np.array(
+            [v.start for v in variant_positions
+             if v.reference_name == chrom],
+            dtype=np.int64,
+        ))
+    out = []
+    for region in regions:
+        starts = starts_by_chrom.get(region.reference_name)
+        if starts is None:
+            continue
+        lo = np.searchsorted(starts, region.start, side="left")
+        hi = np.searchsorted(starts, region.end, side="left")
+        if hi > lo:
+            out.append(region)
+    return out
+
+
 def find_ref_n_regions(ref_reader, min_region_len: int) -> List[Range]:
     """Reference runs of non-ACGT bases at least `min_region_len` long
     (make_examples_core.py:675-711), found with a vectorized run-length
@@ -1586,6 +1635,24 @@ def make_examples_runner(
         options.task_id if options.num_shards else None,
         options.num_shards if options.num_shards else None,
     )
+    if (options.mode == "calling"
+            and options.proposed_variants_filename):
+        # Skip regions without proposed variants
+        # (make_examples_core.py:3444-3476): with a
+        # vcf_candidate_importer every candidate comes from the VCF,
+        # so variant-free regions produce nothing.
+        n_before = len(regions)
+        regions = filter_regions_by_vcf(
+            regions,
+            fetch_vcf_positions(
+                [options.proposed_variants_filename], contigs,
+                calling_regions,
+            ),
+        )
+        logging.info(
+            "proposed-variants filter: %d -> %d regions",
+            n_before, len(regions),
+        )
     if options.sample_mean_coverage_on_calling_regions and \
             processor.bam_reader is not None and regions:
         # Estimate mean coverage by sampling up to 16 regions

@@ -149,6 +149,29 @@ def test_find_ref_n_regions(seq, expected, min_region_len):
     assert got == expected
 
 
+@pytest.mark.parametrize("region_lits,variant_lits,keep_indices", [
+    # make_examples_core_test.py:843-876 test_filter_regions_by_vcf.
+    (["x:100-200"], ["x:150-151"], [0]),
+    (["x:100-200"], ["y:150-151"], []),
+    (["x:100-200", "x:201-300"], ["x:100-101"], [0]),
+    (["x:1-10", "x:11-20", "x:21-30"], ["x:11-12"], [1]),
+    (["x:11-20", "x:20-30"], ["x:1-2"], []),
+    (["x:1-10", "x:11-20", "x:21-30"], ["x:40-50"], []),
+    (["x:11-20", "x:21-30"],
+     ["x:1-2", "x:25-26", "x:25-26", "x:26-27", "x:40-50"], [1]),
+    # A variant spanning multiple regions belongs where it starts.
+    (["x:1-10", "x:11-20", "x:21-30", "x:31-40", "x:41-50", "x:51-60"],
+     ["x:15-66"], [1]),
+])
+def test_filter_regions_by_vcf(region_lits, variant_lits, keep_indices):
+    from deepvariant_tpu.make_examples.core import filter_regions_by_vcf
+
+    regions = [_parse_literal(l) for l in region_lits]
+    variants = [_parse_literal(l) for l in variant_lits]
+    got = filter_regions_by_vcf(regions, variants)
+    assert got == [regions[i] for i in keep_indices]
+
+
 @pytest.mark.parametrize("includes,excludes,num_partitions,expected", [
     (["chr1", "chr2", "chr3"], [], 4, [
         [("chr1", 0, 450)],
