@@ -149,3 +149,15 @@ def input_fn(
             if len(pending) == batch_size:
                 yield emit(pending)
                 pending = []
+        if pending:
+            # Pad the final partial batch to the static batch size with
+            # zero-weight copies of the last example; the tune step
+            # masks weight-0 rows out of loss and confusion counts.
+            # (The reference's drop_remainder=True silently scores
+            # nothing when the tune set is smaller than one batch.)
+            n_real = len(pending)
+            batch = emit(
+                pending + [pending[-1]] * (batch_size - n_real)
+            )
+            batch.sample_weights[n_real:] = 0.0
+            yield batch

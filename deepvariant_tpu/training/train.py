@@ -224,7 +224,8 @@ def make_eval_step(model: InceptionV3, config: TrainConfig):
         )
         preds = jnp.argmax(probs, axis=-1)
         cm = metrics_lib.confusion_update(
-            jnp.zeros((3, 3), jnp.float32), batch["labels"], preds
+            jnp.zeros((3, 3), jnp.float32), batch["labels"], preds,
+            mask=batch["sample_weights"] > 0,
         )
         return loss, cm
 

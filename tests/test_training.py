@@ -132,7 +132,26 @@ def test_tune_mode_single_pass(tmp_path):
     _write_training_records(path, 20)
     cfg = TrainConfig(batch_size=8)
     batches = list(input_fn(path, cfg, mode="tune"))
-    assert len(batches) == 2  # 20 // 8, remainder dropped
+    # 20 = 2 full batches + a final batch padded to the static shape
+    # with zero-weight rows (masked out of tune loss/metrics).
+    assert len(batches) == 3
+    assert batches[-1].images.shape[0] == 8
+    assert list(batches[-1].sample_weights[:4] > 0) == [True] * 4
+    assert list(batches[-1].sample_weights[4:]) == [0.0] * 4
+
+
+def test_tune_smaller_than_batch_still_scores(tmp_path):
+    """A tune set smaller than one batch must still produce one
+    (padded) batch — silently scoring nothing made best-checkpoint
+    selection pick the untrained epoch-0 weights."""
+    path = str(tmp_path / "tiny_tune.tfrecord")
+    _write_training_records(path, 3)
+    cfg = TrainConfig(batch_size=8)
+    batches = list(input_fn(path, cfg, mode="tune"))
+    assert len(batches) == 1
+    assert batches[0].images.shape[0] == 8
+    assert (batches[0].sample_weights[:3] > 0).all()
+    assert (batches[0].sample_weights[3:] == 0).all()
 
 
 def test_dataset_config_roundtrip(tmp_path):
