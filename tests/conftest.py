@@ -20,6 +20,18 @@ import jax  # noqa: E402
 # ambient JAX_PLATFORMS=axon; the config update wins if no backend is live.
 jax.config.update("jax_platforms", "cpu")
 
+# Drop the tunneled-TPU ('axon') backend factory entirely: when the
+# tunnel flaps, its plugin init blocks in a claim-retry sleep and a
+# CPU-only test run hangs at first backend use (observed 2026-08-18).
+try:
+    from jax._src import xla_bridge as _xb
+
+    for _name in list(getattr(_xb, "_backend_factories", {})):
+        if "axon" in _name:
+            _xb._backend_factories.pop(_name, None)
+except Exception:
+    pass  # private API; harmless if the layout changes
+
 import pytest  # noqa: E402
 
 REFERENCE_TESTDATA = "/root/reference/deepvariant/testdata"
