@@ -82,6 +82,23 @@ def test_reservoir_sampling():
     assert np.all(np.diff(idx) > 0)  # order preserved
 
 
+@pytest.mark.parametrize("n,k", [(10, 0), (1, 1), (10, 1), (1, 3),
+                                 (3, 3), (6, 3), (10, 3)])
+def test_reservoir_sampling_is_uniform(n, k):
+    """Observed inclusion frequency ~= min(k/n, 1) for every index
+    (nucleus utils_test.py:119-149; sampling_util_test.cc:72
+    ReservoirSampleIsUniform). 20k replicates, atol 0.02."""
+    rng = np.random.RandomState(123456789)
+    replicates = 20_000
+    counts = np.zeros(n, np.int64)
+    for _ in range(replicates):
+        counts[reservoir_sample_indices(n, k, rng)] += 1
+    expected = min(k / n, 1.0)
+    np.testing.assert_allclose(
+        counts / replicates, expected, atol=0.02
+    )
+
+
 @pytest.mark.integration
 class TestGoldenParity:
     def test_calling_examples_candidate_parity(self, testdata_dir, tmp_path):
