@@ -496,7 +496,7 @@ def reservoir_sample_indices(
         j = rng.randint(0, i + 1)
         if j < k:
             reservoir[j] = i
-    return np.array(sorted(reservoir))
+    return np.array(sorted(reservoir), dtype=np.int64)
 
 
 @dataclasses.dataclass
