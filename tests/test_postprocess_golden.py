@@ -55,6 +55,34 @@ def test_golden_vcf_and_gvcf_byte_parity(testdata_dir, tmp_path):
 
 
 @pytest.mark.integration
+def test_sharded_input_with_empty_shards(testdata_dir, tmp_path):
+    """Empty CVO shards must not crash or change output
+    (postprocess_variants_test.py:481
+    test_reading_sharded_input_with_empty_shards_does_not_crash)."""
+    from deepvariant_tpu.core.types import ContigInfo
+    from deepvariant_tpu.io.tfrecord import TFRecordWriter, read_tfrecords
+
+    src = os.path.join(
+        testdata_dir,
+        "golden.postprocess_single_site_input-00000-of-00001.tfrecord.gz",
+    )
+    with TFRecordWriter(
+        str(tmp_path / "cvo-00000-of-00002.tfrecord.gz")
+    ) as w:
+        for rec in read_tfrecords(src):
+            w.write(rec)
+    with TFRecordWriter(
+        str(tmp_path / "cvo-00001-of-00002.tfrecord.gz")
+    ):
+        pass
+    out = str(tmp_path / "out.vcf")
+    stats = postprocess_variants(
+        str(tmp_path / "cvo@2.tfrecord.gz"), out,
+        [ContigInfo("chr20", 63_025_520, 0)], sample_name="HG002",
+    )
+    assert stats["vcf_records"] == 78
+
+
 def test_vcf_candidate_importer_postprocess_byte_parity(
     testdata_dir, tmp_path
 ):
