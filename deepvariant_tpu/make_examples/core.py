@@ -1587,6 +1587,19 @@ def _ref_to_read_offset(batch, read_idx: int, ref_pos: int):
     return None
 
 
+DEFAULT_SAMPLE_NAME = "default"  # dv_constants.py:81
+
+
+def extract_sample_name_from_bam_header(header) -> str:
+    """First non-empty @RG SM, else DEFAULT_SAMPLE_NAME
+    (make_examples_core.py:470-500 extract_sample_name_from_sam_reader:
+    multiple samples use the first; empty/missing falls back)."""
+    for name in header.sample_names():
+        if name:
+            return name
+    return DEFAULT_SAMPLE_NAME
+
+
 def make_examples_runner(
     options: MakeExamplesOptions,
     runtime_by_region_path: Optional[str] = None,
@@ -1596,6 +1609,17 @@ def make_examples_runner(
 
     monitor = ResourceMonitor().start()
     processor = RegionProcessor(options)
+    if (options.sample_name == DEFAULT_SAMPLE_NAME
+            and processor.bam_reader is not None
+            and hasattr(processor.bam_reader, "header")):
+        # No explicit --sample_name: derive it from the BAM's @RG SM
+        # (make_examples_core.py:205-211).
+        options.sample_name = extract_sample_name_from_bam_header(
+            processor.bam_reader.header
+        )
+        options.variant_caller_options.sample_name = options.sample_name
+        if hasattr(processor, "caller") and processor.caller is not None:
+            processor.caller.options.sample_name = options.sample_name
     if options.mode == "training":
         from deepvariant_tpu.labeler.variant_labeler import make_labeler
 

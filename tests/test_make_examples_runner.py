@@ -82,6 +82,47 @@ def test_reservoir_sampling():
     assert np.all(np.diff(idx) > 0)  # order preserved
 
 
+@pytest.mark.parametrize("samples,expected", [
+    # make_examples_core_test.py:288-323 extract_sample_name semantics.
+    (["sample_name"], "sample_name"),
+    ([], "default"),
+    ([""], "default"),
+    (["sample1", "sample2"], "sample1"),
+    (["", "sample2"], "sample2"),
+])
+def test_extract_sample_name_from_bam_header(samples, expected):
+    from deepvariant_tpu.make_examples.core import (
+        extract_sample_name_from_bam_header,
+    )
+
+    class FakeHeader:
+        def sample_names(self):
+            return list(samples)
+
+    assert extract_sample_name_from_bam_header(FakeHeader()) == expected
+
+
+@pytest.mark.integration
+def test_runner_derives_sample_name_from_bam(testdata_dir, tmp_path):
+    """Without --sample_name the runner uses the BAM's @RG SM
+    (make_examples_core.py:205-211)."""
+    options = MakeExamplesOptions(
+        reads_filename=os.path.join(
+            testdata_dir, "input", "NA12878_S1.chr20.10_10p1mb.bam"
+        ),
+        ref_filename=os.path.join(
+            testdata_dir, "input", "ucsc.hg19.chr20.unittest.fasta.gz"
+        ),
+        examples_filename=str(tmp_path / "ex.tfrecord"),
+        mode="calling", regions=["chr20:10,000,000-10,001,000"],
+        realigner_enabled=False, write_run_info=False,
+    )
+    from deepvariant_tpu.make_examples.core import make_examples_runner
+
+    make_examples_runner(options)
+    assert options.sample_name == "NA12878"
+
+
 @pytest.mark.parametrize("n,k", [(10, 0), (1, 1), (10, 1), (1, 3),
                                  (3, 3), (6, 3), (10, 3)])
 def test_reservoir_sampling_is_uniform(n, k):
