@@ -535,6 +535,23 @@ class TestSomaticPostprocess:
             )
 
 
+def test_compute_filter_fields_full_grid():
+    """dv_vcf_constants_test.py:64-100: over the full qual x min_qual
+    grid, a no-call is NoCall, a called hom-ref is RefCall regardless
+    of qual, and a variant genotype PASSes iff qual >= min_qual."""
+    for qual in range(0, 100, 7):
+        for min_qual in range(0, 100, 7):
+            v = make_variant()
+            v.quality = float(qual)
+            v.calls[0].genotype = []
+            assert gt.compute_filter_fields(v, min_qual) == ["NoCall"]
+            v.calls[0].genotype = [0, 0]
+            assert gt.compute_filter_fields(v, min_qual) == ["RefCall"]
+            v.calls[0].genotype = [0, 1]
+            expected = "PASS" if qual >= min_qual else "LowQual"
+            assert gt.compute_filter_fields(v, min_qual) == [expected]
+
+
 def test_cvo_debug_info_roundtrip():
     """CvoDebugInfo wire codec (deepvariant.proto:376-399 fields 1-6)."""
     from deepvariant_tpu.core.types import CvoDebugInfo
