@@ -114,6 +114,27 @@ def test_read_row_reverse_strand_and_nonsupport():
     assert np.all(row[:, 4] == 152)
 
 
+@pytest.mark.parametrize("hp,expected,polish_tag", [
+    # HPValueColor table (pileup_image_test.py:202-240;
+    # haplotype_tag_channel.cc): 0 -> 0, 1 -> 127, 2 -> 254, and the
+    # 1<->2 swap under hp_tag_for_assembly_polishing=2.
+    (0, 0, 0),
+    (1, 127, 0),
+    (2, 254, 0),
+    (0, 0, 2),
+    (1, 254, 2),
+    (2, 127, 2),
+])
+def test_hp_channel_color_table(hp, expected, polish_tag):
+    import dataclasses
+
+    opts = dataclasses.replace(
+        small_options(), hp_tag_for_assembly_polishing=polish_tag,
+    )
+    enc = PileupEncoder(opts)
+    assert enc._hp_channel_value(hp) == expected
+
+
 def test_read_dropped_low_mapq():
     opts = small_options()
     enc = PileupEncoder(opts)
