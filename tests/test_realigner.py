@@ -521,3 +521,76 @@ def test_window_counts_vectorized_matches_counter(testdata_dir):
         counter.add_batch(batch.subset(keep))
         slow = ws.variant_reads_counts(counter, cfg)
         assert (fast == slow).all(), start
+
+
+class TestReadAssignment:
+    """Port of nucleus ranges_test.py overlap_len (:530-565) and
+    find_max_overlapping (:567-668) via the realigner's max-overlap
+    read assignment (ReadAssigner analog). The repo's assigner works
+    within one contig (regions come from a single calling window), so
+    the cross-contig case does not apply."""
+
+    def _regions(self, spans):
+        from deepvariant_tpu.realign.realigner import (
+            CandidateHaplotypes,
+        )
+
+        return [
+            AssemblyRegion(CandidateHaplotypes(
+                Range("1", lo, hi), ["A"]
+            ))
+            for lo, hi in spans
+        ]
+
+    @pytest.mark.parametrize("a,b,expected", [
+        ((0, 10), (10, 20), 0),
+        ((0, 10), (100, 200), 0),
+        ((10, 10), (0, 20), 0),
+        ((0, 100), (50, 99), 49),
+        ((0, 10), (0, 1), 1),
+        ((0, 10), (0, 2), 2),
+        ((1, 10), (0, 1), 0),
+    ])
+    def test_overlap_len(self, a, b, expected):
+        from deepvariant_tpu.realign.realigner import _overlap_len
+
+        assert _overlap_len(a[0], a[1], Range("1", *b)) == expected
+        assert _overlap_len(b[0], b[1], Range("1", *a)) == expected
+
+    @pytest.mark.parametrize("query,spans,expected", [
+        # find_max_overlapping table (ranges_test.py:567-640).
+        ((20, 30), [], None),
+        ((20, 30), [(0, 10), (5, 10)], None),
+        ((4, 10), [(0, 10), (5, 10)], 0),
+        ((9, 20), [(0, 10), (5, 15)], 1),
+        ((9, 20), [(0, 10), (0, 15), (5, 20)], 2),
+        ((5, 13), [(0, 10), (0, 15), (10, 20)], 1),
+        # Equal overlap -> least index.
+        ((5, 15), [(0, 10), (10, 20), (12, 20)], 0),
+        ((0, 10), [(0, 5), (5, 10)], 0),
+    ])
+    def test_max_overlap_assignment(self, query, spans, expected):
+        regions = self._regions(spans)
+        read = make_read(query[0], "A" * (query[1] - query[0]),
+                         f"{query[1] - query[0]}M")
+        unassigned = assign_reads_to_assembled_regions(regions, [read])
+        if expected is None:
+            assert unassigned == [read]
+            assert all(not r.reads for r in regions)
+        else:
+            assert unassigned == []
+            assert [bool(r.reads) for r in regions] == [
+                i == expected for i in range(len(regions))
+            ]
+
+    def test_unordered_search_ranges(self):
+        import itertools
+
+        spans = [(0, 10), (10, 20), (12, 20)]
+        for perm in itertools.permutations(spans):
+            regions = self._regions(perm)
+            read = make_read(4, "A" * 8, "8M")
+            assign_reads_to_assembled_regions(regions, [read])
+            assert [bool(r.reads) for r in regions] == [
+                s == (0, 10) for s in perm
+            ]
