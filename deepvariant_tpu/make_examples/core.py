@@ -652,7 +652,13 @@ class RegionProcessor:
             if options.trained_small_model_path:
                 from flax import serialization
 
-                with open(options.trained_small_model_path, "rb") as f:
+                path = options.trained_small_model_path
+                if os.path.isdir(path):
+                    # The reference flag takes a model DIRECTORY
+                    # (make_examples_options.py trained_small_model_path);
+                    # accept the train_small_model output dir directly.
+                    path = os.path.join(path, "small_model.msgpack")
+                with open(path, "rb") as f:
                     blob = f.read()
                 try:
                     # small_model.train bundle: params + normalization.

@@ -153,12 +153,15 @@ def train_small_model(
 
     rng_np = np.random.RandomState(seed)
     metrics: Dict[str, float] = {}
+    # A corpus smaller than one batch must still train: cap the batch
+    # at n (a 1024 default batch over a few hundred rows previously
+    # produced ZERO steps and silently returned the random init).
+    batch_size = min(config.batch_size, n)
     for epoch in range(config.num_epochs):
         order = rng_np.permutation(n)
         losses = []
-        for start in range(0, n - config.batch_size + 1,
-                           config.batch_size):
-            idx = order[start : start + config.batch_size]
+        for start in range(0, n - batch_size + 1, batch_size):
+            idx = order[start : start + batch_size]
             params, opt_state, loss = step(
                 params, opt_state, x_train[idx], y_train[idx]
             )

@@ -167,6 +167,38 @@ class TestSmallModelTraining:
         assert (tmp_path / "out" / "small_model.msgpack").exists()
         assert (tmp_path / "out" / "small_model.json").exists()
 
+    def test_sub_batch_corpus_still_trains(self, tmp_path):
+        """A corpus smaller than one batch must still take gradient
+        steps — the 1024 default batch over a few hundred rows
+        previously produced zero steps and returned the random init
+        (train_accuracy ~0.33)."""
+        import numpy as np
+
+        from deepvariant_tpu.io.tfrecord import TFRecordWriter
+        from deepvariant_tpu.small_model.train import (
+            SmallModelTrainConfig,
+            encode_training_example,
+            train_small_model,
+        )
+
+        rng = np.random.RandomState(0)
+        path = str(tmp_path / "rows.tfrecord")
+        with TFRecordWriter(path) as w:
+            for _ in range(60):  # < any production batch size
+                label = rng.randint(3)
+                feats = rng.randint(0, 5, size=8)
+                feats[0] = label * 40  # separable signal
+                w.write(encode_training_example(feats.tolist(), label))
+        metrics = train_small_model(
+            path, str(tmp_path / "out"),
+            SmallModelTrainConfig(
+                hidden_layer_sizes=(16,), batch_size=1024,
+                num_epochs=60, learning_rate=1e-2,
+            ),
+        )
+        assert metrics["train_accuracy"] > 0.9
+        assert metrics["train_loss"] < 1.0
+
     def test_trained_bundle_loads_into_gate(self, tmp_path):
         import flax.serialization as serialization
 
