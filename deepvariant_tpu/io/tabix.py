@@ -88,9 +88,34 @@ def _iter_lines_with_voffsets(path: str):
         yield line_start_vo, tail.decode()
 
 
-def build_index(vcf_gz_path: str, output_path: str = "") -> str:
-    """Build a .tbi for a bgzip-compressed VCF. Returns the index path."""
-    output_path = output_path or vcf_gz_path + ".tbi"
+CSI_MAGIC = b"CSI\x01"
+_CSI_MIN_SHIFT = 14
+_CSI_DEPTH = 5
+# Level offsets for min_shift=14, depth=5 (identical binning to .tbi):
+# cumulative (8^l - 1) / 7.
+_CSI_LEVEL_OFFSETS = (0, 1, 9, 73, 585, 4681)
+
+
+def _csi_bin_first_window(bin_id: int) -> int:
+    """First 16kb linear window covered by `bin_id` (min_shift=14,
+    depth=5 binning)."""
+    for level in range(len(_CSI_LEVEL_OFFSETS) - 1, -1, -1):
+        t = _CSI_LEVEL_OFFSETS[level]
+        if bin_id >= t:
+            shift = _CSI_MIN_SHIFT + 3 * (_CSI_DEPTH - level)
+            return ((bin_id - t) << shift) >> _LINEAR_SHIFT
+    return 0
+
+
+def build_index(
+    vcf_gz_path: str, output_path: str = "", use_csi: bool = False
+) -> str:
+    """Build a .tbi (or .csi with `use_csi`, for contigs beyond 2^29 —
+    postprocess_variants.py build_index use_csi) for a
+    bgzip-compressed VCF. Returns the index path."""
+    output_path = output_path or (
+        vcf_gz_path + (".csi" if use_csi else ".tbi")
+    )
     names: List[str] = []
     name_to_id: Dict[str, int] = {}
     # Per-ref: bin -> list[(chunk_beg, chunk_end)], linear window -> vo.
@@ -140,30 +165,59 @@ def build_index(vcf_gz_path: str, output_path: str = "") -> str:
         _close_chunk(bins[prev_ref], prev_chunk_bin, prev_vo,
                      prev_vo + (1 << 16))
 
-    payload = bytearray()
-    payload += TBI_MAGIC
-    payload += struct.pack("<i", len(names))
-    payload += struct.pack("<6i", *VCF_PRESET)
     concat_names = b"".join(n.encode() + b"\x00" for n in names)
-    payload += struct.pack("<i", len(concat_names))
-    payload += concat_names
-    for rid in range(len(names)):
-        payload += struct.pack("<i", len(bins[rid]))
-        for bin_id in sorted(bins[rid]):
-            chunks = _merge_chunks(bins[rid][bin_id])
-            payload += struct.pack("<Ii", bin_id, len(chunks))
-            for beg, end in chunks:
-                payload += struct.pack("<QQ", beg, end)
-        if linear[rid]:
-            n_win = max(linear[rid]) + 1
-            payload += struct.pack("<i", n_win)
-            prev = 0
-            for win in range(n_win):
-                if win in linear[rid]:
-                    prev = linear[rid][win]
-                payload += struct.pack("<Q", prev)
-        else:
-            payload += struct.pack("<i", 0)
+    payload = bytearray()
+    if use_csi:
+        # CSI v1 (htslib hts.c hts_idx_save CSI layout): the linear
+        # index is replaced by a per-bin loffset seek hint.
+        payload += CSI_MAGIC
+        payload += struct.pack("<ii", _CSI_MIN_SHIFT, _CSI_DEPTH)
+        aux = struct.pack("<7i", *VCF_PRESET, len(concat_names))
+        aux += concat_names
+        payload += struct.pack("<i", len(aux))
+        payload += aux
+        payload += struct.pack("<i", len(names))
+        for rid in range(len(names)):
+            payload += struct.pack("<i", len(bins[rid]))
+            for bin_id in sorted(bins[rid]):
+                chunks = _merge_chunks(bins[rid][bin_id])
+                # loffset: linear-index value at the bin's first
+                # window (first record at/after the bin's start).
+                win = _csi_bin_first_window(bin_id)
+                later = [
+                    vo for w, vo in linear[rid].items() if w >= win
+                ]
+                loffset = min(later) if later else min(
+                    beg for beg, _ in chunks
+                )
+                payload += struct.pack(
+                    "<IQi", bin_id, loffset, len(chunks)
+                )
+                for beg, end in chunks:
+                    payload += struct.pack("<QQ", beg, end)
+    else:
+        payload += TBI_MAGIC
+        payload += struct.pack("<i", len(names))
+        payload += struct.pack("<6i", *VCF_PRESET)
+        payload += struct.pack("<i", len(concat_names))
+        payload += concat_names
+        for rid in range(len(names)):
+            payload += struct.pack("<i", len(bins[rid]))
+            for bin_id in sorted(bins[rid]):
+                chunks = _merge_chunks(bins[rid][bin_id])
+                payload += struct.pack("<Ii", bin_id, len(chunks))
+                for beg, end in chunks:
+                    payload += struct.pack("<QQ", beg, end)
+            if linear[rid]:
+                n_win = max(linear[rid]) + 1
+                payload += struct.pack("<i", n_win)
+                prev = 0
+                for win in range(n_win):
+                    if win in linear[rid]:
+                        prev = linear[rid][win]
+                    payload += struct.pack("<Q", prev)
+            else:
+                payload += struct.pack("<i", 0)
     with BgzfWriter(output_path) as writer:
         writer.write(bytes(payload))
     return output_path
@@ -203,8 +257,18 @@ class TabixReader:
 
     def __init__(self, data_path: str, index_path: str = ""):
         self.data_path = data_path
-        index_path = index_path or data_path + ".tbi"
+        if not index_path:
+            index_path = data_path + ".tbi"
+            import os as _os
+
+            if not _os.path.exists(index_path) and _os.path.exists(
+                data_path + ".csi"
+            ):
+                index_path = data_path + ".csi"
         raw = BgzfReader(index_path).read_all()
+        if raw[:4] == CSI_MAGIC:
+            self._init_csi(raw, index_path)
+            return
         if raw[:4] != TBI_MAGIC:
             raise ValueError(f"{index_path}: not a tabix index")
         off = 4
@@ -236,6 +300,46 @@ class TabixReader:
             off += 8 * n_intv
             self._bins.append(bin_map)
             self._linear.append(intv)
+
+    def _init_csi(self, raw: bytes, index_path: str) -> None:
+        """Parse a CSI v1 tabix index (same binning as .tbi at the
+        default min_shift=14/depth=5; loffset seek hints replace the
+        linear index)."""
+        min_shift, depth, l_aux = struct.unpack_from("<3i", raw, 4)
+        if (min_shift, depth) != (_CSI_MIN_SHIFT, _CSI_DEPTH):
+            raise ValueError(
+                f"{index_path}: unsupported CSI geometry "
+                f"min_shift={min_shift} depth={depth}"
+            )
+        off = 16
+        aux = raw[off:off + l_aux]
+        off += l_aux
+        (fmt, col_seq, col_beg, col_end, meta, skip,
+         l_nm) = struct.unpack_from("<7i", aux, 0)
+        names = aux[28:28 + l_nm].split(b"\x00")[:-1]
+        self.names = [n.decode() for n in names]
+        self.preset = (fmt, col_seq, col_beg, col_end, meta, skip)
+        (n_ref,) = struct.unpack_from("<i", raw, off)
+        off += 4
+        self._bins = []
+        self._linear = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", raw, off)
+            off += 4
+            bin_map: Dict[int, List[Tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                bin_id, _loffset, n_chunk = struct.unpack_from(
+                    "<IQi", raw, off
+                )
+                off += 16
+                chunks = []
+                for _ in range(n_chunk):
+                    beg, end = struct.unpack_from("<QQ", raw, off)
+                    off += 16
+                    chunks.append((beg, end))
+                bin_map[bin_id] = chunks
+            self._bins.append(bin_map)
+            self._linear.append([])  # chunk voffsets bound the scan
 
     def query(self, reference_name: str, start: int, end: int):
         """Yield text lines of records overlapping [start, end)."""

@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--haploid_contigs", default="")
     p.add_argument("--par_regions_bed", default="")
     p.add_argument("--only_keep_pass", action="store_true")
+    p.add_argument("--use_csi", action="store_true",
+                   help="write a .csi index instead of .tbi (contigs "
+                        "longer than 2^29 bp)")
     p.add_argument("--group_variants",
                    action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--use_multiallelic_model", action="store_true",
@@ -153,7 +156,7 @@ def main(argv=None) -> int:
         if out and out.endswith(".gz"):
             from deepvariant_tpu.io.tabix import build_index
 
-            build_index(out)
+            build_index(out, use_csi=args.use_csi)
     if args.vcf_stats_report:
         from deepvariant_tpu.tools import vcf_stats
 

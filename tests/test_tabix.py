@@ -86,3 +86,83 @@ class TestTabix:
             if v.start < 10_008_000 and v.end > 10_004_000
         )
         assert got == expected and len(got) > 0
+
+
+class TestCsi:
+    """CSI index (postprocess_variants_test.py:466 test_build_index):
+    --use_csi writes .csi (no .tbi), same query results as .tbi."""
+
+    def _make_vcf(self, testdata_dir, tmp_path):
+        from deepvariant_tpu.io.fasta import FastaReader
+        from deepvariant_tpu.postprocess.pipeline import (
+            postprocess_variants,
+        )
+
+        ref = FastaReader(os.path.join(
+            testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+        ))
+        vcf_gz = str(tmp_path / "csi.vcf.gz")
+        postprocess_variants(
+            os.path.join(
+                testdata_dir,
+                "golden.postprocess_single_site_input-00000-of-00001"
+                ".tfrecord.gz",
+            ),
+            vcf_gz, ref.contigs, sample_name="NA12878",
+        )
+        return vcf_gz
+
+    def test_build_csi_and_query_parity(self, testdata_dir, tmp_path):
+        from deepvariant_tpu.io.tabix import CSI_MAGIC
+
+        vcf_gz = self._make_vcf(testdata_dir, tmp_path)
+        tbi = build_index(vcf_gz)
+        csi = build_index(vcf_gz, use_csi=True)
+        assert csi.endswith(".csi") and os.path.exists(csi)
+        assert BgzfReader(csi).read_all()[:4] == CSI_MAGIC
+
+        via_tbi = sorted(
+            line for line in TabixReader(vcf_gz, tbi).query(
+                "chr20", 10_000_000, 10_100_000
+            )
+        )
+        via_csi = sorted(
+            line for line in TabixReader(vcf_gz, csi).query(
+                "chr20", 10_000_000, 10_100_000
+            )
+        )
+        assert via_tbi and via_csi == via_tbi
+        # Narrow window parity too.
+        for lo, hi in [(10_000_000, 10_001_000),
+                       (10_002_337, 10_002_338)]:
+            a = list(TabixReader(vcf_gz, tbi).query("chr20", lo, hi))
+            b = list(TabixReader(vcf_gz, csi).query("chr20", lo, hi))
+            assert a == b
+
+    def test_reader_autodetects_csi(self, testdata_dir, tmp_path):
+        vcf_gz = self._make_vcf(testdata_dir, tmp_path)
+        build_index(vcf_gz, use_csi=True)  # only .csi on disk
+        assert not os.path.exists(vcf_gz + ".tbi")
+        reader = TabixReader(vcf_gz)
+        assert list(reader.query("chr20", 10_000_000, 10_100_000))
+
+    def test_postprocess_cli_use_csi(self, testdata_dir, tmp_path):
+        from deepvariant_tpu.scripts.postprocess_variants import main
+
+        out = str(tmp_path / "out.vcf.gz")
+        rc = main([
+            "--ref", os.path.join(
+                testdata_dir, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+            ),
+            "--infile", os.path.join(
+                testdata_dir,
+                "golden.postprocess_single_site_input-00000-of-00001"
+                ".tfrecord.gz",
+            ),
+            "--outfile", out,
+            "--sample_name", "NA12878",
+            "--use_csi",
+        ])
+        assert rc == 0
+        assert os.path.exists(out + ".csi")
+        assert not os.path.exists(out + ".tbi")
