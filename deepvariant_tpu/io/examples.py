@@ -215,6 +215,37 @@ def parse_example(buf: bytes) -> DecodedExample:
     return DecodedExample(decode_example(buf))
 
 
+def example_image_shape(feats: Dict[str, list]) -> List[int]:
+    """The image/shape of a decoded example; raises when the field is
+    absent or malformed (dv_utils.example_image_shape)."""
+    shape = feats.get("image/shape", [])
+    if len(shape) != 3:
+        raise ValueError(
+            "example lacks a length-3 image/shape field: "
+            f"{sorted(feats)}"
+        )
+    return [int(x) for x in shape]
+
+
+def shape_from_examples_path(spec: str) -> Optional[List[int]]:
+    """image/shape of the first example under `spec` — a plain path,
+    an `@N` sharded spec, or a glob; None when every resolved file is
+    empty (dv_utils.get_shape_from_examples_path, dv_utils.py:190-214).
+    Unresolvable paths raise."""
+    from deepvariant_tpu.core.sharded_files import glob_sharded_inputs
+    from deepvariant_tpu.io import tfrecord
+
+    resolved = glob_sharded_inputs(spec)
+    if not resolved:
+        raise FileNotFoundError(
+            f"no examples matched: {spec}"
+        )
+    for path in resolved:
+        for rec in tfrecord.read_tfrecords(path):
+            return example_image_shape(decode_example(rec))
+    return None
+
+
 # ---------------------------------------------------------------------------
 # example_info.json sidecar
 # ---------------------------------------------------------------------------

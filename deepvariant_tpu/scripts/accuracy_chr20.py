@@ -393,6 +393,9 @@ def write_report(path: str, result: dict) -> None:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
+    from deepvariant_tpu.utils.backend import maybe_force_cpu
+
+    maybe_force_cpu()
     p = argparse.ArgumentParser("accuracy_chr20")
     p.add_argument("--workdir", required=True)
     p.add_argument("--train_region", default=TRAIN_REGION)

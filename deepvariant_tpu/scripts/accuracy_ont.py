@@ -215,6 +215,9 @@ def run_cross_eval(
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
+    from deepvariant_tpu.utils.backend import maybe_force_cpu
+
+    maybe_force_cpu()
     p = argparse.ArgumentParser("accuracy_ont")
     p.add_argument("--workdir", required=True)
     p.add_argument("--n_folds", type=int, default=3)
