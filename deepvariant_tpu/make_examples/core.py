@@ -1086,6 +1086,36 @@ class RegionProcessor:
                 return False
         return True
 
+    def assign_phase_from_normal(
+        self, tumor_candidates, num_reads: int, normal_phased_variants
+    ) -> List[int]:
+        """Phase tumor reads from the matched normal's phased variants
+        (assign_phase_from_normal, make_examples_core.py:2788-2830):
+        at every tumor candidate position the normal phased, votes
+        accrue to reads supporting the phase-1/phase-2 allele bases,
+        then the standard count thresholds assign 0/1/2 per read."""
+        by_pos = {pv.position: pv for pv in normal_phased_variants}
+        counts = [[0, 0, 0] for _ in range(num_reads)]
+        for candidate in tumor_candidates:
+            pv = by_pos.get(candidate.variant.start)
+            if pv is None:
+                continue
+            support = {"REF": candidate.ref_support}
+            support.update(candidate.allele_support)
+            for allele, read_ids in support.items():
+                if allele == pv.phase_1_bases:
+                    key = 1
+                elif allele == pv.phase_2_bases:
+                    key = 2
+                else:
+                    continue
+                for rid in read_ids:
+                    if 0 <= rid < num_reads:
+                        counts[rid][key] += 1
+        return [
+            _phased_genotype_from_counts(c[1], c[2]) for c in counts
+        ]
+
     def process(self, region: Range) -> RegionOutputs:
         runtimes: Dict[str, float] = {}
         self.region_number += 1

@@ -277,6 +277,11 @@ class MultiSampleRegionProcessor:
             ]
         runtimes["find candidates"] = time.perf_counter() - t0
 
+        if self.options.phase_reads and counters is not None:
+            t0 = time.perf_counter()
+            self._phase_sample_reads(batches, counters, candidates)
+            runtimes["phase reads"] = time.perf_counter() - t0
+
         t0 = time.perf_counter()
         examples: List[bytes] = []
         for dv_call in candidates:
@@ -287,6 +292,48 @@ class MultiSampleRegionProcessor:
             )
         runtimes["make pileup images"] = time.perf_counter() - t0
         return RegionOutputs(region, candidates, examples, gvcfs, runtimes)
+
+    def _phase_sample_reads(self, batches, counters, candidates):
+        """Per-sample read phasing (make_examples_core.py:3010-3046):
+        each sample's reads phase on its own candidates via
+        DirectPhasing; with --assign_phase_from_normal the tumor
+        instead inherits phases from the matched normal's phased
+        variants (so tumor-only somatic alleles never flip the
+        haplotype assignment)."""
+        from deepvariant_tpu.phasing.direct_phasing import (
+            DirectPhasing,
+            DirectPhasingOptions,
+        )
+
+        gate = self.options.phase_max_candidates
+        normal_dp = None
+        for i, spec in enumerate(self.samples):
+            batch = batches[i]
+            if (spec.role == "tumor"
+                    and self.options.assign_phase_from_normal
+                    and normal_dp is not None):
+                phases = self._main.assign_phase_from_normal(
+                    candidates, len(batch),
+                    normal_dp.phased_variants(),
+                )
+            else:
+                if i == self.main_sample_index:
+                    cands = candidates
+                else:
+                    cands = self._main.caller.calls_in_region(
+                        counters[i]
+                    )
+                if gate and len(cands) > gate:
+                    continue
+                dp = DirectPhasing(DirectPhasingOptions(
+                    min_alleles_to_phase=(
+                        self.options.min_alleles_to_phase
+                    ),
+                ))
+                phases = dp.phase_reads(cands, len(batch))
+                if spec.role == "normal":
+                    normal_dp = dp
+            batch.hp = np.asarray(phases, np.int8)
 
     def _downsample(self, batch: ReadBatch) -> ReadBatch:
         from deepvariant_tpu.make_examples.core import (
