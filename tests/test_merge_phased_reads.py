@@ -77,6 +77,100 @@ class TestMerger:
         assert phases["d"] == 2 and phases["e"] == 1
         assert phases["f"] == 2 and phases["g"] == 1
 
+    def _merged(self, merger):
+        return {
+            m.fragment_name: (m.phase, dict(m.phase_dist))
+            for m in merger.merged_reads
+        }
+
+    def test_merge_one_read(self):
+        # merge_phased_reads_test.cc MergeOneRead.
+        merger = Merger()
+        merger.add_reads(
+            reads(0, 1, [("read_1", 1)]) + reads(1, 1, [("read_1", 1)])
+        )
+        merger.merge_reads()
+        assert self._merged(merger) == {"read_1": (1, {1: 2})}
+
+    def test_merge_reverse_phase_twice(self):
+        # MergeReversePhaseTwice: shard 1 flips, then shard 2 flips
+        # back relative to shard 1.
+        merger = Merger()
+        merger.add_reads(
+            reads(0, 1, [("read_1", 1), ("read_2", 1), ("read_3", 2),
+                         ("read_4", 1)])
+            + reads(1, 1, [("read_1", 2), ("read_2", 2), ("read_3", 2),
+                           ("read_4", 2)])
+            + reads(2, 1, [("read_2", 1), ("read_3", 1), ("read_4", 1),
+                           ("read_5", 2)])
+        )
+        merger.merge_reads()
+        assert self._merged(merger) == {
+            "read_1": (1, {1: 2}),
+            "read_2": (1, {1: 3}),
+            "read_3": (2, {1: 2, 2: 1}),
+            "read_4": (1, {1: 3}),
+            "read_5": (2, {2: 1}),
+        }
+
+    def test_full_cycle_shards(self):
+        # FullCycleShards: shard_0/region_2 merges after
+        # shard_1/region_1 in round-robin order.
+        merger = Merger()
+        merger.add_reads(
+            reads(0, 1, [("read_1", 1), ("read_2", 1), ("read_3", 2)])
+            + reads(1, 1, [("read_1", 2), ("read_2", 2), ("read_3", 1)])
+            + reads(0, 2, [("read_2", 1), ("read_3", 1), ("read_4", 2)])
+        )
+        merger.merge_reads()
+        assert self._merged(merger) == {
+            "read_1": (1, {1: 2}),
+            "read_2": (1, {1: 3}),
+            "read_3": (2, {1: 1, 2: 2}),
+            "read_4": (2, {2: 1}),
+        }
+
+    def test_disconnected_groups(self):
+        # DisconnectedGroups: no shared reads, phases kept as-is.
+        merger = Merger()
+        merger.add_reads(
+            reads(0, 1, [("read_1", 1), ("read_2", 1), ("read_3", 2)])
+            + reads(1, 1, [("read_4", 1), ("read_5", 2), ("read_6", 2)])
+        )
+        merger.merge_reads()
+        assert self._merged(merger) == {
+            "read_1": (1, {1: 1}),
+            "read_2": (1, {1: 1}),
+            "read_3": (2, {2: 1}),
+            "read_4": (1, {1: 1}),
+            "read_5": (2, {2: 1}),
+            "read_6": (2, {2: 1}),
+        }
+
+    def test_skipped_group(self):
+        # SkippedGroup: shard 1 is absent; shard 2 still merges
+        # against shard 0 (majority flip: 3 of 4 reads reversed).
+        merger = Merger()
+        merger.add_reads(
+            reads(0, 1, [("read_1", 1), ("read_2", 1), ("read_3", 2),
+                         ("read_4", 2)])
+            + reads(2, 1, [("read_1", 2), ("read_2", 2), ("read_3", 2),
+                           ("read_4", 1)])
+        )
+        merger.merge_reads()
+        assert self._merged(merger) == {
+            "read_1": (1, {1: 2}),
+            "read_2": (1, {1: 2}),
+            "read_3": (2, {1: 1, 2: 1}),
+            "read_4": (2, {2: 2}),
+        }
+
+    def test_empty_input(self):
+        merger = Merger()
+        merger.add_reads([])
+        merger.merge_reads()
+        assert merger.merged_reads == []
+
     def test_tsv_roundtrip(self, tmp_path):
         for shard in range(2):
             with open(tmp_path / f"phases-0000{shard}-of-00002.tsv",
