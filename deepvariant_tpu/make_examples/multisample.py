@@ -203,6 +203,18 @@ class MultiSampleRegionProcessor:
             options.realigner_options, self.ref_reader
         ) if options.realigner_enabled else None
         self._main.labeler = None
+        # Training mode: label the MAIN sample's candidates with its
+        # truth set (deeptrio/make_examples.py: each sample output is
+        # labeled against that sample's truth_variants + confident
+        # regions; here the main sample of this pass).
+        self.labeler = None
+        if options.mode == "training" and \
+                options.truth_variants_filename:
+            from deepvariant_tpu.labeler.variant_labeler import (
+                make_labeler,
+            )
+
+            self.labeler = make_labeler(options, self.ref_reader)
 
     def example_shape(self) -> Tuple[int, int, int]:
         h = sum(
@@ -282,12 +294,24 @@ class MultiSampleRegionProcessor:
             self._phase_sample_reads(batches, counters, candidates)
             runtimes["phase reads"] = time.perf_counter() - t0
 
+        labels_by_index: Dict[int, object] = {}
+        if self.labeler is not None and candidates:
+            labels = list(self.labeler.label_variants(
+                [c.variant for c in candidates], region
+            ))
+            labels_by_index = dict(enumerate(labels))
+
         t0 = time.perf_counter()
         examples: List[bytes] = []
-        for dv_call in candidates:
+        for idx, dv_call in enumerate(candidates):
+            label = labels_by_index.get(idx)
+            if self.options.mode == "training" and (
+                label is None or not label.is_confident
+            ):
+                continue
             examples.extend(
                 self._stacked_examples_for_candidate(
-                    dv_call, batches, counters
+                    dv_call, batches, counters, label=label
                 )
             )
         runtimes["make pileup images"] = time.perf_counter() - t0
@@ -349,7 +373,7 @@ class MultiSampleRegionProcessor:
 
     def _stacked_examples_for_candidate(
         self, dv_call: DeepVariantCall, batches: Sequence[ReadBatch],
-        counters=None,
+        counters=None, label=None,
     ) -> List[bytes]:
         """One example per alt combo; image = vertical stack of
         per-sample pileups in sample order."""
@@ -431,6 +455,10 @@ class MultiSampleRegionProcessor:
             out.append(example_codec.make_example(
                 variant, image, indices_sorted, locus,
                 sequencing_type=self.options.sequencing_type,
+                label=(
+                    label.label_for_alt_alleles(indices_sorted)
+                    if label is not None else None
+                ),
             ))
         return out
 

@@ -74,6 +74,7 @@ def run_fold(
     batch_size: int = 32,
     num_epochs: int = 60,
     learning_rate: float = 0.002,
+    select: str = "final",
     log_fn=print,
 ) -> dict:
     from deepvariant_tpu.make_examples.core import (
@@ -132,6 +133,11 @@ def run_fold(
     config.bn_momentum = 0.90
     config.learning_rate_decay_rate = 0.90
     config.learning_rate_num_epochs_per_decay = 1.0
+    # The ONT preset's class_weights "1,1,10" (dv_config.py ont) tuned
+    # for production-scale corpora collapses a ~70-example run into a
+    # hom-alt-only predictor (measured: train f1_het 0.0 in all folds,
+    # one fold 0 TP / 11 FP at GT level). Uniform weights here.
+    config.class_weights = "1,1,1"
     import jax
 
     if jax.default_backend() == "cpu":
@@ -139,7 +145,21 @@ def run_fold(
 
     exp_dir = os.path.join(workdir, "experiment")
     results = train_lib.train(config, exp_dir, log_fn=log_fn)
-    ckpt = os.path.join(exp_dir, "checkpoints", "best.msgpack")
+    if select == "final":
+        # A fold's tune carve holds < 10 examples here; tune-best
+        # selection over that is noise (measured: one fold's
+        # tune-selected checkpoint scored 0 while its final epochs
+        # were stable). With per-epoch LR decay the run converges, so
+        # the final checkpoint is the default.
+        ckpt_dir = os.path.join(exp_dir, "checkpoints")
+        epochs = sorted(
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(ckpt_dir)
+            if f.startswith("ckpt-")
+        )
+        ckpt = os.path.join(ckpt_dir, f"ckpt-{epochs[-1]}.msgpack")
+    else:
+        ckpt = os.path.join(exp_dir, "checkpoints", "best.msgpack")
 
     calling_ex = stage1("calling", [eval_region], "calling.tfrecord.gz")
 
@@ -224,6 +244,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--num_epochs", type=int, default=60)
     p.add_argument("--learning_rate", type=float, default=0.002)
+    p.add_argument("--select", choices=("best", "final"),
+                   default="final",
+                   help="which checkpoint calls variants: the final "
+                        "(converged) epoch or tune-best (noisy at "
+                        "this tune-set size)")
     p.add_argument("--out_json", default="")
     args = p.parse_args(argv)
     result = run_cross_eval(
@@ -232,6 +257,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,
         learning_rate=args.learning_rate,
+        select=args.select,
     )
     if args.out_json:
         with open(args.out_json, "w") as f:
