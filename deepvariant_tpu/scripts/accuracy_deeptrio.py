@@ -4,22 +4,24 @@ Same capability proof as `accuracy_chr20`/`accuracy_ont` but for the
 trio product: stage 1 generates STACKED child+parent pileups
 (parent1 / child / parent2, 300 rows — deeptrio/make_examples.py
 sample ordering), an InceptionV3 trains from scratch on the labeled
-child examples, and the held-out slice is called with the trio model
+child examples, and held-out slices are called with the trio model
 and scored against the GIAB HG001 truth.
 
-Data (the reference's own deeptrio testdata, GRCh37 chr20
-10.0-10.1 Mb):
+Data (the reference's own deeptrio testdata, GRCh37 chr20; the trio
+BAMs cover only 10,000,000-10,010,000 — ~1.5k reads each):
   * child   — HG001.chr20.10_10p1mb_sorted.bam
   * parents — NA12891 / NA12892 .chr20.10_10p1mb_sorted.bam
   * truth   — HG001 GIAB v3.3.2 high-confidence VCF (child truth;
     the parents have no truth in this image, so only child examples
-    are emitted/scored — the same labeling rule the reference applies
-    per sample output).
+    are emitted/scored — the same per-sample labeling rule the
+    reference applies).
 
-The full 100 kb slice is treated as confident for the train/eval
-split (the shipped confident BED covers only ~9 kb); truth records
-GIAB dropped outside its confident regions then surface as apparent
-FPs, making reported precision conservative.
+The 10 kb window is 5-fold cross-evaluated (2 kb eval slices, 1 kb
+tune carve off the end of each training span) so every confident
+truth call is scored exactly once by a model that never saw its
+region. The full window is treated as confident for the train/eval
+split; truth records GIAB dropped outside its confident regions then
+surface as apparent FPs, making reported precision conservative.
 """
 
 from __future__ import annotations
@@ -39,16 +41,15 @@ TRUTH_VCF = (
     "-SOLID_CHROM1-X_v.3.3.2_highconf_PGandRTGphasetransfer.vcf.gz"
 )
 
-TRAIN_REGION = "20:10,000,000-10,080,000"
-EVAL_REGION = "20:10,080,000-10,100,000"
-FULL_SPAN = ("20", 10_000_000, 10_100_000)
-TUNE_BP = 10_000
+WINDOW = ("20", 10_000_000, 10_010_000)
+TUNE_BP = 1_000
 
 
-def run(
+def run_fold(
     workdir: str,
-    train_region: str = TRAIN_REGION,
-    eval_region: str = EVAL_REGION,
+    train_regions: Sequence[str],
+    tune_region: str,
+    eval_region: str,
     batch_size: int = 32,
     num_epochs: int = 40,
     learning_rate: float = 0.002,
@@ -66,7 +67,7 @@ def run(
     from deepvariant_tpu.tools import vcf_eval
 
     os.makedirs(workdir, exist_ok=True)
-    contig, lo, hi = FULL_SPAN
+    contig, lo, hi = WINDOW
     confident_bed = os.path.join(workdir, "confident.bed")
     with open(confident_bed, "w") as f:
         f.write(f"{contig}\t{lo}\t{hi}\n")
@@ -78,14 +79,14 @@ def run(
         sample_name_child="HG001",
     )
 
-    def stage1(mode: str, region: str, out_name: str) -> dict:
+    def stage1(mode: str, regions: Sequence[str], out_name: str) -> dict:
         out = os.path.join(workdir, out_name)
         options = MakeExamplesOptions(
             reads_filename="",
             ref_filename=REF,
             examples_filename=out,
             mode=mode,
-            regions=[region],
+            regions=list(regions),
             sample_name="HG001",
         )
         if mode == "training":
@@ -94,21 +95,11 @@ def run(
         counts = make_multisample_examples_runner(
             options, samples, main_sample_index=1
         )
-        log_fn(f"trio make_examples {mode} {region}: {counts}")
+        log_fn(f"trio make_examples {mode} {list(regions)}: {counts}")
         return {"path": out, "counts": counts}
 
-    def _parse(region):
-        c, span = region.split(":", 1)
-        a, b = (int(x.replace(",", "")) for x in span.split("-"))
-        return c, a, b
-
-    t_contig, t_lo, t_hi = _parse(train_region)
-    tune_lo = max(t_lo, t_hi - TUNE_BP)
-    tune_region = f"{t_contig}:{tune_lo}-{t_hi}"
-    train_region = f"{t_contig}:{t_lo}-{tune_lo}"
-
-    train_ex = stage1("training", train_region, "train.tfrecord.gz")
-    tune_ex = stage1("training", tune_region, "tune.tfrecord.gz")
+    train_ex = stage1("training", train_regions, "train.tfrecord.gz")
+    tune_ex = stage1("training", [tune_region], "tune.tfrecord.gz")
 
     for name, ex in (("train", train_ex), ("tune", tune_ex)):
         DatasetConfig(
@@ -139,6 +130,9 @@ def run(
     exp_dir = os.path.join(workdir, "experiment")
     results = train_lib.train(config, exp_dir, log_fn=log_fn)
     if select == "final":
+        # The tune carve holds a handful of examples; tune-best
+        # selection over that is noise. The per-epoch LR decay makes
+        # the run converge, so the final checkpoint is the default.
         ckpt_dir = os.path.join(exp_dir, "checkpoints")
         epochs = sorted(
             int(f.split("-")[1].split(".")[0])
@@ -149,7 +143,7 @@ def run(
     else:
         ckpt = os.path.join(exp_dir, "checkpoints", "best.msgpack")
 
-    calling_ex = stage1("calling", eval_region, "calling.tfrecord.gz")
+    calling_ex = stage1("calling", [eval_region], "calling.tfrecord.gz")
 
     from deepvariant_tpu.scripts.call_variants import (
         load_variables_for_examples,
@@ -191,26 +185,25 @@ def run(
     }
 
 
-def run_cross_eval(workdir: str, log_fn=print, **kwargs) -> dict:
+def run_cross_eval(
+    workdir: str, n_folds: int = 5, log_fn=print, **kwargs
+) -> dict:
     from deepvariant_tpu.scripts.accuracy_chr20 import _pool_metrics
+    from deepvariant_tpu.scripts.accuracy_ont import _fold_regions
 
-    folds = [
-        (TRAIN_REGION, EVAL_REGION),
-        ("20:10,020,000-10,100,000", "20:10,000,000-10,020,000"),
-    ]
     fold_results = []
-    for i, (train_region, eval_region) in enumerate(folds):
-        result = run(
+    for i, (train_rs, tune_r, eval_r) in enumerate(
+        _fold_regions(n_folds, window=WINDOW, tune_bp=TUNE_BP)
+    ):
+        result = run_fold(
             os.path.join(workdir, f"fold{i}"),
-            train_region=train_region,
-            eval_region=eval_region,
-            log_fn=log_fn,
-            **kwargs,
+            train_rs, tune_r, eval_r,
+            log_fn=log_fn, **kwargs,
         )
         log_fn(f"fold {i}: {json.dumps(result)}")
         fold_results.append(result)
     return {
-        "eval_region": " + ".join(f[1] for f in folds),
+        "eval_region": " + ".join(r["eval_region"] for r in fold_results),
         "train_examples": sum(r["train_examples"] for r in fold_results),
         "eval_examples": sum(r["eval_examples"] for r in fold_results),
         "tune_f1_weighted": round(
@@ -228,24 +221,22 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     maybe_force_cpu()
     p = argparse.ArgumentParser("accuracy_deeptrio")
     p.add_argument("--workdir", required=True)
+    p.add_argument("--n_folds", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--num_epochs", type=int, default=40)
     p.add_argument("--learning_rate", type=float, default=0.002)
     p.add_argument("--select", choices=("best", "final"),
                    default="final")
-    p.add_argument("--cross_eval", action="store_true")
     p.add_argument("--out_json", default="")
     args = p.parse_args(argv)
-    kwargs = dict(
+    result = run_cross_eval(
+        args.workdir,
+        n_folds=args.n_folds,
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,
         learning_rate=args.learning_rate,
         select=args.select,
     )
-    if args.cross_eval:
-        result = run_cross_eval(args.workdir, **kwargs)
-    else:
-        result = run(args.workdir, **kwargs)
     if args.out_json:
         with open(args.out_json, "w") as f:
             json.dump(result, f, indent=2)

@@ -42,9 +42,9 @@ WINDOW = ("chr20", 5_050_000, 5_075_000)
 TUNE_BP = 3_000  # carved off the training span, never the eval third
 
 
-def _fold_regions(n_folds: int):
+def _fold_regions(n_folds: int, window=None, tune_bp: int = TUNE_BP):
     """Yield (train_regions, tune_region, eval_region) per fold."""
-    contig, lo, hi = WINDOW
+    contig, lo, hi = window or WINDOW
     edges = [lo + (hi - lo) * i // n_folds for i in range(n_folds + 1)]
     for k in range(n_folds):
         ev = (edges[k], edges[k + 1])
@@ -60,8 +60,8 @@ def _fold_regions(n_folds: int):
                 merged[-1][1] = span[1]
             else:
                 merged.append([span[0], span[1]])
-        merged[-1][1] -= TUNE_BP
-        tune = (merged[-1][1], merged[-1][1] + TUNE_BP)
+        merged[-1][1] -= tune_bp
+        tune = (merged[-1][1], merged[-1][1] + tune_bp)
         fmt = lambda s: f"{contig}:{s[0]}-{s[1]}"  # noqa: E731
         yield [fmt(s) for s in merged], fmt(tune), fmt(ev)
 
