@@ -146,6 +146,48 @@ class TestShowExamples:
         loaded = Image.open(path)
         assert loaded.size == (2 * 3 * 22, 20)
 
+    def test_get_short_id_long_alleles(self):
+        # show_examples.py get_short_id: long alleles shorten to
+        # INS/DEL/MNP sizes; same-length alts get index prefixes.
+        from deepvariant_tpu.core.types import Variant
+        from deepvariant_tpu.tools.show_examples import get_short_id
+
+        v = Variant(reference_name="20", start=62456134,
+                    reference_bases="A" * 10,
+                    alternate_bases=["A" * 113])
+        assert get_short_id(v, [0]) == "20:62456134_INS103bp"
+        v2 = Variant(reference_name="20", start=62481177,
+                     reference_bases="G" * 61, alternate_bases=["G" * 10])
+        assert get_short_id(v2, [0]) == "20:62481177_DEL51bp"
+        v3 = Variant(reference_name="1", start=55424996,
+                     reference_bases="CT", alternate_bases=["C", "CTT"])
+        assert get_short_id(v3, [0, 1]) == "1:55424996_CT->C|CTT"
+
+    def test_cli_filters_curation_and_tfrecords(self, testdata_dir,
+                                                tmp_path):
+        from deepvariant_tpu.io import tfrecord
+        from deepvariant_tpu.tools.show_examples import main
+
+        golden = os.path.join(
+            testdata_dir, "golden.calling_examples.tfrecord.gz"
+        )
+        out = str(tmp_path / "imgs")
+        main([
+            "--examples", golden, "--output", out,
+            "--num_records", "3", "--image_type", "both",
+            "--curate", "--write_tfrecords",
+            "--regions", "chr20:10,000,000-10,001,000",
+        ])
+        pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+        assert len(pngs) == 6  # 3 loci x (channels + RGB)
+        tsv = open(os.path.join(out, "curation.tsv")).read()
+        assert tsv.startswith("id\tlabel\tBaseQuality")
+        assert len(tsv.splitlines()) == 4
+        recs = list(tfrecord.read_tfrecords(
+            os.path.join(out, "examples.tfrecord.gz")
+        ))
+        assert len(recs) == 3
+
 
 class TestRuntimeVis:
     def test_roundtrip(self, tmp_path):
