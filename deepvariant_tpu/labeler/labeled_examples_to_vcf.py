@@ -76,7 +76,9 @@ def examples_to_variants(
     ):
         variant, label = next(iter(group))
         call = variant.calls[0] if variant.calls else None
-        has_gt = bool(call and call.genotype)
+        # nucleus variantcall_utils.has_genotypes: any gt >= 0; a
+        # [-1, -1] (uncalled) GT must be backfilled from the label.
+        has_gt = bool(call and any(g >= 0 for g in call.genotype))
         if not has_gt:
             if call is None:
                 from deepvariant_tpu.core.types import VariantCall

@@ -494,6 +494,13 @@ def main(argv=None) -> int:
             CHANNEL_NAME_TO_ENUM,
         )
 
+        if "BASE_CHANNELS" in channel_list:
+            # Macro for the six default channels
+            # (make_examples_options.py:1081-1084).
+            base = ("read_base,base_quality,mapping_quality,strand,"
+                    "read_supports_variant,base_differs_from_ref")
+            channel_list = channel_list.replace("BASE_CHANNELS", base)
+
         names = [c.strip() for c in channel_list.split(",")
                  if c.strip()]
         unknown = [c for c in names if c not in CHANNEL_NAME_TO_ENUM]
