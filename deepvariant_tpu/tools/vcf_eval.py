@@ -186,6 +186,24 @@ def evaluate(
     return evaluate_variants(truth, query, confident, region_obj)
 
 
+def metrics_file_dict(
+    result: Dict[str, Dict[str, float]],
+) -> Dict[str, float]:
+    """hap.py-extract-style keys for a `.metrics` sidecar — the format
+    the checkpoint-sweep summarizer (tools/print_f1.py) consumes
+    (reference tools/print_f1.py:63-68 reads TPs_All/FNs_All/FPs_All).
+    """
+    out: Dict[str, float] = {}
+    for kind, suffix in (("all", "All"), ("snp", "SNP"),
+                         ("indel", "INDEL")):
+        m = result[kind]
+        out[f"TPs_{suffix}"] = float(m["tp"])
+        out[f"FNs_{suffix}"] = float(m["fn"])
+        out[f"FPs_{suffix}"] = float(m["fp"])
+        out[f"F1_{suffix}"] = float(m["f1"])
+    return out
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     import argparse
 
@@ -197,11 +215,17 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--confident_regions", default=None)
     p.add_argument("--region", default=None,
                    help="optional chrom:start-end filter")
+    p.add_argument("--metrics_out", default=None,
+                   help="also write a ckpt-style .metrics JSON "
+                   "(consumed by tools/print_f1.py)")
     args = p.parse_args(argv)
     result = evaluate(
         args.truth_vcf, args.query_vcf,
         confident_bed=args.confident_regions, region=args.region,
     )
+    if args.metrics_out:
+        with open(args.metrics_out, "w") as f:
+            json.dump(metrics_file_dict(result), f, indent=2)
     print(json.dumps(result, indent=2))
 
 
