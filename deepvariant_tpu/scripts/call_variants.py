@@ -19,9 +19,26 @@ from deepvariant_tpu.io import examples as example_codec
 from deepvariant_tpu.models.inception_v3 import create_model
 
 
+def resolve_checkpoint_path(checkpoint: str) -> str:
+    """Accepts a model directory (dv-export-model / dv-train output)
+    or a direct .msgpack file; directories resolve to model.msgpack,
+    then best.msgpack."""
+    if checkpoint and os.path.isdir(checkpoint):
+        for name in ("model.msgpack", "best.msgpack"):
+            candidate = os.path.join(checkpoint, name)
+            if os.path.exists(candidate):
+                return candidate
+        raise SystemExit(
+            f"checkpoint directory {checkpoint} contains neither "
+            "model.msgpack nor best.msgpack"
+        )
+    return checkpoint
+
+
 def load_variables_for_examples(checkpoint: str, examples_path: str,
                                 use_ema: bool = True):
     """Build the model for the examples' shape; load checkpoint params."""
+    checkpoint = resolve_checkpoint_path(checkpoint)
     info = example_codec.read_example_info(examples_path)
     h, w, c = info["shape"]
     model, variables = create_model(c, height=h, width=w)

@@ -96,3 +96,26 @@ def test_one_step_pipeline_end_to_end(tmp_path):
     # gVCF covers the region with ref blocks + variant rows.
     assert len(gvcf_records) > len(records)
     assert os.path.exists(out_vcf + ".tbi")
+
+
+def test_resolve_checkpoint_path(tmp_path):
+    """--checkpoint accepts a model directory (dv-export-model output)
+    and resolves model.msgpack, then best.msgpack."""
+    from deepvariant_tpu.scripts.call_variants import (
+        resolve_checkpoint_path,
+    )
+
+    assert resolve_checkpoint_path("") == ""
+    f = tmp_path / "ckpt-3.msgpack"
+    f.write_bytes(b"x")
+    assert resolve_checkpoint_path(str(f)) == str(f)
+    d = tmp_path / "model_dir"
+    d.mkdir()
+    import pytest
+
+    with pytest.raises(SystemExit, match="neither"):
+        resolve_checkpoint_path(str(d))
+    (d / "best.msgpack").write_bytes(b"x")
+    assert resolve_checkpoint_path(str(d)) == str(d / "best.msgpack")
+    (d / "model.msgpack").write_bytes(b"x")
+    assert resolve_checkpoint_path(str(d)) == str(d / "model.msgpack")
