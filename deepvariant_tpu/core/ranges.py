@@ -147,9 +147,9 @@ class RangeSet:
             return False
         ends = self._ends[r.reference_name]
         idx = int(np.searchsorted(starts, r.end, side="left"))
-        return idx > 0 and r.start < ends[idx - 1] or (
+        return bool(idx > 0 and r.start < ends[idx - 1] or (
             idx < len(starts) and starts[idx] < r.end
-        )
+        ))
 
     def envelops(self, contig: str, start: int, end: int) -> bool:
         """Is [start, end) fully contained in a single interval?"""

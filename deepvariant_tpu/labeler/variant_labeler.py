@@ -8,9 +8,9 @@ candidate's alts by simplified-allele comparison, and produce the
 per-example class = number of copies of the example's alt alleles in
 the true genotype (label_for_alt_alleles, variant_labeler.py:68-92).
 
-The haplotype labeler (exhaustive diploid haplotype matching) is the
-reference's default; until it lands here, the positional labeler is
-used for both algorithm names.
+The haplotype labeler (exhaustive diploid haplotype matching,
+labeler/haplotype_labeler.py here) is the reference's default;
+make_labeler() dispatches on labeler_algorithm.
 """
 
 from __future__ import annotations
@@ -42,6 +42,13 @@ class VariantLabel:
             for gt in (self.genotype or ())
             if gt != 0
         )
+
+
+def is_filtered(variant: Variant) -> bool:
+    """Non-PASS FILTER check (nucleus variant_utils.is_filtered)."""
+    return bool(variant.filter) and any(
+        f not in ("PASS", ".") for f in variant.filter
+    )
 
 
 class PositionalVariantLabeler:
@@ -87,22 +94,35 @@ class PositionalVariantLabeler:
             )
         return confident, matched
 
+    def _get_truth_variants(self, region: Range):
+        """Truth records usable for labeling: drops FILTERed truth and
+        truth outside the confident regions
+        (variant_labeler.py:191-213)."""
+        for tv in self._truth.query(region):
+            if is_filtered(tv):
+                continue
+            if (self._confident_regions is not None
+                    and not self._confident_regions.variant_overlaps(tv)):
+                continue
+            yield tv
+
     def _find_matching_variant(self, variant: Variant):
         region = Range(
             variant.reference_name, variant.start, variant.start + 1
         )
         matches = [
             simplify_variant_alleles(_copy(tv))
-            for tv in self._truth.query(region)
+            for tv in self._get_truth_variants(region)
             if variant.start == tv.start and tv.calls
         ]
         if not matches:
             return None
+        best = None
         for match in matches:
             if (match.alternate_bases == variant.alternate_bases
                     and match.reference_bases == variant.reference_bases):
-                return match
-        return matches[0]
+                best = match  # last exact match wins (reference :152-158)
+        return best if best is not None else matches[0]
 
 
 # The haplotype labeler's exhaustive diploid matching is a planned
@@ -122,7 +142,17 @@ def _genotype_from_matched_truth(
     candidate_variant: Variant, truth_variant: Variant
 ) -> Tuple[int, ...]:
     """(positional_labeler.py:182-250)."""
-    if not truth_variant.calls or not truth_variant.calls[0].genotype:
+    if candidate_variant is None:
+        raise ValueError("variant cannot be None")
+    if truth_variant is None:
+        raise ValueError("truth_variant cannot be None")
+    if len(truth_variant.calls) != 1:
+        raise ValueError(
+            "Expected exactly one VariantCall in truth_variant "
+            f"{truth_variant}"
+        )
+    gts = truth_variant.calls[0].genotype
+    if not any(g >= 0 for g in gts):
         raise ValueError(
             "truth_variant needs genotypes to be used for labeling"
         )
@@ -149,12 +179,15 @@ def _genotype_from_matched_truth(
     truth_alleles = [truth_variant.reference_bases] + list(
         truth_variant.alternate_bases
     )
-    gt = truth_variant.calls[0].genotype
-    return tuple(
+    # Truth genotype is unphased and the mapped result canonicalized
+    # ascending (variant_labeler.py:285-290 sorts the output;
+    # positional_labeler.py:244-249 unphases the input).
+    gt = sorted(truth_variant.calls[0].genotype)
+    return tuple(sorted(
         match_one_allele(truth_alleles[g]) if 0 <= g < len(truth_alleles)
         else 0
         for g in gt
-    )
+    ))
 
 
 def make_labeler(options, ref_reader):
