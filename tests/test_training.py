@@ -301,3 +301,44 @@ def test_train_export_call_roundtrip(tmp_path):
         train=False,
     ))
     assert np.all(np.isfinite(direct))
+
+
+def test_input_fn_on_reference_golden_training_examples():
+    """data_providers_test.py anchor: the golden training examples
+    stream through input_fn with the right shapes, all loci covered
+    (tune mode is one in-order pass), and labels in {0,1,2}."""
+    import os
+
+    golden = ("/root/reference/deepvariant/testdata/"
+              "golden.training_examples.tfrecord.gz")
+    if not os.path.exists(golden):
+        import pytest
+
+        pytest.skip("reference testdata unavailable")
+    from deepvariant_tpu.io import tfrecord
+
+    n_records = sum(
+        1 for _ in tfrecord.read_tfrecords(golden)
+    )
+    cfg = TrainConfig(batch_size=16, class_weights="1,1,10")
+    batches = list(input_fn(golden, cfg, mode="tune"))
+    # One in-order pass; the final partial batch is padded with
+    # zero-weight rows (our replacement for the reference's
+    # drop_remainder, so sub-batch tune sets still score).
+    assert len(batches) == -(-n_records // 16)
+    n_scored = 0
+    seen_labels = set()
+    for b in batches:
+        assert b.images.dtype == np.uint8
+        assert b.images.shape[0] == 16
+        assert b.images.shape[3] >= 6
+        for w, l in zip(b.sample_weights, b.labels):
+            if w == 0.0:
+                continue  # padded row
+            n_scored += 1
+            seen_labels.add(int(l))
+            # class_weights surface as sample weights > 1 for label 2.
+            assert (w > 1.0) == (l == 2)
+    assert n_scored == n_records
+    assert seen_labels <= {0, 1, 2}
+    assert len(seen_labels) >= 2
