@@ -113,7 +113,7 @@ class PositionalVariantLabeler:
         matches = [
             simplify_variant_alleles(_copy(tv))
             for tv in self._get_truth_variants(region)
-            if variant.start == tv.start and tv.calls
+            if variant.start == tv.start
         ]
         if not matches:
             return None
@@ -123,13 +123,6 @@ class PositionalVariantLabeler:
                     and match.reference_bases == variant.reference_bases):
                 best = match  # last exact match wins (reference :152-158)
         return best if best is not None else matches[0]
-
-
-# The haplotype labeler's exhaustive diploid matching is a planned
-# upgrade; both algorithm names currently resolve to the positional
-# labeler (reference default is haplotype_labeler,
-# make_examples_options.py labeler_algorithm flag).
-HaplotypeVariantLabeler = PositionalVariantLabeler
 
 
 def _copy(variant: Variant) -> Variant:

@@ -38,11 +38,6 @@ MODEL_TYPES = (
     "MASSEQ",
 )
 
-# Presets the reference applies inside make_examples_command
-# (run_oracle_inference.py:308-313).
-_LONG_READ_TYPES = ("PACBIO", "ONT_R104", "MASSEQ")
-
-
 def split_extra_args(input_string: str) -> list:
     """Split on commas except inside quoted values
     (run_oracle_inference.py:213-216)."""
@@ -116,7 +111,12 @@ def create_all_commands(args) -> list:
         outdir, f"make_examples.tfrecord@{n}.gz"
     )
 
-    partition_size = 25000 if args.model_type in _LONG_READ_TYPES else 1000
+    # The reference oracle applies NO model-type preset: model_type only
+    # selects partition_size, and only PACBIO/ONT_R104 get the long-read
+    # 25000 value (run_oracle_inference.py:308-313). MASSEQ intentionally
+    # stays at 1000 to match.
+    long_read = args.model_type in ("PACBIO", "ONT_R104")
+    partition_size = 25000 if long_read else 1000
     me_argv = [
         "--mode", "training",
         "--ref", args.ref,
@@ -129,7 +129,6 @@ def create_all_commands(args) -> list:
         "--channel_list", "BASE_CHANNELS",
         "--max_reads_per_partition", "1500",
         "--partition_size", str(partition_size),
-        "--model_preset", args.model_type,
     ]
     if args.regions:
         me_argv += ["--regions", args.regions]

@@ -139,6 +139,13 @@ def _group_overlapping(
 
 def consolidate_group(group: Sequence[Variant]) -> Variant:
     """Collapses >=2 overlapping phased records into one."""
+    for v in group:
+        if not v.calls:
+            raise ValueError(
+                "preprocess_truth requires a sample column with "
+                "fully-phased GTs on every truth record; record at "
+                f"{v.reference_name}:{v.start + 1} has no calls"
+            )
     hmap = _HaplotypeMap()
     for v in group:
         hmap.paint_reference(v)
