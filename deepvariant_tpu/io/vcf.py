@@ -418,11 +418,57 @@ class VcfReader:
             if line:
                 yield parse_vcf_line(line, self.sample_names)
 
+    def _ensure_query_index(self):
+        """Parse once and group records per contig for repeated queries.
+
+        Labeling runs call query() once per ~1kb region; re-parsing the
+        whole file each time is O(records x regions). For files sorted
+        per contig (the VCF norm) we binary-search on a prefix-max of
+        record ends; unsorted contigs fall back to a linear scan over
+        the parsed records (same semantics either way).
+        """
+        if getattr(self, "_query_index", None) is not None:
+            return
+        import bisect
+
+        parsed: List[Variant] = list(self)
+        index: Dict[str, tuple] = {}
+        groups: Dict[str, List[Variant]] = {}
+        for v in parsed:
+            groups.setdefault(v.reference_name, []).append(v)
+        for contig, records in groups.items():
+            starts = [v.start for v in records]
+            is_sorted = all(
+                starts[i] <= starts[i + 1] for i in range(len(starts) - 1)
+            )
+            prefix_max_end: List[int] = []
+            running = -1
+            for v in records:
+                running = max(running, v.end)
+                prefix_max_end.append(running)
+            index[contig] = (records, starts, prefix_max_end, is_sorted)
+        self._query_index = index
+        self._bisect = bisect
+
     def query(self, region: Range) -> Iterator[Variant]:
-        for v in self:
-            if (v.reference_name == region.reference_name
-                    and v.start < region.end and v.end > region.start):
+        self._ensure_query_index()
+        entry = self._query_index.get(region.reference_name)
+        if entry is None:
+            return
+        records, starts, prefix_max_end, is_sorted = entry
+        if not is_sorted:
+            for v in records:
+                if v.start < region.end and v.end > region.start:
+                    yield v
+            return
+        # First record whose prefix-max end exceeds region.start: nothing
+        # before it can overlap (prefix_max_end is non-decreasing).
+        i = self._bisect.bisect_right(prefix_max_end, region.start)
+        while i < len(records) and starts[i] < region.end:
+            v = records[i]
+            if v.end > region.start:
                 yield v
+            i += 1
 
     def close(self):
         self._lines = []
