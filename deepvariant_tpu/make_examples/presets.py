@@ -61,6 +61,14 @@ def apply_model_preset(
         options.variant_caller_options.min_fraction_snps = 0.08
     elif model_type == "HYBRID_PACBIO_ILLUMINA":
         p.channels = (1, 2, 3, 4, 5, 6, 19)
+    elif model_type == "RNASEQ":
+        # RNA-seq case study (docs/deepvariant-rnaseq-case-study.md:
+        # 230-236): channels='' resets to the base six, and
+        # split_skip_reads=true splits spliced (N-CIGAR) alignments
+        # into per-exon reads before realignment
+        # (realigner.py:230,824).
+        p.channels = (1, 2, 3, 4, 5, 6)
+        options.realigner_options.split_skip_reads = True
     else:
         raise ValueError(f"unknown model type: {model_type}")
     return options

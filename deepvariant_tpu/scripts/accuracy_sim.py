@@ -1,0 +1,596 @@
+"""Scaled-accuracy run: synthetic training corpus -> real-data eval.
+
+Closes the training-data gap the measured-accuracy artifacts carried
+through round 2: instead of 287 labeled examples from one 80 kb slice,
+this driver
+
+  1. simulates diploid genomes over every non-N chr20 reference window
+     OUTSIDE the real 100 kb evaluation slice (training/simulate.py:
+     ~1.2 Mbp per replicate, error model fitted to the real run),
+  2. labels them through the production `make_examples --mode
+     training` path (4-way process fan-out),
+  3. trains the flax InceptionV3 with the device-resident TPU loop
+     (training/train_resident.py — whole corpus in HBM, one scanned
+     executable per epoch),
+  4. evaluates on the REAL held-out NA12878 runs (both sequencing
+     runs, the full 100 kb slice — training never sees any real
+     read or any real truth record), and
+  5. quotes the oracle-labeling ceiling (run_oracle_inference
+     semantics: truth-labeled examples straight to VCF, no CNN)
+     beside the model F1, separating model error from candidate /
+     labeling pipeline error.
+
+Reference anchors: training case study
+(docs/deepvariant-training-case-study.md), published WGS accuracy
+(docs/metrics.md:33-44), oracle driver
+(scripts/run_oracle_inference.py:30-488).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+TESTDATA = "/root/reference/deepvariant/testdata"
+TRIO_TESTDATA = "/root/reference/deeptrio/testdata"
+REF = f"{TESTDATA}/input/ucsc.hg19.chr20.unittest.fasta.gz"
+
+# Non-N islands of the chr20 unittest FASTA are 9,995,000-11,095,000
+# and 59,776,000-60,001,000. The real eval slice (10.0-10.1 Mb) and a
+# 1 kb margin around every island edge are excluded from training
+# simulation; the tail of the second island is reserved for tune.
+SIM_TRAIN_WINDOWS = [
+    (10_101_000, 11_094_000),
+    (59_777_000, 59_970_000),
+]
+SIM_TUNE_WINDOWS = [(59_970_000, 60_000_000)]
+
+EVAL_SOURCES = (
+    {
+        "label": "na12878_s1",
+        "reads": f"{TESTDATA}/input/NA12878_S1.chr20.10_10p1mb.bam",
+        "ref": REF,
+        "truth": f"{TESTDATA}/input/"
+                 "test_nist.b37_chr20_100kbp_at_10mb.vcf.gz",
+        "contig": "chr20",
+        "sample": "NA12878",
+    },
+    {
+        "label": "hg001_sorted",
+        "reads": f"{TRIO_TESTDATA}/input/"
+                 "HG001.chr20.10_10p1mb_sorted.bam",
+        "ref": f"{TRIO_TESTDATA}/input/hs37d5.chr20.fa.gz",
+        "truth": f"{TRIO_TESTDATA}/input/"
+                 "test_hg001_giab_grch37_chr20_100kbp_at_10mb.vcf.gz",
+        "contig": "20",
+        "sample": "HG001",
+    },
+)
+EVAL_SPAN = (10_000_000, 10_100_000)
+
+_CHUNK = 64_000  # make_examples fan-out granularity
+
+
+def _worker_env() -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # workers never touch the TPU tunnel
+    env.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    return env
+
+
+def _run_make_examples_fanout(
+    jobs: List[dict], num_workers: int, log_fn=print
+) -> None:
+    """Run make_examples jobs in `num_workers` CPU-pinned subprocesses.
+
+    Subprocesses (not threads/fork): the parent may hold the TPU
+    backend, and a forked child inheriting that state can wedge the
+    tunnel. Failure of any job halts the rest (GNU parallel --halt 2
+    semantics, run_deepvariant.py:460).
+    """
+    pending = list(jobs)
+    running: List[Tuple[subprocess.Popen, dict]] = []
+    env = _worker_env()
+    while pending or running:
+        while pending and len(running) < num_workers:
+            job = pending.pop(0)
+            code = (
+                "import json,sys\n"
+                "from deepvariant_tpu.utils.backend import force_cpu\n"
+                "force_cpu()\n"
+                "from deepvariant_tpu.make_examples.core import "
+                "MakeExamplesOptions, make_examples_runner\n"
+                "opts = MakeExamplesOptions(**json.loads(sys.argv[1]))\n"
+                "print(json.dumps(make_examples_runner(opts)))\n"
+            )
+            proc = subprocess.Popen(
+                [sys.executable, "-c", code, json.dumps(job)],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+            )
+            running.append((proc, job))
+        done = [(p, j) for p, j in running if p.poll() is not None]
+        running = [(p, j) for p, j in running if p.poll() is None]
+        for proc, job in done:
+            out, err = proc.communicate()
+            if proc.returncode != 0:
+                for p, _ in running:
+                    p.kill()
+                raise RuntimeError(
+                    f"make_examples failed for {job['regions']}:\n{err}"
+                )
+            log_fn(f"  {job['regions'][0]}: {out.strip()}")
+        if running:
+            time.sleep(0.3)
+
+
+def _chunk_regions(
+    contig: str, windows: Sequence[Tuple[int, int]]
+) -> List[str]:
+    regions = []
+    for lo, hi in windows:
+        for s in range(lo, hi, _CHUNK):
+            regions.append(f"{contig}:{s}-{min(s + _CHUNK, hi)}")
+    return regions
+
+
+def _merge_tfrecords(parts: List[str], merged: str) -> int:
+    from deepvariant_tpu.io import tfrecord
+
+    n = 0
+    with tfrecord.TFRecordWriter(merged) as w:
+        for part in parts:
+            if not os.path.exists(part):
+                continue
+            for rec in tfrecord.read_tfrecords(part):
+                w.write(rec)
+                n += 1
+    for part in parts:
+        info = part + ".example_info.json"
+        if os.path.exists(info):
+            shutil.copyfile(info, merged + ".example_info.json")
+            break
+    return n
+
+
+# Per-replicate error-model templates: @hg001 fits the simulator to
+# the second sequencing run (151 bp reads, ~12x, lower base quality)
+# so training covers both eval runs' read profiles.
+TEMPLATES = {
+    "na12878": dict(
+        template_bam=f"{TESTDATA}/input/"
+                     "NA12878_S1.chr20.10_10p1mb.bam",
+        template_region=("chr20", 10_000_000, 10_080_000),
+    ),
+    "hg001": dict(
+        template_bam=f"{TRIO_TESTDATA}/input/"
+                     "HG001.chr20.10_10p1mb_sorted.bam",
+        template_region=("20", 10_000_000, 10_080_000),
+        coverage=12.0,
+    ),
+}
+
+
+def parse_seeds(spec: str) -> List[Tuple[int, str]]:
+    """'101,202,303@hg001' -> [(101,'na12878'),...,(303,'hg001')]."""
+    out = []
+    for token in spec.split(","):
+        if "@" in token:
+            seed, template = token.split("@", 1)
+        else:
+            seed, template = token, "na12878"
+        if template not in TEMPLATES:
+            raise ValueError(f"unknown template {template!r}")
+        out.append((int(seed), template))
+    return out
+
+
+def generate_corpus(
+    workdir: str,
+    seeds: Sequence[Tuple[int, str]],
+    coverage: float,
+    num_workers: int,
+    include_real: bool,
+    log_fn=print,
+) -> Dict[str, object]:
+    """Simulate replicates + label them; returns dataset paths/counts."""
+    from deepvariant_tpu.training.simulate import SimConfig, simulate_corpus
+
+    train_parts: List[str] = []
+    counts = {}
+    for seed, template in seeds:
+        rep_dir = os.path.join(workdir, f"rep{seed}")
+        t0 = time.time()
+        tmpl = dict(TEMPLATES[template])
+        cov = tmpl.pop("coverage", coverage)
+        sim = simulate_corpus(SimConfig(
+            ref_path=REF, contig="chr20",
+            windows=SIM_TRAIN_WINDOWS, seed=seed, coverage=cov,
+            **tmpl,
+        ), rep_dir)
+        log_fn(
+            f"rep{seed}: {sim['n_variants']} variants, "
+            f"{sim['n_reads']} reads in {time.time() - t0:.0f}s"
+        )
+        jobs = []
+        for i, region in enumerate(
+            _chunk_regions("chr20", SIM_TRAIN_WINDOWS)
+        ):
+            part = os.path.join(rep_dir, f"part{i:03d}.tfrecord.gz")
+            jobs.append(dict(
+                reads_filename=sim["bam"], ref_filename=REF,
+                examples_filename=part, mode="training",
+                regions=[region], realigner_enabled=True,
+                truth_variants_filename=sim["truth_vcf"],
+                confident_regions_filename=sim["confident_bed"],
+            ))
+            train_parts.append(part)
+        t0 = time.time()
+        _run_make_examples_fanout(jobs, num_workers, log_fn=lambda _: None)
+        log_fn(f"rep{seed}: labeled in {time.time() - t0:.0f}s")
+
+    # Tune corpus: its own windows AND its own seed — the tune slice
+    # shares no simulated genome with training.
+    tune_dir = os.path.join(workdir, "tune_sim")
+    tune_sim = simulate_corpus(SimConfig(
+        ref_path=REF, contig="chr20", windows=SIM_TUNE_WINDOWS,
+        seed=max(s for s, _ in seeds) + 7919, coverage=coverage,
+    ), tune_dir)
+    tune_parts = []
+    jobs = []
+    for i, region in enumerate(_chunk_regions("chr20", SIM_TUNE_WINDOWS)):
+        part = os.path.join(tune_dir, f"part{i:03d}.tfrecord.gz")
+        jobs.append(dict(
+            reads_filename=tune_sim["bam"], ref_filename=REF,
+            examples_filename=part, mode="training",
+            regions=[region], realigner_enabled=True,
+            truth_variants_filename=tune_sim["truth_vcf"],
+            confident_regions_filename=tune_sim["confident_bed"],
+        ))
+        tune_parts.append(part)
+    _run_make_examples_fanout(jobs, num_workers, log_fn=lambda _: None)
+
+    if include_real:
+        # Pool the real labeled corpus from the TRAIN region only
+        # (chr20:10.00-10.08M, both sequencing runs) — the eval tail
+        # of the real slice stays held out.
+        for src in EVAL_SOURCES:
+            bed = os.path.join(workdir, f"real_{src['label']}.bed")
+            with open(bed, "w") as f:
+                f.write(f"{src['contig']}\t10000000\t10080000\n")
+            part = os.path.join(
+                workdir, f"real_{src['label']}.tfrecord.gz"
+            )
+            jobs = [dict(
+                reads_filename=src["reads"], ref_filename=src["ref"],
+                examples_filename=part, mode="training",
+                regions=[f"{src['contig']}:10,000,000-10,080,000"],
+                realigner_enabled=True,
+                truth_variants_filename=src["truth"],
+                confident_regions_filename=bed,
+            )]
+            _run_make_examples_fanout(jobs, 1, log_fn=lambda _: None)
+            train_parts.append(part)
+
+    train_path = os.path.join(workdir, "train.tfrecord.gz")
+    tune_path = os.path.join(workdir, "tune.tfrecord.gz")
+    counts["train"] = _merge_tfrecords(train_parts, train_path)
+    counts["tune"] = _merge_tfrecords(tune_parts, tune_path)
+    log_fn(f"corpus: {counts['train']} train / {counts['tune']} tune")
+
+    from deepvariant_tpu.training.data import DatasetConfig
+
+    DatasetConfig(
+        name="sim-train", tfrecord_path=train_path,
+        num_examples=counts["train"],
+    ).write(os.path.join(workdir, "train_dataset.json"))
+    DatasetConfig(
+        name="sim-tune", tfrecord_path=tune_path,
+        num_examples=counts["tune"],
+    ).write(os.path.join(workdir, "tune_dataset.json"))
+    return counts
+
+
+def train_model(
+    workdir: str,
+    batch_size: int,
+    num_epochs: int,
+    learning_rate: float,
+    device: str,
+    log_fn=print,
+) -> str:
+    from deepvariant_tpu.training.config import get_config
+    from deepvariant_tpu.training.train_resident import train_resident
+
+    config = get_config("wgs")
+    config.train_dataset_config = os.path.join(
+        workdir, "train_dataset.json"
+    )
+    config.tune_dataset_config = os.path.join(
+        workdir, "tune_dataset.json"
+    )
+    config.batch_size = batch_size
+    config.num_epochs = num_epochs
+    config.learning_rate = learning_rate
+    config.early_stopping_patience = num_epochs
+    config.num_validation_examples = 0
+    # A multi-thousand-step run converges the BN running stats but the
+    # keras default 0.9997 is still too slow at this scale.
+    config.bn_momentum = 0.99
+    config.learning_rate_decay_rate = 0.94
+    config.learning_rate_num_epochs_per_decay = 1.0
+    config.warmup_steps = 0
+
+    import jax
+
+    if device == "cpu" or (
+        device == "auto" and jax.default_backend() == "cpu"
+    ):
+        config.use_mixed_precision = False
+    exp_dir = os.path.join(workdir, "experiment")
+    results = train_resident(config, exp_dir, log_fn=log_fn)
+    log_fn(f"training done: best tune/f1_weighted="
+           f"{results.get('best_metric', 0):.4f} "
+           f"at epoch {results.get('best_epoch')}")
+    return os.path.join(exp_dir, "checkpoints", "best.msgpack")
+
+
+def evaluate_model(
+    workdir: str,
+    ckpt: str,
+    batch_size: int,
+    num_workers: int,
+    eval_span: Tuple[int, int] = EVAL_SPAN,
+    log_fn=print,
+) -> Dict[str, object]:
+    """Model F1 + oracle ceiling per eval source, plus pooled."""
+    from deepvariant_tpu.calling.call_variants import call_variants
+    from deepvariant_tpu.io.fasta import FastaReader
+    from deepvariant_tpu.labeler import labeled_examples_to_vcf
+    from deepvariant_tpu.postprocess.pipeline import postprocess_variants
+    from deepvariant_tpu.scripts.call_variants import (
+        load_variables_for_examples,
+    )
+    from deepvariant_tpu.tools import vcf_eval
+
+    lo, hi = eval_span
+    per_source = []
+    for src in EVAL_SOURCES:
+        ev_dir = os.path.join(workdir, f"eval_{src['label']}")
+        os.makedirs(ev_dir, exist_ok=True)
+        region = f"{src['contig']}:{lo}-{hi}"
+        bed = os.path.join(ev_dir, "confident.bed")
+        with open(bed, "w") as f:
+            f.write(f"{src['contig']}\t{lo}\t{hi}\n")
+
+        calling_path = os.path.join(ev_dir, "calling.tfrecord.gz")
+        oracle_path = os.path.join(ev_dir, "oracle.tfrecord.gz")
+        jobs = [
+            dict(
+                reads_filename=src["reads"], ref_filename=src["ref"],
+                examples_filename=calling_path, mode="calling",
+                regions=[region], realigner_enabled=True,
+            ),
+            dict(
+                reads_filename=src["reads"], ref_filename=src["ref"],
+                examples_filename=oracle_path, mode="training",
+                regions=[region], realigner_enabled=True,
+                truth_variants_filename=src["truth"],
+                confident_regions_filename=bed,
+            ),
+        ]
+        _run_make_examples_fanout(jobs, min(2, num_workers),
+                                  log_fn=lambda _: None)
+
+        model, variables, _ = load_variables_for_examples(
+            ckpt, calling_path
+        )
+        cvo_path = os.path.join(ev_dir, "cvo.tfrecord.gz")
+        call_variants(
+            calling_path, cvo_path, variables,
+            batch_size=batch_size, model=model,
+        )
+        vcf_out = os.path.join(ev_dir, "out.vcf.gz")
+        ref_reader = FastaReader(src["ref"])
+        postprocess_variants(
+            cvo_path, vcf_out, ref_reader.contigs,
+            sample_name=src["sample"],
+        )
+        model_metrics = vcf_eval.evaluate(
+            src["truth"], vcf_out, confident_bed=bed, region=region
+        )
+
+        oracle_vcf = os.path.join(ev_dir, "oracle.vcf.gz")
+        labeled_examples_to_vcf.run(
+            oracle_path, src["ref"], oracle_vcf,
+            sample_name=src["sample"],
+        )
+        oracle_metrics = vcf_eval.evaluate(
+            src["truth"], oracle_vcf, confident_bed=bed, region=region
+        )
+        log_fn(
+            f"{src['label']}: model all-F1 "
+            f"{model_metrics['all']['f1']:.4f} "
+            f"(snp {model_metrics['snp']['f1']:.4f} / indel "
+            f"{model_metrics['indel']['f1']:.4f}); oracle ceiling "
+            f"all-F1 {oracle_metrics['all']['f1']:.4f}"
+        )
+        per_source.append({
+            "label": src["label"],
+            "region": region,
+            "model": model_metrics,
+            "oracle": oracle_metrics,
+        })
+
+    def _pool(key):
+        pooled = {}
+        for kind in ("snp", "indel", "all"):
+            tp = sum(s[key][kind]["tp"] for s in per_source)
+            fn = sum(s[key][kind]["fn"] for s in per_source)
+            fp = sum(s[key][kind]["fp"] for s in per_source)
+            rec = tp / (tp + fn) if tp + fn else 0.0
+            prec = tp / (tp + fp) if tp + fp else 0.0
+            f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+            pooled[kind] = {
+                "tp": tp, "fn": fn, "fp": fp,
+                "recall": round(rec, 6),
+                "precision": round(prec, 6),
+                "f1": round(f1, 6),
+            }
+        return pooled
+
+    return {
+        "per_source": per_source,
+        "model": _pool("model"),
+        "oracle": _pool("oracle"),
+    }
+
+
+def write_report(path: str, result: Dict[str, object]) -> None:
+    m = result["eval"]["model"]
+    o = result["eval"]["oracle"]
+    lines = [
+        "# Measured variant-calling accuracy "
+        "(synthetic-corpus training, real-data eval)",
+        "",
+        "Full pipeline, no golden files injected anywhere. The model",
+        f"trains from scratch on **{result['train_examples']}"
+        " labeled examples** produced by the diploid read simulator",
+        "(training/simulate.py) over every non-N chr20 window outside",
+        "the eval slice — training sees **no real read and no real",
+        "truth record**. Evaluation runs the trained model over the",
+        "full real 100 kb NA12878 slice, in BOTH of its independent",
+        "sequencing runs, against the NIST/GIAB truth sets",
+        f"(`{result['eval_region']}`).",
+        "",
+        "| type | TP | FN | FP | recall | precision | F1 "
+        "| oracle-ceiling F1 |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for kind in ("snp", "indel", "all"):
+        d, oc = m[kind], o[kind]
+        lines.append(
+            f"| {kind} | {d['tp']} | {d['fn']} | {d['fp']} | "
+            f"{d['recall']:.4f} | {d['precision']:.4f} | "
+            f"**{d['f1']:.4f}** | {oc['f1']:.4f} |"
+        )
+    lines += [
+        "",
+        "The oracle ceiling (run_oracle_inference semantics: truth-"
+        "labeled examples straight to VCF, no CNN) bounds what ANY",
+        "model could score through this candidate/labeling pipeline on",
+        "this eval set; the gap between the model column and the",
+        "oracle column is model error, the gap between the oracle",
+        "column and 1.0 is pipeline + truth-set error.",
+        "",
+        "Per eval source:",
+        "",
+    ]
+    for s in result["eval"]["per_source"]:
+        sm, so = s["model"], s["oracle"]
+        lines.append(
+            f"- `{s['label']}` ({s['region']}): model snp F1 "
+            f"{sm['snp']['f1']:.4f} / indel {sm['indel']['f1']:.4f} "
+            f"(oracle {so['snp']['f1']:.4f} / {so['indel']['f1']:.4f})"
+        )
+    lines += [
+        "",
+        f"Training: {result['train_examples']} examples "
+        f"({result.get('seeds', [])} replicate seeds x ~1.2 Mbp, "
+        f"coverage {result.get('coverage')}x), "
+        f"tune on {result['tune_examples']} held-out simulated "
+        "examples, device-resident TPU loop "
+        "(training/train_resident.py).",
+        "",
+        "Reproduce: `python -m deepvariant_tpu.scripts.accuracy_sim "
+        f"--workdir /tmp/acc_sim --seeds "
+        f"{','.join(str(s) for s in result.get('seeds', []))}`",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    p = argparse.ArgumentParser("accuracy_sim")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--stages", default="gen,train,eval",
+                   help="comma list of gen|train|eval")
+    p.add_argument("--seeds", default="101,202",
+                   help="comma list of replicate seeds")
+    p.add_argument("--coverage", type=float, default=50.0)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--include_real", action="store_true",
+                   help="pool the real chr20:10.00-10.08M labeled "
+                        "examples into training (eval then only valid "
+                        "on 10.08-10.10M; pass --eval_span)")
+    p.add_argument("--eval_span", default="10000000-10100000")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--num_epochs", type=int, default=40)
+    p.add_argument("--learning_rate", type=float, default=0.004)
+    p.add_argument("--device", choices=("auto", "cpu"), default="auto")
+    p.add_argument("--checkpoint", default="",
+                   help="eval an existing checkpoint (skips train)")
+    p.add_argument("--report", default="")
+    args = p.parse_args(argv)
+
+    if args.device == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    stages = set(args.stages.split(","))
+    seeds = parse_seeds(args.seeds)
+    os.makedirs(args.workdir, exist_ok=True)
+    result: Dict[str, object] = {
+        "seeds": [
+            str(s) if t == "na12878" else f"{s}@{t}" for s, t in seeds
+        ],
+        "coverage": args.coverage,
+    }
+
+    counts_path = os.path.join(args.workdir, "corpus_counts.json")
+    if "gen" in stages:
+        counts = generate_corpus(
+            args.workdir, seeds, args.coverage, args.num_workers,
+            include_real=args.include_real,
+        )
+        with open(counts_path, "w") as f:
+            json.dump(counts, f)
+    else:
+        with open(counts_path) as f:
+            counts = json.load(f)
+    result["train_examples"] = counts["train"]
+    result["tune_examples"] = counts["tune"]
+
+    ckpt = args.checkpoint or os.path.join(
+        args.workdir, "experiment", "checkpoints", "best.msgpack"
+    )
+    if "train" in stages and not args.checkpoint:
+        ckpt = train_model(
+            args.workdir, args.batch_size, args.num_epochs,
+            args.learning_rate, args.device,
+        )
+
+    if "eval" in stages:
+        lo, hi = (int(x) for x in args.eval_span.split("-"))
+        result["eval"] = evaluate_model(
+            args.workdir, ckpt, args.batch_size, args.num_workers,
+            eval_span=(lo, hi),
+        )
+        result["eval_region"] = f"chr20/20:{lo}-{hi}, both runs"
+        if args.report:
+            write_report(args.report, result)
+        print(json.dumps({
+            "train_examples": result["train_examples"],
+            "model": result["eval"]["model"],
+            "oracle": result["eval"]["oracle"],
+        }))
+
+
+if __name__ == "__main__":
+    main()

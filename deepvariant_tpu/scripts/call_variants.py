@@ -79,14 +79,34 @@ def load_variables_for_examples(checkpoint: str, examples_path: str,
                 blob,
             )
         except ValueError:
-            # Full training state.
-            tx, _ = train_lib.make_optimizer(TrainConfig(), 100)
-            state = train_lib.init_state(model, variables, tx)
-            state = serialization.from_bytes(state, blob)
-            params = state["ema_params"] if use_ema else state["params"]
-            variables = {
-                "params": params, "batch_stats": state["batch_stats"],
-            }
+            try:
+                # Device-resident trainer snapshot (train_resident.py):
+                # params + batch_stats + ema_params + step, no opt state.
+                snap = serialization.from_bytes(
+                    {
+                        "params": variables["params"],
+                        "batch_stats": variables["batch_stats"],
+                        "ema_params": variables["params"],
+                        "step": jnp.zeros((), jnp.int32),
+                    },
+                    blob,
+                )
+                params = snap["ema_params"] if use_ema else snap["params"]
+                variables = {
+                    "params": params,
+                    "batch_stats": snap["batch_stats"],
+                }
+            except ValueError:
+                # Full training state.
+                tx, _ = train_lib.make_optimizer(TrainConfig(), 100)
+                state = train_lib.init_state(model, variables, tx)
+                state = serialization.from_bytes(state, blob)
+                params = (
+                    state["ema_params"] if use_ema else state["params"]
+                )
+                variables = {
+                    "params": params, "batch_stats": state["batch_stats"],
+                }
     return model, variables, info
 
 

@@ -153,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_read_length_to_realign", type=int, default=500)
     _bool_flag(p, "enable_strict_insertion_filter", False)
     _bool_flag(p, "enable_joint_realignment", False)
+    # RNA-seq: split spliced (N-CIGAR) alignments into per-exon reads
+    # before realignment (reference realigner.py:230).
+    _bool_flag(p, "split_skip_reads", False)
     _bool_flag(p, "trim_reads_for_pileup", False)
 
     # -- pileup images ------------------------------------------------------
@@ -461,6 +464,8 @@ def options_from_args(args) -> MakeExamplesOptions:
     options.realigner_options.ws_config.enable_strict_insertion_filter = (
         args.enable_strict_insertion_filter
     )
+    if args.split_skip_reads:
+        options.realigner_options.split_skip_reads = True
     options.trim_reads_for_pileup = args.trim_reads_for_pileup
     options.create_complex_alleles = args.create_complex_alleles
     return options

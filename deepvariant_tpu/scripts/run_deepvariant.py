@@ -18,7 +18,15 @@ import os
 import sys
 import time
 
-MODEL_TYPES = ("WGS", "WES", "PACBIO", "ONT_R104", "HYBRID_PACBIO_ILLUMINA")
+MODEL_TYPES = (
+    "WGS",
+    "WES",
+    "PACBIO",
+    "ONT_R104",
+    "HYBRID_PACBIO_ILLUMINA",
+    "MASSEQ",
+    "RNASEQ",
+)
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -61,6 +61,15 @@ class SimConfig:
     windows: Sequence[Tuple[int, int]]
     seed: int = 0
     coverage: float = 32.0
+    # Template run the error model is fitted to: quality-string pools,
+    # read length, and fragment-size stats all come from these reads.
+    template_bam: str = (
+        "/root/reference/deepvariant/testdata/input/"
+        "NA12878_S1.chr20.10_10p1mb.bam"
+    )
+    template_region: Tuple[str, int, int] = (
+        "chr20", 10_000_000, 10_080_000
+    )
     read_length: int = 101
     fragment_mean: float = 320.0
     fragment_std: float = 72.0
@@ -114,6 +123,8 @@ class QualityModel:
         self.r1 = r1  # (n1, L) uint8 phred
         self.r2 = r2  # (n2, L) uint8 phred
         self.read_length = read_length
+        self.fragment_mean = 320.0
+        self.fragment_std = 72.0
 
     @classmethod
     def from_bam(
@@ -129,6 +140,7 @@ class QualityModel:
         reads = batch.to_reads()
         pools: Dict[int, List[np.ndarray]] = {0: [], 1: []}
         length = 0
+        tlens: List[int] = []
         for rd in reads[:max_reads]:
             q = np.frombuffer(bytes(rd.aligned_quality), np.uint8)
             if length == 0:
@@ -138,9 +150,14 @@ class QualityModel:
             if rd.reverse_strand:
                 q = q[::-1]  # back to sequencing orientation
             pools[rd.read_number % 2].append(q)
+            if 0 < abs(rd.fragment_length) < 2000:
+                tlens.append(abs(rd.fragment_length))
         if not pools[0] or not pools[1]:
             raise ValueError(f"no paired reads found in {bam_path}")
-        return cls(np.stack(pools[0]), np.stack(pools[1]), length)
+        model = cls(np.stack(pools[0]), np.stack(pools[1]), length)
+        model.fragment_mean = float(np.mean(tlens)) if tlens else 320.0
+        model.fragment_std = float(np.std(tlens)) if tlens else 72.0
+        return model
 
     def draw(self, rng: np.random.Generator, mate: int) -> np.ndarray:
         pool = self.r1 if mate == 0 else self.r2
@@ -549,14 +566,14 @@ def simulate_corpus(cfg: SimConfig, outdir: str) -> Dict[str, object]:
     )
 
     qual_model = QualityModel.from_bam(
-        "/root/reference/deepvariant/testdata/input/"
-        "NA12878_S1.chr20.10_10p1mb.bam",
-        Range("chr20", 10_000_000, 10_080_000),
+        cfg.template_bam, Range(*cfg.template_region)
     )
-    if qual_model.read_length != cfg.read_length:
-        cfg = dataclasses.replace(
-            cfg, read_length=qual_model.read_length
-        )
+    cfg = dataclasses.replace(
+        cfg,
+        read_length=qual_model.read_length,
+        fragment_mean=qual_model.fragment_mean,
+        fragment_std=qual_model.fragment_std,
+    )
 
     all_variants: List[SimVariant] = []
     all_reads: List[Read] = []

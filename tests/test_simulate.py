@@ -185,6 +185,7 @@ def test_clean_reads_carry_variant_alleles(clean_corpus):
     snvs = [v for v in out["variants"]
             if len(v.ref) == 1 and len(v.alt) == 1]
     assert len(snvs) > 10
+    het_counts = []
     for v in snvs:
         alt_n = ref_n = 0
         for rd in reads:
@@ -209,11 +210,18 @@ def test_clean_reads_carry_variant_alleles(clean_corpus):
         total = alt_n + ref_n
         if total < 6:
             continue
-        vaf = alt_n / total
         if v.genotype == (1, 1):
-            assert vaf == 1.0, (v, alt_n, ref_n)
+            # Hom-alt with no errors: every read carries the alt.
+            assert alt_n / total == 1.0, (v, alt_n, ref_n)
         else:
-            assert 0.15 < vaf < 0.85, (v, alt_n, ref_n)
+            het_counts.append((alt_n, ref_n))
+    # Hets are binomial(p=0.5) per site, so assert on the pool: the
+    # aggregate VAF concentrates tightly around 0.5 even when single
+    # low-coverage sites land 7:1.
+    assert len(het_counts) > 10
+    alt_total = sum(a for a, _ in het_counts)
+    n_total = sum(a + r for a, r in het_counts)
+    assert 0.42 < alt_total / n_total < 0.58, (alt_total, n_total)
 
 
 def test_corpus_determinism(tmp_path):
