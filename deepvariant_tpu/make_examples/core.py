@@ -1416,11 +1416,18 @@ class RegionProcessor:
 
 
 class OutputsWriter:
-    """Multiplexed TFRecord writers (make_examples_core.py:1182)."""
+    """Multiplexed TFRecord writers (make_examples_core.py:1182).
 
-    def __init__(self, options: MakeExamplesOptions):
+    `example_sink`, when given, receives each serialized tf.Example
+    instead of (or in addition to) the examples TFRecord — the fused
+    streaming pipeline's replacement for the reference's
+    shared-memory example stream (stream_examples.h:51).
+    """
+
+    def __init__(self, options: MakeExamplesOptions, example_sink=None):
         task = options.task_id
         self._writers: Dict[str, TFRecordWriter] = {}
+        self._example_sink = example_sink
         if options.examples_filename:
             self.examples_path = maybe_sharded_output_path(
                 options.examples_filename, task
@@ -1455,6 +1462,10 @@ class OutputsWriter:
         if writer:
             for buf in encoded:
                 writer.write(buf)
+                self.counts["examples"] += 1
+        elif self._example_sink is not None:
+            for buf in encoded:
+                self._example_sink(buf)
                 self.counts["examples"] += 1
 
     def write_candidates(self, *candidates: DeepVariantCall):
@@ -1639,8 +1650,12 @@ def extract_sample_name_from_bam_header(header) -> str:
 def make_examples_runner(
     options: MakeExamplesOptions,
     runtime_by_region_path: Optional[str] = None,
+    example_sink=None,
 ) -> Dict[str, int]:
-    """Main per-shard loop (make_examples_core.py:3481). Returns counts."""
+    """Main per-shard loop (make_examples_core.py:3481). Returns counts.
+
+    `example_sink(serialized_example)` replaces the examples TFRecord
+    for the fused streaming pipeline (leave examples_filename empty)."""
     from deepvariant_tpu.utils.resources import ResourceMonitor
 
     monitor = ResourceMonitor().start()
@@ -1729,7 +1744,7 @@ def make_examples_runner(
     runtime_rows = []
     sitelist: List[str] = []
     n_candidates_logged = 0
-    with OutputsWriter(options) as writer:
+    with OutputsWriter(options, example_sink=example_sink) as writer:
         for region in regions:
             outputs = processor.process(region)
             if options.output_sitelist:

@@ -360,11 +360,22 @@ def postprocess_variants(
     `pon_vcf_path` marks PASS variants found in the Panel of Normals
     VCF with the PON filter (postprocess_variants.py:1315-1346)."""
     specs = [cvo_path] if isinstance(cvo_path, str) else list(cvo_path)
-    paths: List[str] = []
-    for spec in specs:
-        if spec:
-            paths.extend(glob_sharded_inputs(spec))
-    cvos = read_cvos_sorted(paths, contigs)
+    if specs and not isinstance(specs[0], str):
+        # In-memory CVOs from the fused streaming pipeline
+        # (parallel/stream_pipeline.py): same sort-by-locus contract
+        # as read_cvos_sorted, no intermediate file.
+        order = {c.name: i for i, c in enumerate(contigs)}
+        cvos = sorted(
+            specs,
+            key=lambda c: (order.get(c.variant.reference_name, 1 << 30),
+                           c.variant.start, c.variant.end),
+        )
+    else:
+        paths: List[str] = []
+        for spec in specs:
+            if spec:
+                paths.extend(glob_sharded_inputs(spec))
+        cvos = read_cvos_sorted(paths, contigs)
     if regions is not None:
         # --regions (postprocess_variants.py:262): only candidates
         # starting inside the requested ranges are emitted.

@@ -38,9 +38,23 @@ def resolve_checkpoint_path(checkpoint: str) -> str:
 def load_variables_for_examples(checkpoint: str, examples_path: str,
                                 use_ema: bool = True):
     """Build the model for the examples' shape; load checkpoint params."""
-    checkpoint = resolve_checkpoint_path(checkpoint)
     info = example_codec.read_example_info(examples_path)
-    h, w, c = info["shape"]
+    model, variables = load_variables_for_shape(
+        checkpoint, info["shape"],
+        expected_channels=info.get("channels"), use_ema=use_ema,
+    )
+    return model, variables, info
+
+
+def load_variables_for_shape(checkpoint: str, shape,
+                             expected_channels=None,
+                             use_ema: bool = True):
+    """Shape-based loader core: used by the file path above and by the
+    fused streaming pipeline, where the shape comes from the first
+    streamed example instead of an example_info.json sidecar."""
+    checkpoint = resolve_checkpoint_path(checkpoint)
+    h, w, c = shape
+    info = {"shape": [h, w, c], "channels": list(expected_channels or [])}
     model, variables = create_model(c, height=h, width=w)
     if checkpoint:
         from deepvariant_tpu.training import train as train_lib
@@ -107,7 +121,7 @@ def load_variables_for_examples(checkpoint: str, examples_path: str,
                 variables = {
                     "params": params, "batch_stats": state["batch_stats"],
                 }
-    return model, variables, info
+    return model, variables
 
 
 def build_parser() -> argparse.ArgumentParser:

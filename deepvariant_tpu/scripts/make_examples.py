@@ -471,16 +471,11 @@ def options_from_args(args) -> MakeExamplesOptions:
     return options
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    if args.stream_examples or args.shm_prefix:
-        raise SystemExit(
-            "--stream_examples/--shm_* drive the reference's "
-            "boost::interprocess ring buffer, which this framework "
-            "replaces with the in-process device-prefetch pipeline "
-            "(deepvariant_tpu.parallel.distribute.fused_encode_infer); "
-            "run without these flags."
-        )
+def resolved_options_from_args(args):
+    """Fully-resolved options: flag wiring + model preset + channel
+    lists + validation. Shared by main() and the fused streaming
+    pipeline (run_deepvariant --stream), so a streamed run is
+    configured identically to a staged run."""
     options = options_from_args(args)
     if args.model_preset:
         from deepvariant_tpu.make_examples.presets import (
@@ -545,6 +540,21 @@ def main(argv=None) -> int:
         check_options_are_valid(options)
     except OptionsError as e:
         raise SystemExit(f"invalid options: {e}")
+    return options
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.stream_examples or args.shm_prefix:
+        raise SystemExit(
+            "--stream_examples/--shm_* drive the reference's "
+            "boost::interprocess ring buffer, which this framework "
+            "replaces with the fused streaming pipeline "
+            "(run_deepvariant --stream / "
+            "deepvariant_tpu.parallel.stream_pipeline); "
+            "run without these flags."
+        )
+    options = resolved_options_from_args(args)
     counts = make_examples_runner(
         options,
         runtime_by_region_path=args.runtime_by_region or None,

@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_multiallelic_model", action="store_true")
     p.add_argument("--call_small_model_examples", action="store_true")
     p.add_argument("--trained_small_model_path", default="")
+    p.add_argument(
+        "--stream", action="store_true",
+        help="fused streaming pipeline: make_examples workers feed "
+             "candidate tensors straight into device inference and "
+             "postprocess with NO intermediate example/CVO files "
+             "(the reference's fast_pipeline equivalent, "
+             "fast_pipeline.cc:248)")
     return p
 
 
@@ -71,6 +78,69 @@ def _run_make_examples_shard(args_tuple):
     with redirect_stdout(buf):
         rc = me_main(argv + ["--task", str(task)])
     return rc, buf.getvalue()
+
+
+def _run_stream(args, me_argv, num_workers: int, t_start: float) -> int:
+    """Fused streaming mode: stage 1 workers feed the device directly;
+    no intermediate example/CVO files (fast_pipeline.cc:248 analog)."""
+    from deepvariant_tpu.calling.call_variants import Predictor
+    from deepvariant_tpu.parallel.stream_pipeline import (
+        run_streaming_pipeline,
+    )
+    from deepvariant_tpu.scripts.call_variants import (
+        load_variables_for_shape,
+    )
+    from deepvariant_tpu.scripts.make_examples import (
+        build_parser as me_build_parser,
+        resolved_options_from_args,
+    )
+
+    if args.output_gvcf:
+        raise SystemExit(
+            "--stream does not produce gVCF output yet; drop "
+            "--output_gvcf or run the staged pipeline"
+        )
+    if args.call_small_model_examples:
+        raise SystemExit(
+            "--stream does not gate through the small model yet; "
+            "drop --call_small_model_examples or run the staged "
+            "pipeline"
+        )
+    if not args.checkpoint and not args.allow_uninitialized_model:
+        raise SystemExit(
+            "pass --checkpoint (or --allow_uninitialized_model for "
+            "testing)"
+        )
+    me_args = me_build_parser().parse_args(me_argv + ["--task", "0"])
+    options = resolved_options_from_args(me_args)
+
+    def predictor_factory(shape):
+        model, variables = load_variables_for_shape(
+            args.checkpoint, shape
+        )
+        return Predictor(
+            variables, batch_size=args.batch_size, model=model
+        )
+
+    result = run_streaming_pipeline(
+        options,
+        args.output_vcf,
+        args.ref,
+        sample_name=args.sample_name,
+        num_workers=num_workers,
+        batch_size=args.batch_size,
+        predictor_factory=predictor_factory,
+        postprocess_kwargs={
+            "use_multiallelic_model": args.use_multiallelic_model,
+        },
+    )
+    print(
+        f"streamed {result['stream_examples']} examples at "
+        f"{result['stream_examples_per_sec']} ex/s (feed included); "
+        f"postprocess: {result['postprocess']}"
+    )
+    print(f"total: {time.time() - t_start:.1f}s -> {args.output_vcf}")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -122,6 +192,8 @@ def main(argv=None) -> int:
         if args.trained_small_model_path:
             me_argv += ["--trained_small_model_path",
                         args.trained_small_model_path]
+    if args.stream:
+        return _run_stream(args, me_argv, n, t_start)
     t0 = time.time()
     if n == 1:
         rc, out = _run_make_examples_shard((me_argv, 0))
