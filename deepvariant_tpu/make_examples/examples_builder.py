@@ -116,21 +116,20 @@ class ExamplesBuilder:
             )
         return False
 
-    def _build_alt_images(
+    def iter_alt_batches(
         self,
         dv_call: DeepVariantCall,
         batch: ReadBatch,
         combo: Sequence[str],
         sort_positions=None,
-    ) -> List[Optional[np.ndarray]]:
-        """One pileup per alt in combo, reads realigned to the alt
-        haplotype (CreateAltAlignedImages, make_examples_native.cc:553).
+    ):
+        """Per-alt realigned inputs for alt-aligned pileups.
 
-        `batch` is the already-trimmed pileup batch (the caller trims
-        whenever alt alignment is needed); `sort_positions` carries the
-        reads' original alignment positions so alt rows sort exactly
-        like the reference's (alignment_positions,
-        pileup_image_native.cc:397-401)."""
+        Yields (remapped_call, alt_batch, alt_sort_positions,
+        hap_window) per alt in combo, or None when the haplotype is too
+        short. Shared by the host painter (_build_alt_images) and the
+        device encoder (pileup_jax.encode_longread_examples), so both
+        see identical realigned read sets."""
         from deepvariant_tpu.io.bam import ReadBatch as _RB
         from deepvariant_tpu.make_examples import alt_aligned as aa
 
@@ -139,7 +138,6 @@ class ExamplesBuilder:
         contig = variant.reference_name
         contig_n_bases = self.ref.contig_length(contig)
         trimmed = batch.to_reads()
-        alt_images: List[Optional[np.ndarray]] = []
         for alt in combo:
             haplotype, ref_start, ref_end = aa.create_haplotype(
                 variant, alt, o.half_width, self.ref.query, contig_n_bases

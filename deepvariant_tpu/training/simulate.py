@@ -97,6 +97,14 @@ class SimConfig:
     # Scales quality-driven substitution error probabilities (0 turns
     # sequencing errors off — used by reconstruction tests).
     error_rate_scale: float = 1.0
+    # Allele-sampling bias: het alt fractions Beta-skewed below 0.5
+    # (alignment reference bias) and hom-alt sites contaminated with a
+    # few ref-carrying reads. Reconstruction tests turn this off.
+    allele_sampling_bias: bool = True
+    # Fraction of indels re-anchored into repeat tracts (homopolymers /
+    # dinucleotide tandems) with tandem-duplication insertion content —
+    # where real indels live.
+    indel_repeat_fraction: float = 0.7
     sample_name: str = "SIM"
 
 
@@ -106,6 +114,14 @@ class SimVariant:
     ref: str
     alt: str
     genotype: Tuple[int, int]  # phased (hap0 allele, hap1 allele)
+    # Probability a fragment covering this site is drawn from a
+    # REF-carrying source (mapping bias / contamination model):
+    # het sites get 1 - Beta-skewed alt fraction, hom-alt sites get a
+    # small contamination rate — real hom pileups are rarely pure, and
+    # a model trained on pure ones systematically under-calls hom-alt
+    # as het (measured on the NA12878 eval: every wrong-GT call was
+    # hom->het before this knob existed).
+    p_ref_draw: float = 0.5
 
 
 class QualityModel:
@@ -186,12 +202,17 @@ def sample_variants(
     span = hi - lo
     n_snv = rng.poisson(span * cfg.snv_rate)
     n_indel = rng.poisson(span * cfg.indel_rate)
+    repeat_anchors = _repeat_anchor_positions(ref, lo + 1, hi - 40)
     # Candidate positions, then greedy non-overlap selection.
     proposals: List[Tuple[int, int]] = []  # (pos, kind) kind 0=snv 1=ins 2=del
     for pos in rng.integers(lo + 1, hi - cfg.max_indel_len - 2, n_snv):
         proposals.append((int(pos), 0))
     for pos in rng.integers(lo + 1, hi - cfg.max_indel_len - 2, n_indel):
-        proposals.append((int(pos), 1 + int(rng.integers(2))))
+        kind = 1 + int(rng.integers(2))
+        if len(repeat_anchors) and \
+                rng.random() < cfg.indel_repeat_fraction:
+            pos = int(repeat_anchors[rng.integers(len(repeat_anchors))])
+        proposals.append((int(pos), kind))
     proposals.sort()
     variants: List[SimVariant] = []
     last_end = -(10 ** 9)
@@ -205,7 +226,13 @@ def sample_variants(
             ref_end = pos + 1
         elif kind == 1:  # insertion after anchor at pos
             length = min(1 + rng.geometric(0.40), cfg.max_indel_len)
-            ins = bytes(rng.choice(_BASES, length)).decode()
+            dup = ref[pos + 1: pos + 1 + length]
+            if len(dup) == length and all(b in _BASES for b in dup):
+                # Tandem duplication of the adjacent sequence — the
+                # dominant real insertion mechanism.
+                ins = bytes(dup).decode()
+            else:
+                ins = bytes(rng.choice(_BASES, length)).decode()
             ref_allele = chr(ref[pos])
             alt = ref_allele + ins
             ref_end = pos + 1
@@ -223,11 +250,47 @@ def sample_variants(
             continue
         if rng.random() < cfg.het_fraction:
             gt = (0, 1) if rng.random() < 0.5 else (1, 0)
+            # Alignment reference bias: alt fraction centered slightly
+            # below 0.5 with realistic spread.
+            p_ref = 1.0 - float(rng.beta(30.0, 32.0))
         else:
             gt = (1, 1)
-        variants.append(SimVariant(pos, ref_allele, alt, gt))
+            # Hom-alt contamination: most sites pure, a minority carry
+            # a few percent ref-supporting reads.
+            p_ref = float(rng.uniform(0.01, 0.10)) \
+                if rng.random() < 0.4 else 0.0
+        if not cfg.allele_sampling_bias:
+            p_ref = 0.5 if gt != (1, 1) else 0.0
+        variants.append(SimVariant(pos, ref_allele, alt, gt, p_ref))
         last_end = ref_end
     return variants
+
+
+def _repeat_anchor_positions(
+    ref: np.ndarray, lo: int, hi: int
+) -> np.ndarray:
+    """Anchor positions (base BEFORE the tract) of homopolymer runs
+    (>=4) and dinucleotide tandems (>=3 units) in ref[lo:hi)."""
+    window = ref[lo:hi]
+    anchors = []
+    runs = homopolymer_runs(window, 4)
+    anchors.extend(int(s) + lo - 1 for s in runs if s > 0)
+    # Dinucleotide tandems: i where ref[i:i+2] repeats >= 3 times
+    # (w[i]==w[i+2]==w[i+4], w[i+1]==w[i+3]==w[i+5], not a homopolymer).
+    w = window
+    if len(w) >= 6:
+        m = (
+            (w[:-5] == w[2:-3]) & (w[2:-3] == w[4:-1])
+            & (w[1:-4] == w[3:-2]) & (w[3:-2] == w[5:])
+            & (w[:-5] != w[1:-4])
+        )
+        starts = np.flatnonzero(m)
+        # Keep only tandem STARTS (previous position not in a tandem).
+        keep = np.concatenate([[True], np.diff(starts) > 1]) \
+            if len(starts) else np.zeros(0, bool)
+        anchors.extend(int(s) + lo - 1 for s in starts[keep] if s > 0)
+    out = np.unique(np.asarray(sorted(anchors), np.int64))
+    return out[(out >= lo) & (out < hi)]
 
 
 def build_haplotype(
@@ -422,17 +485,28 @@ def simulate_window_reads(
     cfg: SimConfig,
     qual_model: QualityModel,
     contig: str,
-    hot_alt: Dict[int, Tuple[int, float]],
+    hot_alt: Dict[int, Tuple[int, float, float]],
     name_prefix: str,
+    variants: Sequence[SimVariant] = (),
+    window: Optional[Tuple[int, int]] = None,
 ) -> List[Read]:
-    """Emit paired reads over one simulated window (both haplotypes).
+    """Emit paired reads over one simulated window.
+
+    Fragments are placed in REFERENCE coordinates first, then sourced
+    from hap0 / hap1 / the pure-reference sequence according to the
+    first covered variant's `p_ref_draw` — that is how het skew and
+    hom-alt contamination become per-SITE read fractions. `haps` is
+    [(hap0_seq, hap0_refpos), (hap1...), (ref_seq, ref_refpos)].
 
     Slips apply at the fragment level: a library-prep slip is a
     property of the molecule, so both mates of a pair share it.
     """
     L = cfg.read_length
     reads: List[Read] = []
-    span = len(haps[0][0])
+    if window is None:
+        window = (int(haps[-1][1][0]), int(haps[-1][1][-1]) + 1)
+    ref_lo, ref_hi = window
+    span = ref_hi - ref_lo
     n_fragments = int(span * cfg.coverage / (2 * L))
     min_frag = L + 4
     hot_positions = (
@@ -440,16 +514,43 @@ def simulate_window_reads(
         if hot_alt else np.zeros(0, np.int64)
     )
     slip_sites = build_slip_sites(rng, haps, cfg, {})
+    # ref coordinate -> haplotype coordinate maps (aligned bases only).
+    inv_maps = []
+    for seq, refpos in haps:
+        aligned = refpos >= 0
+        inv_maps.append((refpos[aligned], np.flatnonzero(aligned)))
+    var_pos = np.array([v.pos for v in variants], np.int64)
+    var_p_ref = np.array([v.p_ref_draw for v in variants])
+    var_alt_hap = np.array([
+        -1 if v.genotype == (1, 1) else v.genotype.index(1)
+        for v in variants
+    ], np.int64)
     for frag_idx in range(n_fragments):
-        hap = int(rng.integers(2))
-        hap_seq, hap_refpos = haps[hap]
         frag_len = int(np.clip(
             rng.normal(cfg.fragment_mean, cfg.fragment_std), min_frag, 800
         ))
-        start_max = len(hap_seq) - frag_len
-        if start_max <= 0:
+        if span <= frag_len:
             continue
-        start = int(rng.integers(start_max))
+        ref_start = ref_lo + int(rng.integers(span - frag_len))
+        # Source haplotype from the first covered variant's draw rule.
+        i0 = int(np.searchsorted(var_pos, ref_start + 3))
+        if i0 < len(var_pos) and var_pos[i0] < ref_start + frag_len - 3:
+            p_ref = float(var_p_ref[i0])
+            alt_hap = int(var_alt_hap[i0])
+            u = rng.random()
+            if alt_hap < 0:  # hom-alt: contamination -> pure ref source
+                hap = 2 if u < p_ref else int(rng.integers(2))
+            else:  # het: ref draw -> the non-alt haplotype
+                hap = (1 - alt_hap) if u < p_ref else alt_hap
+        else:
+            hap = int(rng.integers(2))
+        hap_seq, hap_refpos = haps[hap]
+        ref_keys, hap_at = inv_maps[hap]
+        j = int(np.searchsorted(ref_keys, ref_start))
+        start = int(hap_at[min(j, len(hap_at) - 1)])
+        start = min(start, len(hap_seq) - frag_len)
+        if start < 0:
+            continue
         fseq = hap_seq[start: start + frag_len].copy()
         fpos = hap_refpos[start: start + frag_len]
         fseq, fpos = _apply_slips(rng, fseq, fpos, start, slip_sites[hap])
@@ -467,12 +568,12 @@ def simulate_window_reads(
             qual_seqdir = qual_model.draw(rng, mate)
             # BAM stores SEQ/QUAL in reference orientation.
             qual = qual_seqdir if forward else qual_seqdir[::-1]
-            # Hotspot systematic errors.
+            # Hotspot systematic errors (strand-biased).
             if len(hot_positions):
                 m = np.isin(rp, hot_positions)
                 for k in np.flatnonzero(m):
-                    alt_b, frac = hot_alt[int(rp[k])]
-                    if rng.random() < frac:
+                    alt_b, f_fwd, f_rev = hot_alt[int(rp[k])]
+                    if rng.random() < (f_fwd if forward else f_rev):
                         seq[k] = alt_b
             # Quality-driven substitution errors.
             if cfg.error_rate_scale > 0:
@@ -526,20 +627,41 @@ def sample_hotspots(
     hi: int,
     cfg: SimConfig,
     taken: Sequence[SimVariant],
-) -> Dict[int, Tuple[int, float]]:
-    """Systematic-error sites: (pos -> (alt base, per-read fraction))."""
+) -> Dict[int, Tuple[int, float, float]]:
+    """Systematic-error sites: pos -> (alt, frac_forward, frac_reverse).
+
+    Real sequencing/alignment artifacts are strand-biased and often
+    CLUSTERED (several artifact sites within tens of bp) — both are
+    signatures a classifier can learn to reject, so the simulator must
+    produce them: each hotspot draws a strand bias, and a minority
+    spawn 1-3 satellites within +-15 bp sharing that bias.
+    """
     occupied = set()
     for v in taken:
         occupied.update(range(v.pos - 1, v.pos + len(v.ref) + 1))
     n = rng.poisson((hi - lo) * cfg.hotspot_rate)
-    out: Dict[int, Tuple[int, float]] = {}
-    for pos in rng.integers(lo, hi, n):
-        pos = int(pos)
-        if pos in occupied or ref[pos] not in _BASES:
-            continue
+    out: Dict[int, Tuple[int, float, float]] = {}
+
+    def add(pos: int, frac: float, bias: float):
+        if pos in occupied or not (lo <= pos < hi) or \
+                ref[pos] not in _BASES or pos in out:
+            return
         alt = int(rng.choice([b for b in _BASES if b != ref[pos]]))
-        frac = float(rng.uniform(cfg.hotspot_min_frac, cfg.hotspot_max_frac))
-        out[pos] = (alt, frac)
+        # bias in [0.5, 1): share of the error rate on the forward
+        # strand; total per-read rate across both strands stays `frac`.
+        f_fwd = min(2.0 * frac * bias, 0.6)
+        f_rev = min(2.0 * frac * (1.0 - bias), 0.6)
+        out[pos] = (alt, f_fwd, f_rev)
+
+    for pos in rng.integers(lo, hi, n):
+        frac = float(rng.uniform(cfg.hotspot_min_frac,
+                                 cfg.hotspot_max_frac))
+        bias = float(rng.uniform(0.5, 0.95))
+        add(int(pos), frac, bias)
+        if rng.random() < 0.15:  # artifact cluster
+            for _ in range(int(rng.integers(1, 4))):
+                off = int(rng.integers(-15, 16))
+                add(int(pos) + off, frac * rng.uniform(0.6, 1.3), bias)
     return out
 
 
@@ -583,9 +705,15 @@ def simulate_corpus(cfg: SimConfig, outdir: str) -> Dict[str, object]:
         haps = [
             build_haplotype(ref, lo, hi, variants, hap) for hap in (0, 1)
         ]
+        # Third source: the pure reference (hom-alt contamination
+        # fragments and a slip-site substrate).
+        haps.append((
+            ref[lo:hi].copy(), np.arange(lo, hi, dtype=np.int64)
+        ))
         reads = simulate_window_reads(
             rng, haps, cfg, qual_model, cfg.contig, hotspots,
             name_prefix=f"sim{cfg.seed}w{w_idx}",
+            variants=variants, window=(lo, hi),
         )
         all_variants.extend(variants)
         all_reads.extend(reads)

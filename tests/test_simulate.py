@@ -132,6 +132,7 @@ def clean_corpus(tmp_path_factory):
         error_rate_scale=0.0,
         hotspot_rate=0.0,
         slip_site_fraction=0.0,
+        allele_sampling_bias=False,
     )
     return cfg, simulate_corpus(cfg, outdir)
 
@@ -293,3 +294,85 @@ def test_make_examples_training_on_sim(tmp_path):
     assert set(labels) == {0, 1, 2}
     hit = sum(1 for v in out["variants"] if v.pos in candidate_starts)
     assert hit / out["n_variants"] > 0.9
+
+
+def test_hom_alt_contamination_and_het_skew(tmp_path):
+    """allele_sampling_bias: contaminated hom-alt SNV sites must show
+    ref-supporting reads at roughly their p_ref_draw rate, and pure
+    (p_ref_draw == 0) hom sites must stay pure (no sequencing errors
+    in this corpus)."""
+    from deepvariant_tpu.io.bam import BamReader
+
+    cfg = SimConfig(
+        ref_path=REF_FASTA, contig="chr20",
+        windows=[(10_150_000, 10_200_000)], seed=9, coverage=60.0,
+        error_rate_scale=0.0, hotspot_rate=0.0, slip_site_fraction=0.0,
+        snv_rate=1 / 350,
+    )
+    out = simulate_corpus(cfg, str(tmp_path))
+    reads = BamReader(out["bam"]).query(
+        Range("chr20", 10_150_000, 10_200_000)
+    ).to_reads()
+
+    def allele_counts(v):
+        alt_n = ref_n = 0
+        for rd in reads:
+            if not (rd.position <= v.pos < rd.position + 200):
+                continue
+            qpos, rpos = 0, rd.position
+            base = None
+            for op, n in rd.cigar:
+                if op == _OP_M:
+                    if rpos <= v.pos < rpos + n:
+                        base = rd.aligned_sequence[qpos + v.pos - rpos]
+                    qpos += n
+                    rpos += n
+                elif op in (_OP_I, _OP_S):
+                    qpos += n
+                elif op == _OP_D:
+                    rpos += n
+            if base == v.alt:
+                alt_n += 1
+            elif base == v.ref:
+                ref_n += 1
+        return alt_n, ref_n
+
+    hom_snvs = [v for v in out["variants"]
+                if v.genotype == (1, 1) and len(v.ref) == 1
+                and len(v.alt) == 1]
+    contaminated = [v for v in hom_snvs if v.p_ref_draw > 0.05]
+    # Fragment source follows the FIRST covered variant, so a
+    # contaminated/het neighbor within fragment range leaks ref reads
+    # onto downstream sites (realistic local correlation); assert
+    # purity only for isolated pure sites.
+    all_pos = sorted(v.pos for v in out["variants"])
+
+    def isolated(v):
+        # Only LEFT neighbors leak: a fragment's source follows its
+        # leftmost covered variant, and fragments are at most 800 bp.
+        import bisect
+
+        i = bisect.bisect_left(all_pos, v.pos)
+        return i == 0 or v.pos - all_pos[i - 1] > 820
+
+    pure = [v for v in hom_snvs
+            if v.p_ref_draw == 0.0 and isolated(v)]
+    assert contaminated and pure
+    ref_seen = 0
+    for v in contaminated:
+        alt_n, ref_n = allele_counts(v)
+        ref_seen += ref_n
+        assert alt_n > 0
+    assert ref_seen > 0  # contamination really produces ref reads
+    for v in pure:
+        _, ref_n = allele_counts(v)
+        assert ref_n == 0, v
+
+    # Het skew: pooled alt fraction below 0.5 but still het-like.
+    hets = [v for v in out["variants"]
+            if v.genotype != (1, 1) and len(v.ref) == 1
+            and len(v.alt) == 1]
+    counts = [allele_counts(v) for v in hets]
+    alt_total = sum(a for a, _ in counts)
+    n_total = sum(a + r for a, r in counts)
+    assert 0.40 < alt_total / n_total < 0.53
