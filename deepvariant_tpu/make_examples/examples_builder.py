@@ -143,7 +143,7 @@ class ExamplesBuilder:
                 variant, alt, o.half_width, self.ref.query, contig_n_bases
             )
             if len(haplotype) < o.width:
-                alt_images.append(None)
+                yield None
                 continue
             realigned = aa.realign_reads_to_haplotype(
                 haplotype, trimmed, contig, ref_start, ref_end,
@@ -173,6 +173,31 @@ class ExamplesBuilder:
             hap_window = np.frombuffer(
                 haplotype[: o.width].encode(), np.uint8
             )
+            yield (remapped, alt_batch, alt_sort_pos, hap_window)
+
+    def _build_alt_images(
+        self,
+        dv_call: DeepVariantCall,
+        batch: ReadBatch,
+        combo: Sequence[str],
+        sort_positions=None,
+    ) -> List[Optional[np.ndarray]]:
+        """One pileup per alt in combo, reads realigned to the alt
+        haplotype (CreateAltAlignedImages, make_examples_native.cc:553).
+
+        `batch` is the already-trimmed pileup batch (the caller trims
+        whenever alt alignment is needed); `sort_positions` carries the
+        reads' original alignment positions so alt rows sort exactly
+        like the reference's (alignment_positions,
+        pileup_image_native.cc:397-401)."""
+        alt_images: List[Optional[np.ndarray]] = []
+        for item in self.iter_alt_batches(
+            dv_call, batch, combo, sort_positions=sort_positions
+        ):
+            if item is None:
+                alt_images.append(None)
+                continue
+            remapped, alt_batch, alt_sort_pos, hap_window = item
             alt_images.append(self.encoder.build_pileup(
                 remapped, hap_window, alt_batch,
                 np.arange(len(alt_batch)), combo,
@@ -180,47 +205,43 @@ class ExamplesBuilder:
             ))
         return alt_images
 
-    def build_examples_for_candidate(
+    def prepare_candidate_batch(
         self,
         dv_call: DeepVariantCall,
         batch: ReadBatch,
-        label_fn=None,
-    ) -> Iterator[BuiltExample]:
-        from deepvariant_tpu.make_examples import alt_aligned as aa
+    ):
+        """Candidate-local read set: trimming + support remapping.
 
+        Trimmed-read pileup is engaged by --trim_reads_for_pileup OR
+        whenever the variant needs alt alignment (use_trimmed_reads,
+        make_examples_native.cc:655-658). Reads are trimmed to the
+        alignment region (TrimReads, alt_aligned_pileup_lib.cc:250-268;
+        min_overlap 15), support indices are remapped, and rows keep
+        sorting by the reads' ORIGINAL alignment positions. The
+        reference builds the trimmed read set from a query of variant
+        +/- read_overlap_buffer_bp (make_examples_native.cc:644-648),
+        so window reads that don't overlap the variant never reach the
+        trimmed/alt-aligned pileups.
+
+        Returns (dv_call, batch, read_indices, sort_positions); shared
+        by the host painter and the device long-read encoder
+        (pileup_jax.encode_longread_example).
+        """
         variant = dv_call.variant
-        ref_window = self.reference_window(variant)
-        if ref_window is None or len(ref_window) != self.pileup_options.width:
-            return
         read_indices = reads_overlapping_variant(
             batch, variant, self.pileup_options.read_overlap_buffer_bp
         )
-        alt_index = {a: i for i, a in enumerate(variant.alternate_bases)}
-        locus = f"{variant.reference_name}:{variant.start + 1}-{variant.end}"
         needs_alt = self.need_alt_alignment(variant)
-        mode = self.pileup_options.alt_aligned_pileup
         sort_positions = None
         if (self.trim_reads_for_pileup or needs_alt) and len(batch):
-            # Trimmed-read pileup: engaged by --trim_reads_for_pileup
-            # OR whenever the variant needs alt alignment
-            # (use_trimmed_reads, make_examples_native.cc:655-658).
-            # Reads are trimmed to the alignment region (TrimReads,
-            # alt_aligned_pileup_lib.cc:250-268; min_overlap 15),
-            # support indices are remapped, and rows keep sorting by
-            # the reads' ORIGINAL alignment positions.
-            from deepvariant_tpu.make_examples import alt_aligned as aa
             from deepvariant_tpu.io.bam import ReadBatch
+            from deepvariant_tpu.make_examples import alt_aligned as aa
 
             region = aa.calculate_alignment_region(
                 variant, self.pileup_options.half_width,
                 self.ref.contig_length(variant.reference_name),
             )
             reads = batch.to_reads()
-            # The reference builds the trimmed read set from a query of
-            # variant +/- read_overlap_buffer_bp (make_examples_native.cc
-            # :644-648, Query(region) with read_overlap_buffer_bp), so
-            # window reads that don't overlap the variant never reach the
-            # trimmed/alt-aligned pileups.
             buf = self.pileup_options.read_overlap_buffer_bp
             q_start = variant.start - buf
             q_end = variant.start + len(variant.reference_bases) + buf
@@ -263,6 +284,26 @@ class ExamplesBuilder:
                 batch, variant,
                 self.pileup_options.read_overlap_buffer_bp,
             )
+        return dv_call, batch, read_indices, sort_positions
+
+    def build_examples_for_candidate(
+        self,
+        dv_call: DeepVariantCall,
+        batch: ReadBatch,
+        label_fn=None,
+    ) -> Iterator[BuiltExample]:
+        from deepvariant_tpu.make_examples import alt_aligned as aa
+
+        variant = dv_call.variant
+        ref_window = self.reference_window(variant)
+        if ref_window is None or len(ref_window) != self.pileup_options.width:
+            return
+        alt_index = {a: i for i, a in enumerate(variant.alternate_bases)}
+        locus = f"{variant.reference_name}:{variant.start + 1}-{variant.end}"
+        needs_alt = self.need_alt_alignment(variant)
+        mode = self.pileup_options.alt_aligned_pileup
+        dv_call, batch, read_indices, sort_positions = \
+            self.prepare_candidate_batch(dv_call, batch)
         for combo in alt_allele_combinations(
             variant, self.pileup_options.multi_allelic_mode
         ):

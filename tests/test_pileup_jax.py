@@ -95,6 +95,7 @@ def test_encode_fn_shapes():
         jnp.zeros((k,), bool),
         jnp.zeros((k,), jnp.int8),
         jnp.zeros((k,), jnp.int32),
+        jnp.zeros((k,), bool),
         jnp.zeros((n,), jnp.int32),
         jnp.full((n, rows), -1, jnp.int32),
         jnp.zeros((n, k), jnp.int8),
