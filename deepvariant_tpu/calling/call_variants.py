@@ -101,9 +101,23 @@ class Predictor:
         model: Optional[InceptionV3] = None,
         devices: Optional[Sequence[jax.Device]] = None,
         ablation_channels: Optional[Sequence[int]] = None,
+        fold_bn: bool = True,
     ):
         self.model = model or InceptionV3()
         self.variables = variables
+        if fold_bn and not getattr(self.model, "fold_bn", False) and \
+                "batch_stats" in variables:
+            # Export-time BN folding (keras_modeling.py:246's BN layers
+            # vanish from the inference graph): conv+bias+relu stays
+            # bfloat16 end to end. Exact to float32 rounding.
+            from deepvariant_tpu.models.inception_v3 import (
+                fold_batch_norm,
+            )
+
+            self.model, self.variables = fold_batch_norm(
+                self.model, variables
+            )
+            variables = self.variables
         devices = list(devices or jax.devices())
         # Data-parallel mesh: batch sharded over every device
         # (replaces MirroredStrategy, call_variants.py:782).

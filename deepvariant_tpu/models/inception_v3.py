@@ -49,9 +49,27 @@ class ConvBN(nn.Module):
     # keras InceptionV3's value; short fine-tuning runs want a faster
     # constant (e.g. 0.9) so running stats converge within the run.
     bn_momentum: float = 0.9997
+    # Inference-only: batch-norm folded into the conv (kernel scaled,
+    # beta - mean*s as conv bias via fold_batch_norm). Removes the
+    # float32 upcast + normalize pass after every conv — the whole
+    # block stays bfloat16 on the MXU.
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold_bn:
+            if train:
+                raise ValueError("fold_bn is inference-only")
+            x = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.strides,
+                padding=self.padding,
+                use_bias=True,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+            return nn.relu(x)
         x = nn.Conv(
             self.features,
             self.kernel,
@@ -86,10 +104,11 @@ class InceptionA(nn.Module):
     pool_features: int
     dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum)
+        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn)
         b1 = cb(64, (1, 1), name="b1x1")(x, train)
         b5 = cb(48, (1, 1), name="b5x5_1")(x, train)
         b5 = cb(64, (5, 5), name="b5x5_2")(b5, train)
@@ -107,10 +126,11 @@ class ReductionA(nn.Module):
 
     dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum)
+        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn)
         b3 = cb(384, (3, 3), strides=(2, 2), padding="VALID", name="b3x3")(
             x, train
         )
@@ -127,10 +147,11 @@ class InceptionB(nn.Module):
     c7: int  # 128 / 160 / 160 / 192
     dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum)
+        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn)
         b1 = cb(192, (1, 1), name="b1x1")(x, train)
         b7 = cb(self.c7, (1, 1), name="b7x7_1")(x, train)
         b7 = cb(self.c7, (1, 7), name="b7x7_2")(b7, train)
@@ -149,10 +170,11 @@ class ReductionB(nn.Module):
 
     dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum)
+        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn)
         b3 = cb(192, (1, 1), name="b3x3_1")(x, train)
         b3 = cb(320, (3, 3), strides=(2, 2), padding="VALID", name="b3x3_2")(
             b3, train
@@ -170,10 +192,11 @@ class InceptionC(nn.Module):
 
     dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum)
+        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn)
         b1 = cb(320, (1, 1), name="b1x1")(x, train)
         b3 = cb(384, (1, 1), name="b3x3_1")(x, train)
         b3a = cb(384, (1, 3), name="b3x3_2a")(b3, train)
@@ -200,10 +223,11 @@ class InceptionV3(nn.Module):
     dropout_rate: float = DEFAULT_BACKBONE_DROPOUT_RATE
     dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
+    fold_bn: bool = False
 
     @nn.compact
     def backbone(self, x, train: bool = False):
-        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum)
+        cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn)
         x = x.astype(self.dtype)
         # Stem (keras InceptionV3 lines before mixed0).
         x = cb(32, (3, 3), strides=(2, 2), padding="VALID", name="stem1")(
@@ -215,17 +239,17 @@ class InceptionV3(nn.Module):
         x = cb(80, (1, 1), padding="VALID", name="stem4")(x, train)
         x = cb(192, (3, 3), padding="VALID", name="stem5")(x, train)
         x = _max_pool_v(x)
-        x = InceptionA(32, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed0")(x, train)
-        x = InceptionA(64, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed1")(x, train)
-        x = InceptionA(64, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed2")(x, train)
-        x = ReductionA(dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed3")(x, train)
-        x = InceptionB(128, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed4")(x, train)
-        x = InceptionB(160, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed5")(x, train)
-        x = InceptionB(160, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed6")(x, train)
-        x = InceptionB(192, dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed7")(x, train)
-        x = ReductionB(dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed8")(x, train)
-        x = InceptionC(dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed9")(x, train)
-        x = InceptionC(dtype=self.dtype, bn_momentum=self.bn_momentum, name="mixed10")(x, train)
+        x = InceptionA(32, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed0")(x, train)
+        x = InceptionA(64, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed1")(x, train)
+        x = InceptionA(64, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed2")(x, train)
+        x = ReductionA(dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed3")(x, train)
+        x = InceptionB(128, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed4")(x, train)
+        x = InceptionB(160, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed5")(x, train)
+        x = InceptionB(160, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed6")(x, train)
+        x = InceptionB(192, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed7")(x, train)
+        x = ReductionB(dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed8")(x, train)
+        x = InceptionC(dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed9")(x, train)
+        x = InceptionC(dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed10")(x, train)
         # pooling='avg' backbone output (keras_modeling.py:252-257).
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
@@ -268,6 +292,54 @@ def create_model(
     dummy = jnp.zeros((1, height, width, num_channels), jnp.bfloat16)
     variables = model.init(rng, dummy, train=False)
     return model, variables
+
+
+def fold_batch_norm(model: InceptionV3, variables):
+    """Fold every ConvBN's batch norm into its conv at export time.
+
+    With scale=False batch norm, y = (conv(x) - mean) * s + beta where
+    s = 1/sqrt(var + eps): folding sets kernel' = kernel * s (per
+    output channel) and bias' = beta - mean * s. The folded model runs
+    conv+bias+relu entirely in bfloat16 — no float32 upcast/normalize
+    pass between convs (keras_modeling.py:246's BN layers disappear
+    from the inference graph instead of being re-applied every call).
+
+    Returns (folded_model, {"params": folded_params}).
+    """
+    from flax import traverse_util
+
+    import numpy as np
+
+    eps = 1e-3
+    params = traverse_util.flatten_dict(variables["params"])
+    stats = traverse_util.flatten_dict(variables["batch_stats"])
+    folded = {}
+    for path, value in params.items():
+        if path[-2:] == ("conv", "kernel") and \
+                path[:-2] + ("bn", "bias") in params:
+            prefix = path[:-2]
+            beta = np.asarray(params[prefix + ("bn", "bias")],
+                              np.float32)
+            mean = np.asarray(stats[prefix + ("bn", "mean")],
+                              np.float32)
+            var = np.asarray(stats[prefix + ("bn", "var")], np.float32)
+            s = 1.0 / np.sqrt(var + eps)
+            folded[path] = (
+                np.asarray(value, np.float32) * s
+            ).astype(np.asarray(value).dtype)
+            folded[prefix + ("conv", "bias")] = beta - mean * s
+        elif len(path) >= 2 and path[-2] == "bn":
+            continue
+        else:
+            folded[path] = value
+    folded_model = InceptionV3(
+        num_classes=model.num_classes,
+        dropout_rate=model.dropout_rate,
+        dtype=model.dtype,
+        bn_momentum=model.bn_momentum,
+        fold_bn=True,
+    )
+    return folded_model, {"params": traverse_util.unflatten_dict(folded)}
 
 
 def adapt_input_channels(params, new_num_channels: int, rng=None):

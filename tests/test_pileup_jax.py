@@ -107,3 +107,46 @@ def test_encode_fn_shapes():
     out = np.asarray(out)
     assert (out[:, o.reference_band_height:, :, :] == 0).all()
     assert out[:, 0, :, 0].max() > 0  # ref band read_base nonzero
+
+
+def test_fold_batch_norm_exact():
+    """BN folding (export-time) is exact to float32 rounding and the
+    folded tree carries no bn params/stats."""
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    from deepvariant_tpu.models.inception_v3 import (
+        create_model,
+        fold_batch_norm,
+        normalize_pileup,
+    )
+
+    model, variables = create_model(7, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    stats = traverse_util.flatten_dict(variables["batch_stats"])
+    stats = {
+        k: (rng.normal(0, 0.5, v.shape).astype(np.float32)
+            if k[-1] == "mean"
+            else np.abs(rng.normal(1, 0.3, v.shape)).astype(np.float32))
+        for k, v in stats.items()
+    }
+    params = traverse_util.flatten_dict(variables["params"])
+    params = {
+        k: rng.normal(0, 0.05, v.shape).astype(np.float32)
+        for k, v in params.items()
+    }
+    variables = {
+        "params": traverse_util.unflatten_dict(params),
+        "batch_stats": traverse_util.unflatten_dict(stats),
+    }
+    x = normalize_pileup(jnp.asarray(
+        rng.integers(0, 255, (2, 100, 221, 7), dtype=np.uint8)
+    )).astype(jnp.float32)
+    ref = model.apply(variables, x, train=False)
+    fmodel, fvars = fold_batch_norm(model, variables)
+    out = fmodel.apply(fvars, x, train=False)
+    assert float(jnp.abs(ref - out).max()) < 2e-4
+    flat = traverse_util.flatten_dict(fvars["params"])
+    assert not any("bn" in path for path in flat)
+    assert any(path[-1] == "bias" and path[-2] == "conv"
+               for path in flat)
