@@ -189,12 +189,71 @@ def _stage3_metrics() -> dict:
     }
 
 
-def _device_metrics() -> dict:
+def _stage1_scaling_metrics() -> dict:
+    """Measured multi-worker make_examples scaling on THIS box.
+
+    Runs the same fixed 48 kbp region set with 1, 2, and 4 worker
+    processes (the production fan-out geometry) and reports parallel
+    efficiency; the 96-core genome-hours estimate applies the measured
+    4-way efficiency instead of assuming linear scaling."""
+    import tempfile
+    import time as _time
+
+    from deepvariant_tpu.scripts.accuracy_sim import (
+        _run_make_examples_fanout,
+    )
+
+    lo, hi, chunk = 10_000_000, 10_048_000, 4_000
+    results = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        def jobs():
+            out = []
+            for i, s in enumerate(range(lo, hi, chunk)):
+                out.append(dict(
+                    reads_filename=os.path.join(
+                        TESTDATA, "input/NA12878_S1.chr20.10_10p1mb.bam"
+                    ),
+                    ref_filename=os.path.join(
+                        TESTDATA,
+                        "input/ucsc.hg19.chr20.unittest.fasta.gz",
+                    ),
+                    examples_filename=os.path.join(
+                        tmp, f"s{i}.tfrecord.gz"
+                    ),
+                    mode="calling",
+                    regions=[f"chr20:{s}-{min(s + chunk, hi)}"],
+                    realigner_enabled=True,
+                    write_run_info=False,
+                ))
+            return out
+
+        # Warm the page cache / BAM index once.
+        _run_make_examples_fanout(jobs()[:1], 1, log_fn=lambda _: None)
+        for workers in (1, 2, 4):
+            t0 = _time.perf_counter()
+            _run_make_examples_fanout(
+                jobs(), workers, log_fn=lambda _: None
+            )
+            results[workers] = _time.perf_counter() - t0
+    eff = {
+        w: results[1] / (w * results[w]) for w in (2, 4)
+    }
+    return {
+        "stage1_fanout_seconds": {
+            str(w): round(t, 2) for w, t in results.items()
+        },
+        "stage1_scaling_efficiency": round(eff[4], 3),
+        "stage1_scaling_efficiency_2way": round(eff[2], 3),
+    }
+
+
+def _device_metrics(batch: int = BATCH, fold_bn: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
     from deepvariant_tpu.models.inception_v3 import (
         create_model,
+        fold_batch_norm,
         normalize_pileup,
     )
 
@@ -203,12 +262,17 @@ def _device_metrics() -> dict:
     rng = np.random.RandomState(0)
     # K2 distinct batches of real examples: tile the goldens, then give
     # every step its own permutation so no two steps share a batch.
-    tiled = np.tile(golden, ((BATCH + n - 1) // n, 1, 1, 1))[:BATCH]
+    tiled = np.tile(golden, ((batch + n - 1) // n, 1, 1, 1))[:batch]
     batches = np.stack(
-        [tiled[rng.permutation(BATCH)] for _ in range(K2)]
+        [tiled[rng.permutation(batch)] for _ in range(K2)]
     )  # (K2, B, H, W, C) uint8
 
     model, variables = create_model(c, dtype=jnp.bfloat16)
+    if fold_bn:
+        # Production inference config: BN folded into conv weights at
+        # export (models/inception_v3.fold_batch_norm) — conv+bias+relu
+        # stays bfloat16, no f32 normalize pass between convs.
+        model, variables = fold_batch_norm(model, variables)
 
     def run_k(variables, stacked):
         def step(acc, batch):
@@ -252,7 +316,7 @@ def _device_metrics() -> dict:
     t2 = time_best(scan_compiled, dev_vars, dev_batches)
     steps = K2 - 1
     per_step = (t2 - t1) / steps
-    rate = BATCH / per_step
+    rate = batch / per_step
     achieved = flops_per_step / per_step
     device = jax.devices()[0]
     peak = _peak_flops(device.device_kind)
@@ -265,12 +329,130 @@ def _device_metrics() -> dict:
         "achieved_flops": round(achieved / 1e12, 2) * 1e12,
         "peak_flops": peak,
         "mfu": round(achieved / peak, 4),
-        "flops_per_example": round(flops_per_step / BATCH / 1e9, 3) * 1e9,
-        "batch": BATCH,
+        "flops_per_example": round(flops_per_step / batch / 1e9, 3) * 1e9,
+        "batch": batch,
+        "fold_bn": fold_bn,
         "device": device.device_kind,
         "fixed_overhead_ms": round((t1 - per_step) * 1e3, 1),
         "timed_steps": [1, K2],
     }
+
+
+def _train_metrics(use_bf16: bool = True, batch: int = 1024) -> dict:
+    """Forward+backward train-step throughput on the chip, device-
+    resident data (training/train_resident.py's production layout).
+    Same data-dependent-scalar sync contract as inference: the scanned
+    epoch returns a loss that depends on every step; FLOPs from XLA
+    cost_analysis of the UNSCANNED step."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepvariant_tpu.models.inception_v3 import create_model
+    from deepvariant_tpu.training import train as train_lib
+    from deepvariant_tpu.training.config import get_config
+
+    golden = _load_golden_images()
+    n, h, w, c = golden.shape
+    rng = np.random.RandomState(1)
+    reps = (batch * K2 + n - 1) // n
+    images = np.tile(golden, (reps, 1, 1, 1))[: batch * K2]
+    images = images[rng.permutation(len(images))]
+    labels = rng.randint(0, 3, batch * K2).astype(np.int32)
+    data = {
+        "images": images.reshape(K2, batch, h, w, c),
+        "labels": labels.reshape(K2, batch),
+        "sample_weights": np.ones((K2, batch), np.float32),
+        "variant_types": rng.randint(
+            1, 3, (K2, batch)
+        ).astype(np.int32),
+    }
+
+    config = get_config("wgs")
+    config.use_mixed_precision = use_bf16
+    config.batch_size = batch
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    model, variables = create_model(c, dtype=dtype)
+    tx, _ = train_lib.make_optimizer(config, 100)
+    state = train_lib.init_state(model, variables, tx)
+    train_step = train_lib.make_train_step(model, tx, config)
+
+    def one(state, batch_data):
+        state, loss, _ = train_step(state, batch_data)
+        return state, loss
+
+    def scan_k(state, stacked):
+        def body(state, batch_data):
+            state, loss, _ = train_step(state, batch_data)
+            return state, loss
+
+        state, losses = jax.lax.scan(body, state, stacked)
+        return losses.sum()
+
+    dev_state = jax.device_put(state)
+    dev_data = jax.device_put(data)
+    first = {k: v[0] for k, v in dev_data.items()}
+
+    one_j = jax.jit(lambda s, b: one(s, b)[1])
+    one_compiled = one_j.lower(dev_state, first).compile()
+    flops_per_step = float(one_compiled.cost_analysis()["flops"])
+    scan_compiled = jax.jit(scan_k).lower(dev_state, dev_data).compile()
+
+    def time_best(fn, *args):
+        float(jax.device_get(fn(*args)))
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            float(jax.device_get(out))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = time_best(one_compiled, dev_state, first)
+    t2 = time_best(scan_compiled, dev_state, dev_data)
+    per_step = (t2 - t1) / (K2 - 1)
+    achieved = flops_per_step / per_step
+    peak = _peak_flops(jax.devices()[0].device_kind)
+    prefix = "train" if use_bf16 else "train_f32"
+    return {
+        f"{prefix}_examples_per_sec_per_chip": round(batch / per_step, 1),
+        f"{prefix}_mfu": round(achieved / peak, 4),
+        f"{prefix}_step_ms": round(per_step * 1e3, 2),
+        f"{prefix}_batch": batch,
+    }
+
+
+def _device_all() -> dict:
+    """Full device section: folded-BN batch sweep (the winner is the
+    headline), unfolded comparison, and train-step timing bf16 vs f32.
+    The sweep is persisted to deploy/bench_sweep_r03.json."""
+    sweep = []
+    best = None
+    for b in (2048, 4096, 8192):
+        m = _device_metrics(batch=b, fold_bn=True)
+        sweep.append({"batch": b, "fold_bn": True,
+                      "value": m["value"], "mfu": m["mfu"]})
+        if best is None or m["value"] > best["value"]:
+            best = m
+    unfolded = _device_metrics(batch=best["batch"], fold_bn=False)
+    sweep.append({"batch": best["batch"], "fold_bn": False,
+                  "value": unfolded["value"], "mfu": unfolded["mfu"]})
+    out = dict(best)
+    out["value_unfolded"] = unfolded["value"]
+    out["mfu_unfolded"] = unfolded["mfu"]
+    out["sweep"] = sweep
+    out.update(_train_metrics(use_bf16=True, batch=1024))
+    out.update(_train_metrics(use_bf16=False, batch=512))
+    try:
+        artifact = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "deploy", "bench_sweep_r03.json",
+        )
+        with open(artifact, "w") as f:
+            json.dump({"device": out.get("device"), "sweep": sweep},
+                      f, indent=1)
+    except OSError:
+        pass
+    return out
 
 
 def main():
@@ -278,13 +460,17 @@ def main():
     import sys
 
     if "--device-only" in sys.argv:
-        print(json.dumps(_device_metrics()))
+        print(json.dumps(_device_all()))
         return
 
     # Host-side (CPU) metrics first, then the TPU section in a
     # subprocess under a hard timeout: a hung device tunnel must not
     # take the whole bench down with it.
-    host = {**_stage1_metrics(), **_stage3_metrics()}
+    host = {
+        **_stage1_metrics(),
+        **_stage3_metrics(),
+        **_stage1_scaling_metrics(),
+    }
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--device-only"],

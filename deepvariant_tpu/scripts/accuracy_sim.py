@@ -536,6 +536,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--num_epochs", type=int, default=40)
     p.add_argument("--learning_rate", type=float, default=0.004)
     p.add_argument("--device", choices=("auto", "cpu"), default="auto")
+    p.add_argument("--select", choices=("final", "best"),
+                   default="final",
+                   help="which checkpoint to eval: the converged final "
+                        "epoch (default — the ~200-example simulated "
+                        "tune set is too small for best-by-tune to "
+                        "beat it, measured) or the tune-best")
     p.add_argument("--checkpoint", default="",
                    help="eval an existing checkpoint (skips train)")
     p.add_argument("--report", default="")
@@ -568,10 +574,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     result["tune_examples"] = counts["tune"]
 
     ckpt = args.checkpoint or os.path.join(
-        args.workdir, "experiment", "checkpoints", "best.msgpack"
+        args.workdir, "experiment", "checkpoints",
+        f"{args.select}.msgpack",
     )
     if "train" in stages and not args.checkpoint:
-        ckpt = train_model(
+        train_model(
             args.workdir, args.batch_size, args.num_epochs,
             args.learning_rate, args.device,
         )

@@ -402,17 +402,37 @@ def cigar_from_refpos(
 
 @dataclasses.dataclass
 class SlipSites:
-    """Per-haplotype slippery homopolymer runs with site-specific rates.
+    """Per-haplotype slippery repeat tracts with site-specific rates.
 
-    `starts` are haplotype coordinates of run starts; `p_del`/`p_ins`
-    the per-read slip probabilities at that run (0 for quiet runs).
-    Rates are keyed by the run's reference anchor so both haplotypes
-    share the same slip behavior at the same locus.
+    `starts` are haplotype coordinates of tract starts; `p_del`/`p_ins`
+    the per-read slip probabilities (0 for quiet tracts); `unit` the
+    repeat period (1 = homopolymer, 2 = dinucleotide tandem) — a slip
+    removes or duplicates one full unit. Rates are keyed by the tract's
+    reference anchor so both haplotypes share the same slip behavior
+    at the same locus.
     """
 
     starts: np.ndarray  # (n,) int64, sorted, haplotype coordinates
     p_del: np.ndarray  # (n,) float64
     p_ins: np.ndarray  # (n,) float64
+    unit: np.ndarray  # (n,) int64, repeat period (1 or 2)
+
+
+def _dinucleotide_tandem_starts(seq: np.ndarray) -> np.ndarray:
+    """Start indices of >=3-unit dinucleotide tandems in seq."""
+    if len(seq) < 6:
+        return np.zeros(0, np.int64)
+    w = seq
+    m = (
+        (w[:-5] == w[2:-3]) & (w[2:-3] == w[4:-1])
+        & (w[1:-4] == w[3:-2]) & (w[3:-2] == w[5:])
+        & (w[:-5] != w[1:-4])
+    )
+    starts = np.flatnonzero(m)
+    if not len(starts):
+        return np.zeros(0, np.int64)
+    keep = np.concatenate([[True], np.diff(starts) > 1])
+    return starts[keep].astype(np.int64)
 
 
 def build_slip_sites(
@@ -421,24 +441,33 @@ def build_slip_sites(
     cfg: SimConfig,
     shared_rates: Dict[int, Tuple[float, float]],
 ) -> List[SlipSites]:
-    """Assign slip rates to homopolymer runs on each haplotype."""
+    """Assign slip rates to repeat tracts on each haplotype."""
     out = []
     for seq, refpos in haps:
-        starts = homopolymer_runs(seq, cfg.min_homopolymer)
+        hp_starts = homopolymer_runs(seq, cfg.min_homopolymer)
+        di_starts = _dinucleotide_tandem_starts(seq)
+        starts = np.concatenate([hp_starts, di_starts]).astype(np.int64)
+        unit = np.concatenate([
+            np.ones(len(hp_starts), np.int64),
+            np.full(len(di_starts), 2, np.int64),
+        ])
+        order = np.argsort(starts, kind="stable")
+        starts, unit = starts[order], unit[order]
         p_del = np.zeros(len(starts))
         p_ins = np.zeros(len(starts))
         for i, s in enumerate(starts):
             anchor = int(refpos[s]) if refpos[s] >= 0 else -int(s)
+            anchor = anchor * 4 + int(unit[i])  # separate keys per period
             if anchor not in shared_rates:
                 if rng.random() < cfg.slip_site_fraction:
                     rate = rng.uniform(cfg.slip_rate_min, cfg.slip_rate_max)
-                    # Deletion slips dominate in Illumina homopolymer
+                    # Deletion slips dominate in Illumina repeat
                     # errors; keep a minority insertion component.
                     shared_rates[anchor] = (0.7 * rate, 0.3 * rate)
                 else:
                     shared_rates[anchor] = (0.0, 0.0)
             p_del[i], p_ins[i] = shared_rates[anchor]
-        out.append(SlipSites(starts.astype(np.int64), p_del, p_ins))
+        out.append(SlipSites(starts, p_del, p_ins, unit))
     return out
 
 
@@ -455,26 +484,27 @@ def _apply_slips(
     lo = np.searchsorted(slip_sites.starts, frag_start + 5)
     hi = np.searchsorted(slip_sites.starts, frag_start + len(seq) - 6)
     applied = 0
-    # Walk candidate runs; indices shift by at most +-1 per applied
-    # slip, tracked via `shift`.
+    # Walk candidate tracts; indices shift by +-unit per applied slip,
+    # tracked via `shift`.
     shift = 0
     for i in range(lo, hi):
         if applied >= 2:
             break
+        unit = int(slip_sites.unit[i])
         at = int(slip_sites.starts[i]) - frag_start + shift
-        if at < 1 or at >= len(seq) - 1:
+        if at < 1 or at >= len(seq) - unit - 1:
             continue
         u = rng.random()
         if u < slip_sites.p_del[i]:
             keep = np.ones(len(seq), bool)
-            keep[at] = False
+            keep[at: at + unit] = False
             seq, refpos = seq[keep], refpos[keep]
-            shift -= 1
+            shift -= unit
             applied += 1
         elif u < slip_sites.p_del[i] + slip_sites.p_ins[i]:
-            seq = np.insert(seq, at, seq[at])
-            refpos = np.insert(refpos, at, -1)
-            shift += 1
+            seq = np.insert(seq, at, seq[at: at + unit])
+            refpos = np.insert(refpos, at, np.full(unit, -1, np.int64))
+            shift += unit
             applied += 1
     return seq, refpos
 
