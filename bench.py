@@ -421,6 +421,52 @@ def _train_metrics(use_bf16: bool = True, batch: int = 1024) -> dict:
     }
 
 
+def _stream_metrics() -> dict:
+    """Fused streaming pipeline (run_deepvariant --stream machinery)
+    over real chr20 reads: BAM -> worker candidate generation ->
+    host->device feed -> MXU -> in-memory CVOs. The timed region is the
+    WHOLE stream, so the host feed is included (round-2 weakness #4);
+    on this box the bound is the 2 stage-1 worker cores, with inference
+    and the device feed fully overlapped behind them."""
+    import tempfile
+
+    from deepvariant_tpu.calling.call_variants import Predictor
+    from deepvariant_tpu.parallel.stream_pipeline import (
+        stream_examples_to_cvos,
+    )
+    from deepvariant_tpu.scripts.call_variants import (
+        load_variables_for_shape,
+    )
+
+    options = dict(
+        reads_filename=os.path.join(
+            TESTDATA, "input/NA12878_S1.chr20.10_10p1mb.bam"
+        ),
+        ref_filename=os.path.join(
+            TESTDATA, "input/ucsc.hg19.chr20.unittest.fasta.gz"
+        ),
+        examples_filename="",
+        mode="calling",
+        regions=["chr20:10,000,000-10,060,000"],
+        realigner_enabled=True,
+        write_run_info=False,
+    )
+
+    def predictor_factory(shape):
+        model, variables = load_variables_for_shape("", shape)
+        return Predictor(variables, batch_size=512, model=model)
+
+    cvos, stats = stream_examples_to_cvos(
+        options, num_workers=2, batch_size=512,
+        predictor_factory=predictor_factory,
+    )
+    return {
+        "stream_examples": stats.num_examples,
+        "stream_examples_per_sec": round(stats.examples_per_sec, 1),
+        "stream_workers": 2,
+    }
+
+
 def _device_all() -> dict:
     """Full device section: folded-BN batch sweep (the winner is the
     headline), unfolded comparison, and train-step timing bf16 vs f32.
@@ -442,6 +488,7 @@ def _device_all() -> dict:
     out["sweep"] = sweep
     out.update(_train_metrics(use_bf16=True, batch=1024))
     out.update(_train_metrics(use_bf16=False, batch=512))
+    out.update(_stream_metrics())
     try:
         artifact = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
@@ -501,6 +548,15 @@ def main():
             "device_error": f"device bench unavailable: {e}; {detail}",
         }
     merged = {**device, **host}
+    # Efficiency-corrected 96-core stage-1 estimate: apply the MEASURED
+    # 4-way parallel efficiency from this box instead of assuming
+    # linear scaling (round-2 weakness: the reference's 46m15s is a
+    # real 96-way run; ours was a 1-core linear extrapolation).
+    eff = merged.get("stage1_scaling_efficiency")
+    if eff:
+        merged["stage1_genome_hours_at_96_cores"] = round(
+            merged["stage1_genome_hours_at_96_cores"] / eff, 2
+        )
     # End-to-end WGS wall-clock estimate (reference: 1h08m58s on
     # n2-standard-96, docs/metrics.md:56): our stage-1 at 96 cores +
     # stage-2 on ONE TPU chip + stage-3 at 96 cores over the same

