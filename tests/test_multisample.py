@@ -324,3 +324,86 @@ def test_trio_golden_child_examples_parity(testdata_dir, tmp_path):
     o = np.stack([ours[k] for k in common])
     assert g.shape[1:] == (140, 221, 7)
     np.testing.assert_array_equal(g, o)
+
+
+@pytest.mark.integration
+def test_trio_production_geometry_pins_to_golden_geometry(
+    testdata_dir, tmp_path
+):
+    """Production DeepTrio geometry (100/100/100, dt_constants.py)
+    structurally pinned to the golden-anchored 60/40 geometry.
+
+    No 100/100 golden exists in-image (create_golden_deeptrio.sh only
+    ships 60/40), so this test derives the pin: candidates are height-
+    independent, the per-band row sort is deterministic, and extra
+    band height only APPENDS rows — so for every band that needed no
+    crowding downsampling, the 100-height band must start with the
+    60/40 band's rows PIXEL-IDENTICALLY, with its own 5-row reference
+    band at each band top (pileup_image_native.cc:74-101 row order;
+    dt_constants.py heights)."""
+    if not os.path.isdir(TRIO_TESTDATA):
+        pytest.skip("deeptrio testdata not available")
+
+    def run(tag, height_child, height_parent):
+        options = MakeExamplesOptions(
+            reads_filename=os.path.join(
+                TRIO_TESTDATA, "HG001.chr20.10_10p1mb_sorted.bam"
+            ),
+            ref_filename=os.path.join(TRIO_TESTDATA, "hs37d5.chr20.fa.gz"),
+            examples_filename=str(tmp_path / f"{tag}.tfrecord"),
+            mode="calling",
+            regions=["20:10,000,000-10,005,000"],
+        )
+        samples = trio_samples(
+            os.path.join(
+                TRIO_TESTDATA, "HG001.chr20.10_10p1mb_sorted.bam"
+            ),
+            os.path.join(
+                TRIO_TESTDATA, "NA12891.chr20.10_10p1mb_sorted.bam"
+            ),
+            os.path.join(
+                TRIO_TESTDATA, "NA12892.chr20.10_10p1mb_sorted.bam"
+            ),
+            height_child=height_child, height_parent=height_parent,
+        )
+        counts = make_multisample_examples_runner(
+            options, samples, TRIO_MAIN_SAMPLE_INDEX
+        )
+        out = {}
+        with TFRecordReader(str(tmp_path / f"{tag}.tfrecord")) as r:
+            for buf in r:
+                ex = example_codec.parse_example(buf)
+                v = ex.variant
+                out[(v.start, v.reference_bases,
+                     tuple(v.alternate_bases),
+                     tuple(ex.alt_allele_indices))] = ex.image
+        assert counts["examples"] == len(out)
+        return out
+
+    golden_geom = run("g6040", 60, 40)
+    production = run("p100", 100, 100)
+    assert set(golden_geom) == set(production)
+    assert len(production) >= 10
+    ref_band = 5
+    # (offset in 60/40 image, band height, offset in 100/100 image)
+    bands = [(0, 40, 0), (40, 60, 100), (100, 40, 200)]
+    compared = 0
+    for key in sorted(golden_geom):
+        small, big = golden_geom[key], production[key]
+        assert small.shape == (140, 221, 7)
+        assert big.shape == (300, 221, 7)
+        for off_s, h, off_b in bands:
+            small_band = small[off_s: off_s + h]
+            big_band = big[off_b: off_b + 100]
+            # Each band carries its own reference band at the top.
+            assert (small_band[:ref_band] == big_band[:ref_band]).all()
+            # Skip bands where the SMALL geometry downsampled (its
+            # last read row occupied => reads may exceed h - 5).
+            if small_band[h - 1].any():
+                continue
+            assert (big_band[:h] == small_band).all(), key
+            # The appended region holds only (possibly) more reads for
+            # crowded windows; here it must be empty padding.
+            assert not big_band[h:].any(), key
+            compared += 1
+    assert compared >= 20
