@@ -229,7 +229,7 @@ def test_cli_accepts_reference_style_invocation(tmp_path, testdata_dir):
 def test_cli_rejects_shm_streaming():
     from deepvariant_tpu.scripts.make_examples import main
 
-    with pytest.raises(SystemExit, match="prefetch"):
+    with pytest.raises(SystemExit, match="stream"):
         main([
             "--mode", "calling", "--ref", "r.fa", "--reads", "r.bam",
             "--examples", "x", "--stream_examples",
