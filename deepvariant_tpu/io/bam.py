@@ -253,7 +253,11 @@ class ReadBatch:
                     mapping_quality=mapqs[i],
                     cigar=list(zip(ops_l[cs:ce], lens_l[cs:ce])),
                     reverse_strand=bool(flag & FLAG_REVERSE),
-                    read_number=0 if flag & FLAG_FIRST else 1,
+                    # Unpaired fragments are read 0 of 1
+                    # (sam_reader.cc:785).
+                    read_number=0 if (
+                        flag & FLAG_FIRST or not flag & FLAG_PAIRED
+                    ) else 1,
                     number_reads=2 if flag & FLAG_PAIRED else 1,
                     fragment_length=tlens[i],
                     proper_placement=bool(flag & FLAG_PROPER_PAIR),

@@ -1,0 +1,404 @@
+"""Scaled long-read accuracy: synthetic PacBio/ONT corpus -> real eval.
+
+The round-2 long-read accuracy artifact (scripts/accuracy_ont.py)
+trained on the ~70 real labeled examples the 25 kb HG002 R10 window
+yields — enough to prove the pipeline but not the model (one fold had
+a single het training example; indel F1 was 0.0 for want of indel
+training data). This driver closes that data gap for BOTH long-read
+families with the fitted long-read simulator
+(training/simulate_longread.py):
+
+  1. simulate diploid long reads over megabases of the GRCh38 chr20
+     reference slice (error model fitted to the family's real
+     template run: read lengths, quality strings, indel event rates,
+     homopolymer systematics),
+  2. label them through `make_examples --mode training` with the
+     family's production preset (PACBIO / ONT_R104: phased
+     haplotype-sorted pileups, diff_channels alt alignment, no
+     realigner),
+  3. train the flax InceptionV3 with the device-resident loop,
+  4. evaluate on the REAL family BAM against the NIST/GIAB HG002
+     v4.2.1 truth inside its shipped confident regions (hap.py
+     semantics) — training never sees a real read or truth record,
+  5. quote the oracle-labeling ceiling beside the model F1.
+
+Eval data (all shipped by the reference):
+  * PACBIO — test_pacbio.chr20_100kbp_at_9mb.bam (HiFi ~15 kb reads,
+    ~34x) on grch38.chr20_and_21_10M.fa.gz, scored over
+    chr20:9,000,000-9,100,000;
+  * ONT — HG002_R10_chr20_5050000_5075000.bam (R10.4, ~30 kb reads)
+    on the masked GRCh38 FASTA, scored over chr20:5,050,000-5,075,000
+    (the accuracy_ont window).
+
+Reference anchors: PacBio/ONT case studies (docs/metrics.md:37-40),
+training case study (docs/deepvariant-training-case-study.md),
+run_oracle_inference.py (oracle ceiling semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from deepvariant_tpu.scripts.accuracy_sim import (
+    _merge_tfrecords,
+    _run_make_examples_fanout,
+)
+
+TESTDATA = "/root/reference/deepvariant/testdata/input"
+TRIO_TESTDATA = "/root/reference/deeptrio/testdata/input"
+GRCH38_10M = f"{TESTDATA}/grch38.chr20_and_21_10M.fa.gz"
+V421_TRUTH = (
+    f"{TRIO_TESTDATA}/HG002_GRCh38_1_22_v4.2.1_benchmark.chr20.vcf.gz"
+)
+V421_BED = f"{TRIO_TESTDATA}/HG002_GRCh38_1_22_v4.2.1_benchmark.chr20.bed"
+
+# Simulation windows on the grch38 chr20 0-10 Mb slice (non-N from
+# 66 kb). Both eval regions — chr20:5.05-5.075M (ONT) and
+# chr20:9.0-9.1M (PacBio) — are excluded with wide margins so no
+# family's training simulation touches any eval sequence context.
+_TRAIN_WINDOWS = [
+    (200_000, 500_000),
+    (700_000, 1_000_000),
+    (1_200_000, 1_500_000),
+    (1_700_000, 2_000_000),
+    (2_200_000, 2_500_000),
+    (2_700_000, 3_000_000),
+    (3_200_000, 3_500_000),
+    (3_700_000, 4_000_000),
+]
+_TUNE_WINDOWS = [(4_200_000, 4_350_000)]
+
+FAMILIES: Dict[str, dict] = {
+    "pacbio": {
+        "preset": "PACBIO",
+        "train_config": "pacbio",
+        "coverage": 32.0,
+        "template_bam": f"{TESTDATA}/test_pacbio.chr20_100kbp_at_9mb.bam",
+        "template_region": ("chr20", 8_980_000, 9_100_000),
+        "template_ref": GRCH38_10M,
+        "eval": {
+            "reads": f"{TESTDATA}/test_pacbio.chr20_100kbp_at_9mb.bam",
+            "ref": GRCH38_10M,
+            "region": "chr20:9,000,000-9,100,000",
+            "span": (9_000_000, 9_100_000),
+            "truth": V421_TRUTH,
+            "confident_bed": V421_BED,
+            "sample": "HG002",
+        },
+    },
+    "ont": {
+        "preset": "ONT_R104",
+        "train_config": "ont",
+        "coverage": 35.0,
+        "template_bam": (
+            f"{TRIO_TESTDATA}/HG002_R10_chr20_5050000_5075000.bam"
+        ),
+        "template_region": ("chr20", 5_050_000, 5_075_000),
+        "template_ref": (
+            f"{TRIO_TESTDATA}/grch38.chr20_5050000_5075000.masked.fa.gz"
+        ),
+        "eval": {
+            "reads": (
+                f"{TRIO_TESTDATA}/HG002_R10_chr20_5050000_5075000.bam"
+            ),
+            "ref": (
+                f"{TRIO_TESTDATA}/"
+                "grch38.chr20_5050000_5075000.masked.fa.gz"
+            ),
+            "region": "chr20:5,050,000-5,075,000",
+            "span": (5_050_000, 5_075_000),
+            "truth": V421_TRUTH,
+            "confident_bed": V421_BED,
+            "sample": "HG002",
+        },
+    },
+}
+
+
+def _chunk_windows(
+    contig: str, windows: Sequence[Tuple[int, int]], chunk: int
+) -> List[str]:
+    out = []
+    for lo, hi in windows:
+        for s in range(lo, hi, chunk):
+            out.append(f"{contig}:{s}-{min(s + chunk, hi)}")
+    return out
+
+
+def generate_corpus(
+    workdir: str,
+    family: str,
+    seeds: Sequence[int],
+    coverage: Optional[float],
+    num_workers: int,
+    log_fn=print,
+) -> Dict[str, int]:
+    from deepvariant_tpu.training.simulate_longread import (
+        LongReadSimConfig,
+        simulate_corpus_longread,
+    )
+
+    spec = FAMILIES[family]
+    cov = coverage or spec["coverage"]
+
+    def _sim(windows, seed, outdir):
+        return simulate_corpus_longread(LongReadSimConfig(
+            ref_path=GRCH38_10M, contig="chr20", windows=windows,
+            template_bam=spec["template_bam"],
+            template_region=spec["template_region"],
+            template_ref_path=spec["template_ref"],
+            seed=seed, coverage=cov,
+        ), outdir)
+
+    def _label(sim, windows, outdir, tag) -> List[str]:
+        jobs, parts = [], []
+        for i, region in enumerate(
+            _chunk_windows("chr20", windows, 75_000)
+        ):
+            part = os.path.join(outdir, f"{tag}{i:03d}.tfrecord.gz")
+            jobs.append(dict(
+                reads_filename=sim["bam"], ref_filename=GRCH38_10M,
+                examples_filename=part, mode="training",
+                regions=[region],
+                truth_variants_filename=sim["truth_vcf"],
+                confident_regions_filename=sim["confident_bed"],
+                model_preset=spec["preset"],
+            ))
+            parts.append(part)
+        _run_make_examples_fanout(jobs, num_workers,
+                                  log_fn=lambda _: None)
+        return parts
+
+    train_parts: List[str] = []
+    for seed in seeds:
+        rep_dir = os.path.join(workdir, f"rep{seed}")
+        t0 = time.time()
+        sim = _sim(_TRAIN_WINDOWS, seed, rep_dir)
+        log_fn(f"rep{seed}: {sim['n_variants']} variants, "
+               f"{sim['n_reads']} reads in {time.time() - t0:.0f}s")
+        t0 = time.time()
+        train_parts += _label(sim, _TRAIN_WINDOWS, rep_dir, "part")
+        log_fn(f"rep{seed}: labeled in {time.time() - t0:.0f}s")
+
+    tune_dir = os.path.join(workdir, "tune_sim")
+    tune_sim = _sim(_TUNE_WINDOWS, max(seeds) + 7919, tune_dir)
+    tune_parts = _label(tune_sim, _TUNE_WINDOWS, tune_dir, "tune")
+
+    train_path = os.path.join(workdir, "train.tfrecord.gz")
+    tune_path = os.path.join(workdir, "tune.tfrecord.gz")
+    counts = {
+        "train": _merge_tfrecords(train_parts, train_path),
+        "tune": _merge_tfrecords(tune_parts, tune_path),
+    }
+    log_fn(f"corpus: {counts['train']} train / {counts['tune']} tune")
+
+    from deepvariant_tpu.training.data import DatasetConfig
+
+    DatasetConfig(
+        name=f"{family}-sim-train", tfrecord_path=train_path,
+        num_examples=counts["train"],
+    ).write(os.path.join(workdir, "train_dataset.json"))
+    DatasetConfig(
+        name=f"{family}-sim-tune", tfrecord_path=tune_path,
+        num_examples=counts["tune"],
+    ).write(os.path.join(workdir, "tune_dataset.json"))
+    return counts
+
+
+def train_model(
+    workdir: str,
+    family: str,
+    batch_size: int,
+    num_epochs: int,
+    learning_rate: float,
+    device: str,
+    class_weights: str,
+    log_fn=print,
+) -> str:
+    from deepvariant_tpu.training.config import get_config
+    from deepvariant_tpu.training.train_resident import train_resident
+
+    config = get_config(FAMILIES[family]["train_config"])
+    config.train_dataset_config = os.path.join(
+        workdir, "train_dataset.json"
+    )
+    config.tune_dataset_config = os.path.join(
+        workdir, "tune_dataset.json"
+    )
+    config.batch_size = batch_size
+    config.num_epochs = num_epochs
+    config.learning_rate = learning_rate
+    config.early_stopping_patience = num_epochs
+    config.num_validation_examples = 0
+    config.bn_momentum = 0.99
+    config.learning_rate_decay_rate = 0.94
+    config.learning_rate_num_epochs_per_decay = 1.0
+    config.warmup_steps = 0
+    # The production long-read class_weights (1,1,10) are tuned for
+    # GIAB-scale corpora; "auto" keeps them, anything else overrides
+    # (accuracy_ont measured 1,1,10 collapsing tiny corpora).
+    if class_weights != "auto":
+        config.class_weights = class_weights
+
+    import jax
+
+    if device == "cpu" or (
+        device == "auto" and jax.default_backend() == "cpu"
+    ):
+        config.use_mixed_precision = False
+    exp_dir = os.path.join(workdir, "experiment")
+    results = train_resident(config, exp_dir, log_fn=log_fn)
+    log_fn(f"training done: best tune/f1_weighted="
+           f"{results.get('best_metric', 0):.4f} "
+           f"at epoch {results.get('best_epoch')}")
+    return os.path.join(exp_dir, "checkpoints", "best.msgpack")
+
+
+def evaluate_model(
+    workdir: str,
+    family: str,
+    ckpt: str,
+    batch_size: int,
+    log_fn=print,
+) -> Dict[str, object]:
+    from deepvariant_tpu.calling.call_variants import call_variants
+    from deepvariant_tpu.io.fasta import FastaReader
+    from deepvariant_tpu.labeler import labeled_examples_to_vcf
+    from deepvariant_tpu.postprocess.pipeline import postprocess_variants
+    from deepvariant_tpu.scripts.call_variants import (
+        load_variables_for_examples,
+    )
+    from deepvariant_tpu.tools import vcf_eval
+
+    spec = FAMILIES[family]
+    ev = spec["eval"]
+    ev_dir = os.path.join(workdir, "eval")
+    os.makedirs(ev_dir, exist_ok=True)
+    lo, hi = ev["span"]
+    span_bed = os.path.join(ev_dir, "span.bed")
+    with open(span_bed, "w") as f:
+        f.write(f"chr20\t{lo}\t{hi}\n")
+
+    calling_path = os.path.join(ev_dir, "calling.tfrecord.gz")
+    oracle_path = os.path.join(ev_dir, "oracle.tfrecord.gz")
+    jobs = [
+        dict(
+            reads_filename=ev["reads"], ref_filename=ev["ref"],
+            examples_filename=calling_path, mode="calling",
+            regions=[ev["region"]], model_preset=spec["preset"],
+        ),
+        dict(
+            reads_filename=ev["reads"], ref_filename=ev["ref"],
+            examples_filename=oracle_path, mode="training",
+            regions=[ev["region"]], model_preset=spec["preset"],
+            truth_variants_filename=ev["truth"],
+            confident_regions_filename=ev["confident_bed"],
+        ),
+    ]
+    _run_make_examples_fanout(jobs, 2, log_fn=lambda _: None)
+
+    model, variables, _ = load_variables_for_examples(
+        ckpt, calling_path
+    )
+    cvo_path = os.path.join(ev_dir, "cvo.tfrecord.gz")
+    call_variants(
+        calling_path, cvo_path, variables,
+        batch_size=batch_size, model=model,
+    )
+    vcf_out = os.path.join(ev_dir, "out.vcf.gz")
+    postprocess_variants(
+        cvo_path, vcf_out, FastaReader(ev["ref"]).contigs,
+        sample_name=ev["sample"],
+    )
+    # hap.py semantics: scored inside the truth set's shipped
+    # confident regions (docs/metrics.md:33-44).
+    confident = vcf_eval.evaluate(
+        ev["truth"], vcf_out,
+        confident_bed=ev["confident_bed"], region=ev["region"],
+    )
+    full = vcf_eval.evaluate(
+        ev["truth"], vcf_out, confident_bed=span_bed,
+        region=ev["region"],
+    )
+    oracle_vcf = os.path.join(ev_dir, "oracle.vcf.gz")
+    labeled_examples_to_vcf.run(
+        oracle_path, ev["ref"], oracle_vcf, sample_name=ev["sample"],
+    )
+    oracle = vcf_eval.evaluate(
+        ev["truth"], oracle_vcf,
+        confident_bed=ev["confident_bed"], region=ev["region"],
+    )
+    log_fn(
+        f"{family}: confident-regions F1 snp "
+        f"{confident['snp']['f1']:.4f} / indel "
+        f"{confident['indel']['f1']:.4f} / all "
+        f"{confident['all']['f1']:.4f}; oracle ceiling all "
+        f"{oracle['all']['f1']:.4f}"
+    )
+    return {
+        "family": family,
+        "region": ev["region"],
+        "model_confident": confident,
+        "model_full_span": full,
+        "oracle_confident": oracle,
+    }
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--family", choices=("pacbio", "ont"),
+                   required=True)
+    p.add_argument("--stages", default="gen,train,eval")
+    p.add_argument("--seeds", default="101")
+    p.add_argument("--coverage", type=float, default=0.0)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=192)
+    p.add_argument("--num_epochs", type=int, default=30)
+    p.add_argument("--learning_rate", type=float, default=0.004)
+    p.add_argument("--class_weights", default="auto",
+                   help="'auto' keeps the family preset; or e.g. '' "
+                        "(uniform) / '1,1,3'")
+    p.add_argument("--device", choices=("auto", "cpu"), default="auto")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--report", default="")
+    args = p.parse_args(argv)
+
+    stages = set(args.stages.split(","))
+    os.makedirs(args.workdir, exist_ok=True)
+    result: Dict[str, object] = {"family": args.family}
+    if "gen" in stages:
+        result["corpus"] = generate_corpus(
+            args.workdir, args.family,
+            [int(s) for s in args.seeds.split(",")],
+            args.coverage or None, args.num_workers,
+        )
+    ckpt = args.checkpoint or os.path.join(
+        args.workdir, "experiment", "checkpoints", "best.msgpack"
+    )
+    if "train" in stages:
+        ckpt = train_model(
+            args.workdir, args.family, args.batch_size,
+            args.num_epochs, args.learning_rate, args.device,
+            args.class_weights,
+        )
+    if "eval" in stages:
+        result["eval"] = evaluate_model(
+            args.workdir, args.family, ckpt, args.batch_size,
+        )
+    report = args.report or os.path.join(args.workdir, "report.json")
+    with open(report, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(
+        {k: v for k, v in result.items() if k != "corpus"} |
+        {"corpus": result.get("corpus")}
+    ))
+
+
+if __name__ == "__main__":
+    main()

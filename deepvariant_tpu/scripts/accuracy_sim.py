@@ -111,7 +111,12 @@ def _run_make_examples_fanout(
                 "force_cpu()\n"
                 "from deepvariant_tpu.make_examples.core import "
                 "MakeExamplesOptions, make_examples_runner\n"
-                "opts = MakeExamplesOptions(**json.loads(sys.argv[1]))\n"
+                "from deepvariant_tpu.make_examples.presets import "
+                "apply_model_preset\n"
+                "kw = json.loads(sys.argv[1])\n"
+                "preset = kw.pop('model_preset', None)\n"
+                "opts = MakeExamplesOptions(**kw)\n"
+                "if preset: apply_model_preset(opts, preset)\n"
                 "print(json.dumps(make_examples_runner(opts)))\n"
             )
             proc = subprocess.Popen(
