@@ -376,9 +376,21 @@ def _train_metrics(use_bf16: bool = True, batch: int = 1024) -> dict:
     state = train_lib.init_state(model, variables, tx)
     train_step = train_lib.make_train_step(model, tx, config)
 
+    def state_probe(state):
+        # A scalar that data-depends on the UPDATED parameters: without
+        # it, an executable returning only the loss lets XLA dead-code-
+        # eliminate the whole backward pass + optimizer update (the
+        # loss needs only the forward pass), and the "train" oracle
+        # silently measures inference (observed: train_mfu 0.086 vs
+        # the real ~3x that).
+        leaves = jax.tree_util.tree_leaves(state["params"])[:4]
+        return sum(
+            l.astype(jnp.float32).sum() for l in leaves
+        ) * jnp.float32(1e-30)
+
     def one(state, batch_data):
-        state, loss, _ = train_step(state, batch_data)
-        return state, loss
+        new_state, loss, _ = train_step(state, batch_data)
+        return new_state, loss + state_probe(new_state)
 
     def scan_k(state, stacked):
         def body(state, batch_data):
@@ -386,7 +398,10 @@ def _train_metrics(use_bf16: bool = True, batch: int = 1024) -> dict:
             return state, loss
 
         state, losses = jax.lax.scan(body, state, stacked)
-        return losses.sum()
+        # The probe also keeps the LAST step's parameter update alive
+        # (earlier steps feed the carry; the final state is otherwise
+        # unused).
+        return losses.sum() + state_probe(state)
 
     dev_state = jax.device_put(state)
     dev_data = jax.device_put(data)
@@ -496,6 +511,24 @@ def _device_all() -> dict:
     out["value_unfolded"] = unfolded["value"]
     out["mfu_unfolded"] = unfolded["mfu"]
     out["sweep"] = sweep
+    # Architecture ceiling from deploy/mfu_roofline.py: the MXU's
+    # 128-lane tile quantization over this exact HLO caps InceptionV3
+    # inference at ~0.54 MFU (stem convs with Cin*9 << 128 dominate
+    # the waste); measured MFU should be read against that ceiling,
+    # not against 1.0.
+    try:
+        roof_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "deploy", "mfu_roofline_r03.json",
+        )
+        with open(roof_path) as f:
+            roof = json.load(f)
+        out["mfu_tile_ceiling"] = roof["inference"][
+            "mxu_tile_ceiling_mfu"]
+        out["mfu_tile_ceiling_train"] = roof.get("train", {}).get(
+            "mxu_tile_ceiling_mfu")
+    except (OSError, KeyError, ValueError):
+        pass
     out.update(_train_metrics(use_bf16=True, batch=1024))
     out.update(_train_metrics(use_bf16=False, batch=512))
     out.update(_stream_metrics())

@@ -77,7 +77,7 @@ FAMILIES: Dict[str, dict] = {
     "pacbio": {
         "preset": "PACBIO",
         "train_config": "pacbio",
-        "coverage": 32.0,
+        "coverage": 0.0,  # 0 = fitted from the template BAM
         "template_bam": f"{TESTDATA}/test_pacbio.chr20_100kbp_at_9mb.bam",
         "template_region": ("chr20", 8_980_000, 9_100_000),
         "template_ref": GRCH38_10M,
@@ -94,7 +94,7 @@ FAMILIES: Dict[str, dict] = {
     "ont": {
         "preset": "ONT_R104",
         "train_config": "ont",
-        "coverage": 35.0,
+        "coverage": 0.0,  # 0 = fitted from the template BAM
         "template_bam": (
             f"{TRIO_TESTDATA}/HG002_R10_chr20_5050000_5075000.bam"
         ),
@@ -144,7 +144,7 @@ def generate_corpus(
     )
 
     spec = FAMILIES[family]
-    cov = coverage or spec["coverage"]
+    cov = coverage if coverage is not None else spec["coverage"]
 
     def _sim(windows, seed, outdir):
         return simulate_corpus_longread(LongReadSimConfig(

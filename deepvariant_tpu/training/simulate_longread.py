@@ -90,7 +90,13 @@ class LongReadSimConfig:
     # may differ from ref_path (e.g. masked eval FASTA).
     template_ref_path: str = ""
     seed: int = 0
-    coverage: float = 32.0
+    # 0 = fit from the template (LongReadModel.mean_depth).
+    coverage: float = 0.0
+    # Per-window depth multiplier range: real runs are not uniform
+    # depth, and a model trained at ONE depth latches onto absolute
+    # alt-row counts (measured: a 32x-trained model called 42x real
+    # hets hom-alt). (lo, hi) multiplies `coverage` per window.
+    depth_jitter: Tuple[float, float] = (0.75, 1.3)
     # Truth process (same knobs/defaults as the Illumina simulator).
     snv_rate: float = 1.0 / 250.0
     indel_rate: float = 1.0 / 1400.0
@@ -140,6 +146,8 @@ class LongReadModel:
         ins_lengths: np.ndarray,
         del_lengths: np.ndarray,
         hp_fraction: float,
+        mean_depth: float = 32.0,
+        extra_sub_rate: float = 0.0,
     ):
         if not len(lengths) or not quality_pool:
             raise ValueError("template fit produced no reads")
@@ -152,6 +160,14 @@ class LongReadModel:
         self.del_lengths = del_lengths if len(del_lengths) else \
             np.ones(1, np.int64)
         self.hp_fraction = hp_fraction
+        self.mean_depth = mean_depth
+        # Substitution rate NOT explained by base qualities: HiFi
+        # consensus/alignment artifacts show up as mismatches at Q93
+        # (measured on test_pacbio: 0.0013/base observed vs ~0.0002
+        # quality-implied). Simulating errors only where quality is
+        # low trains a model on speckle-free backgrounds that real
+        # pileups never have.
+        self.extra_sub_rate = extra_sub_rate
 
     @classmethod
     def from_bam(
@@ -196,6 +212,8 @@ class LongReadModel:
         del_events: List[int] = []
         hp_events = 0
         n_events = 0
+        mismatches = 0
+        quality_implied = 0.0
         for rd in reads[:max_reads]:
             if rd.secondary_alignment or rd.supplementary_alignment:
                 continue
@@ -204,7 +222,11 @@ class LongReadModel:
                 continue
             lengths.append(len(rd.aligned_sequence))
             pool.append(q[::-1].copy() if rd.reverse_strand else q)
+            seq = np.frombuffer(
+                rd.aligned_sequence.encode(), np.uint8
+            )
             rp = rd.position
+            qp = 0
             for op, n in rd.cigar:
                 if op == _OP_I and n <= _MAX_ERR_LEN:
                     ins_events.append(n)
@@ -216,8 +238,21 @@ class LongReadModel:
                     n_events += 1
                     if ref is not None and hp_mask[min(rp, len(ref) - 1)]:
                         hp_events += 1
+                if op in (1, 8, 9) and ref is not None \
+                        and rp + n <= len(ref):
+                    r_slice = ref[rp: rp + n]
+                    s_slice = seq[qp: qp + n]
+                    ok = r_slice != ord("N")
+                    mismatches += int(
+                        np.count_nonzero((r_slice != s_slice) & ok)
+                    )
+                    quality_implied += float(np.sum(np.power(
+                        10.0, -q[qp: qp + n][ok].astype(np.float64) / 10
+                    )))
                 if op in OPS_CONSUME_REF:
                     rp += n
+                if op in OPS_CONSUME_READ:
+                    qp += n
                 if op in OPS_CONSUME_READ and op != _OP_I:
                     aligned_bases += n
         if not aligned_bases:
@@ -225,6 +260,17 @@ class LongReadModel:
         hp_fraction = hp_events / n_events if (
             ref is not None and n_events
         ) else 0.6
+        # Mean template depth over the fitted region (the read set is
+        # the region query, so clipped edge overlap is negligible at
+        # these read lengths).
+        span = region.end - region.start
+        mean_depth = aligned_bases / span if span > 0 else 32.0
+        # Mismatches include true het/hom variant sites (~0.0003/base
+        # at human density) — subtract a human-variation allowance so
+        # extra_sub_rate models machine/alignment artifacts only.
+        observed = mismatches / aligned_bases if aligned_bases else 0.0
+        implied = quality_implied / aligned_bases if aligned_bases else 0.0
+        extra = max(0.0, observed - implied - 3.3e-4)
         return cls(
             lengths=np.asarray(lengths, np.int64),
             quality_pool=pool,
@@ -233,6 +279,8 @@ class LongReadModel:
             ins_lengths=np.asarray(ins_events, np.int64),
             del_lengths=np.asarray(del_events, np.int64),
             hp_fraction=hp_fraction,
+            mean_depth=mean_depth,
+            extra_sub_rate=extra,
         )
 
     def draw_length(self, rng: np.random.Generator,
@@ -379,7 +427,8 @@ def simulate_long_window_reads(
         np.fromiter(hot_alt.keys(), np.int64, len(hot_alt))
         if hot_alt else np.zeros(0, np.int64)
     )
-    target_bases = int(span * cfg.coverage)
+    coverage = cfg.coverage or model.mean_depth
+    target_bases = int(span * coverage)
     emitted = 0
     idx = 0
     while emitted < target_bases:
@@ -420,11 +469,13 @@ def simulate_long_window_reads(
                 alt_b, f_fwd, f_rev = hot_alt[int(rp[k])]
                 if rng.random() < (f_fwd if forward else f_rev):
                     seq[k] = alt_b
-        # Quality-driven substitutions.
+        # Quality-driven substitutions PLUS the fitted
+        # quality-decoupled artifact rate (real HiFi mismatches sit at
+        # Q93; a speckle-free training background does not transfer).
         if cfg.error_rate_scale > 0:
-            err = rng.random(len(seq)) < cfg.error_rate_scale * np.power(
-                10.0, -qual.astype(np.float64) / 10
-            )
+            p_err = np.power(10.0, -qual.astype(np.float64) / 10) \
+                + model.extra_sub_rate
+            err = rng.random(len(seq)) < cfg.error_rate_scale * p_err
             for k in np.flatnonzero(err):
                 choices = _BASES[_BASES != seq[k]]
                 seq[k] = choices[rng.integers(len(choices))]
@@ -487,8 +538,16 @@ def simulate_corpus_longread(
             ref[lo:hi].copy(), np.arange(lo, hi, dtype=np.int64)
         ))
         hp_r0 = model.calibrate_hp_rate(ref, lo, hi)
+        # Depth augmentation: each window trains at a different depth
+        # so the model reads allele FRACTIONS, not absolute row counts.
+        j_lo, j_hi = cfg.depth_jitter
+        w_cfg = dataclasses.replace(
+            cfg,
+            coverage=(cfg.coverage or model.mean_depth)
+            * float(rng.uniform(j_lo, j_hi)),
+        )
         reads = simulate_long_window_reads(
-            rng, haps, cfg, model, hotspots,
+            rng, haps, w_cfg, model, hotspots,
             name_prefix=f"lsim{cfg.seed}w{w_idx}",
             window=(lo, hi), hp_r0=hp_r0,
         )

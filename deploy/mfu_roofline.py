@@ -1,0 +1,202 @@
+"""MFU roofline analysis for the InceptionV3 inference/train graphs.
+
+Answers "why does measured MFU plateau near 0.39, and what is the
+architecture's achievable ceiling on this chip?" with per-layer
+arithmetic rather than hand-waving.
+
+Method: lower the exact jitted forward (the same function bench.py
+times) to HLO, parse every convolution / dot op's operand shapes, and
+model the MXU's tile quantization: a TPU v5e MXU consumes 128-wide
+contraction slices and produces 128-wide output slices (8-deep
+sublanes on the batch/spatial dim). A conv whose effective contraction
+depth K = kh*kw*Cin or output width N = Cout is not a multiple of 128
+wastes the remainder lanes, so its best-case utilization is
+
+    eff = (K / ceil128(K)) * (N / ceil128(N)) * (M / ceil8(M))
+
+The FLOPs-weighted harmonic mean of `eff` over all matmul-shaped ops
+is the compute-side ceiling: the MFU the chip could reach if every
+byte were already in VMEM and nothing else cost time. Memory-bound
+ops (pooling, concat, normalize) and inter-layer HBM traffic push the
+real number below it; the gap between this ceiling and bench.py's
+measurement is the scheduling/bandwidth share.
+
+Usage:
+    python deploy/mfu_roofline.py [--batch 2048] [--train]
+Writes deploy/mfu_roofline_r03.json and prints a summary table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import re
+from typing import Dict, List
+
+
+def _rup(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# StableHLO (MLIR) formats from jax.jit(...).lower(...).as_text():
+#   stablehlo.convolution(...) ... : (tensor<BxHxWxCxbf16>,
+#       tensor<KHxKWxCIxCOxbf16>) -> tensor<BxHoxWoxCOxbf16>
+#   stablehlo.dot_general %a, %b, contracting_dims = [i] x [j], ... :
+#       (tensor<MxKxf32>, tensor<KxNxf32>) -> tensor<MxNxf32>
+_CONV = re.compile(
+    r"stablehlo\.convolution\(.*?:\s*"
+    r"\(tensor<([\dx]+)x\w+>,\s*tensor<([\dx]+)x\w+>\)"
+    r"\s*->\s*tensor<([\dx]+)x\w+>",
+    re.DOTALL,
+)
+_DOT = re.compile(
+    r"stablehlo\.dot_general\s.*?:\s*"
+    r"\(tensor<([\dx]+)x\w+>,\s*tensor<([\dx]+)x\w+>\)"
+    r"\s*->\s*tensor<([\dx]+)x\w+>",
+    re.DOTALL,
+)
+
+
+def _dims(s: str) -> List[int]:
+    return [int(d) for d in s.split("x") if d]
+
+
+def analyze_hlo(hlo_text: str) -> List[Dict]:
+    """Matmul-shaped ops with FLOPs and modeled MXU efficiency."""
+    ops = []
+    for line in hlo_text.splitlines():
+        m = _CONV.search(line)
+        if m:
+            lhs_d, rhs_d, out_d = (_dims(g) for g in m.groups())
+            if len(rhs_d) != 4 or len(out_d) < 2:
+                continue
+            # [b,0,1,f]x[0,1,i,o]->[b,0,1,f]: kernel [kh, kw, Cin, Cout].
+            kh, kw, cin, cout = rhs_d
+            batch = out_d[0]
+            spatial = math.prod(out_d[1:-1])
+            k = kh * kw * cin
+            n = out_d[-1]
+            mdim = batch * spatial
+            flops = 2.0 * mdim * k * n
+            eff = (k / _rup(k, 128)) * (n / _rup(n, 128)) \
+                * (mdim / _rup(mdim, 8))
+            ops.append({
+                "kind": "conv",
+                "shape": f"{kh}x{kw}x{cin}->{n} @{out_d[1]}x{out_d[2]}",
+                "k": k, "n": n, "m": mdim,
+                "flops": flops, "eff": round(eff, 4),
+            })
+            continue
+        m = _DOT.search(line)
+        if m:
+            lhs, rhs, out = (_dims(g) for g in m.groups())
+            if len(lhs) < 2 or len(rhs) < 2:
+                continue
+            k = lhs[-1]
+            n = out[-1]
+            mdim = math.prod(out[:-1])
+            flops = 2.0 * mdim * k * n
+            eff = (k / _rup(k, 128)) * (n / _rup(n, 128)) \
+                * (mdim / _rup(mdim, 8))
+            ops.append({
+                "kind": "dot", "shape": f"[{mdim}x{k}]x[{k}x{n}]",
+                "k": k, "n": n, "m": mdim,
+                "flops": flops, "eff": round(eff, 4),
+            })
+    return ops
+
+
+def roofline(batch: int, train: bool) -> Dict:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepvariant_tpu.models.inception_v3 import (
+        create_model,
+        normalize_pileup,
+    )
+
+    model, variables = create_model(7, dtype=jnp.bfloat16)
+    x = np.zeros((batch, 100, 221, 7), np.uint8)
+    if train:
+        from deepvariant_tpu.training import train as train_lib
+        from deepvariant_tpu.training.config import get_config
+
+        config = get_config("wgs")
+        config.batch_size = batch
+        tx, _ = train_lib.make_optimizer(config, 100)
+        state = train_lib.init_state(model, variables, tx)
+        step = train_lib.make_train_step(model, tx, config)
+        data = {
+            "images": x,
+            "labels": np.zeros(batch, np.int32),
+            "sample_weights": np.ones(batch, np.float32),
+            "variant_types": np.ones(batch, np.int32),
+        }
+
+        def fn(s, b):
+            new_s, loss, _ = step(s, b)
+            leaves = jax.tree_util.tree_leaves(new_s["params"])[:4]
+            return loss + sum(
+                l.astype(jnp.float32).sum() for l in leaves
+            ) * jnp.float32(1e-30)
+
+        hlo = jax.jit(fn).lower(state, data).as_text()
+    else:
+        def fn(v, b):
+            return model.apply(
+                v, normalize_pileup(b), train=False
+            ).astype(jnp.float32).sum()
+
+        hlo = jax.jit(fn).lower(variables, x).as_text()
+
+    ops = analyze_hlo(hlo)
+    total = sum(o["flops"] for o in ops)
+    # FLOPs-weighted harmonic mean: total work / total MXU-cycles.
+    cycles = sum(o["flops"] / max(o["eff"], 1e-9) for o in ops)
+    ceiling = total / cycles if cycles else 0.0
+    by_share = sorted(ops, key=lambda o: -o["flops"])
+    return {
+        "batch": batch,
+        "graph": "train" if train else "inference",
+        "n_matmul_ops": len(ops),
+        "total_matmul_flops": total,
+        "mxu_tile_ceiling_mfu": round(ceiling, 4),
+        "worst_offenders": [
+            {**o, "flops_share": round(o["flops"] / total, 4)}
+            for o in by_share[:12]
+        ],
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=2048)
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--out", default="")
+    args = p.parse_args()
+    result = roofline(args.batch, args.train)
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "mfu_roofline_r03.json",
+    )
+    existing = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            existing = json.load(f)
+    existing[result["graph"]] = result
+    with open(out, "w") as f:
+        json.dump(existing, f, indent=1)
+    print(f"{result['graph']} batch={result['batch']}: "
+          f"MXU tile ceiling = {result['mxu_tile_ceiling_mfu']:.3f} MFU "
+          f"over {result['n_matmul_ops']} matmul ops")
+    for o in result["worst_offenders"][:8]:
+        print(f"  {o['flops_share']*100:5.1f}%  eff={o['eff']:.3f}  "
+              f"{o['kind']} {o['shape']}")
+
+
+if __name__ == "__main__":
+    main()
