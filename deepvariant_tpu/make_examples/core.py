@@ -510,6 +510,10 @@ class RegionOutputs:
     small_model_examples: List[bytes] = dataclasses.field(
         default_factory=list
     )
+    # Device-encode payloads (PlannedExample) when the processor runs
+    # in plan mode (fused streaming with on-device pileup painting);
+    # `examples` stays empty in that mode.
+    plans: List = dataclasses.field(default_factory=list)
 
 
 class RegionProcessor:
@@ -597,6 +601,13 @@ class RegionProcessor:
             options.realigner_options, self.ref_reader
         ) if options.realigner_enabled else None
         self.labeler = None  # set in training mode by the runner
+        # Fused-stream device encoding: emit PlannedExample payloads
+        # (row tensors) instead of host-painted images; set by
+        # make_examples_runner(plan_sink=...).
+        self.plan_mode = False
+        # Fused-stream gVCF: compute ref blocks even with no gvcf
+        # TFRecord (records flow to the stream gvcf_sink instead).
+        self.force_gvcfs = False
         # --select_variant_types filter set (make_examples_core.py
         # select_variants_types semantics): names among
         # {snps, indels, multi-allelics, all}.
@@ -1128,7 +1139,8 @@ class RegionProcessor:
         runtimes["realignment"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        include_gvcfs = bool(self.options.gvcf_filename)
+        include_gvcfs = bool(self.options.gvcf_filename) \
+            or self.force_gvcfs
         # With read phasing on, candidates are called over a region
         # expanded by phase_reads_region_padding_pct so edge reads get
         # phasing evidence from just-outside candidates; the padded
@@ -1271,7 +1283,12 @@ class RegionProcessor:
                 # (write_read_phase, make_examples_core.py:1355-1362).
                 flags = batch.flag
                 for rid, read_phase in enumerate(phases):
-                    read_number = 0 if flags[rid] & 0x40 else 1
+                    # Unpaired (single-end / long-read) fragments are
+                    # read 0, like paired first-of-pair reads
+                    # (sam_reader.cc:785).
+                    read_number = 0 if (
+                        flags[rid] & 0x40 or not flags[rid] & 0x1
+                    ) else 1
                     self.read_phase_rows.append((
                         f"{batch.name[rid]}/{read_number}",
                         int(read_phase), self.region_number,
@@ -1377,6 +1394,7 @@ class RegionProcessor:
 
         t0 = time.perf_counter()
         examples: List[bytes] = []
+        plans: List = []
         build_images = not self.options.skip_pileup_image_generation
         downsample = self.options.downsample_classes
         for idx, dv_call in enumerate(
@@ -1403,16 +1421,25 @@ class RegionProcessor:
                     lambda variant, alt_indices, _label=label:
                     _label.label_for_alt_alleles(alt_indices)
                 )
-            for built in self.examples_builder.build_examples_for_candidate(
-                dv_call, batch, label_fn=label_fn
-            ):
-                examples.append(built.encoded)
+            if self.plan_mode:
+                plans.extend(
+                    self.examples_builder.build_plans_for_candidate(
+                        dv_call, batch, label_fn=label_fn
+                    )
+                )
+            else:
+                for built in (
+                    self.examples_builder.build_examples_for_candidate(
+                        dv_call, batch, label_fn=label_fn
+                    )
+                ):
+                    examples.append(built.encoded)
         runtimes["make pileup images"] = time.perf_counter() - t0
         all_candidates = candidates + methylated_ref_sites
         all_candidates.sort(key=lambda c: c.variant.start)
         return RegionOutputs(region, all_candidates, examples, gvcfs,
                              runtimes, small_model_cvos,
-                             small_model_examples)
+                             small_model_examples, plans=plans)
 
 
 class OutputsWriter:
@@ -1424,10 +1451,15 @@ class OutputsWriter:
     shared-memory example stream (stream_examples.h:51).
     """
 
-    def __init__(self, options: MakeExamplesOptions, example_sink=None):
+    def __init__(self, options: MakeExamplesOptions, example_sink=None,
+                 plan_sink=None, gvcf_sink=None,
+                 small_model_cvo_sink=None):
         task = options.task_id
         self._writers: Dict[str, TFRecordWriter] = {}
         self._example_sink = example_sink
+        self._plan_sink = plan_sink
+        self._gvcf_sink = gvcf_sink
+        self._small_model_cvo_sink = small_model_cvo_sink
         if options.examples_filename:
             self.examples_path = maybe_sharded_output_path(
                 options.examples_filename, task
@@ -1468,6 +1500,14 @@ class OutputsWriter:
                 self._example_sink(buf)
                 self.counts["examples"] += 1
 
+    def write_plans(self, *plans):
+        """Device-encode payloads count as examples (they 1:1 replace
+        them in the fused stream) and flow to the plan sink."""
+        if self._plan_sink is not None:
+            for plan in plans:
+                self._plan_sink(plan)
+                self.counts["examples"] += 1
+
     def write_candidates(self, *candidates: DeepVariantCall):
         writer = self._writers.get("candidates")
         if writer:
@@ -1480,6 +1520,10 @@ class OutputsWriter:
         if writer:
             for v in gvcfs:
                 writer.write(v.encode())
+                self.counts["gvcfs"] += 1
+        elif self._gvcf_sink is not None:
+            for v in gvcfs:
+                self._gvcf_sink(v)
                 self.counts["gvcfs"] += 1
 
     def write_small_model_examples(self, *examples):
@@ -1494,6 +1538,10 @@ class OutputsWriter:
         if writer:
             for cvo in cvos:
                 writer.write(cvo.encode())
+                self.counts["small_model_cvos"] += 1
+        elif self._small_model_cvo_sink is not None:
+            for cvo in cvos:
+                self._small_model_cvo_sink(cvo)
                 self.counts["small_model_cvos"] += 1
 
     def close(self):
@@ -1651,15 +1699,37 @@ def make_examples_runner(
     options: MakeExamplesOptions,
     runtime_by_region_path: Optional[str] = None,
     example_sink=None,
+    plan_sink=None,
+    gvcf_sink=None,
+    small_model_cvo_sink=None,
 ) -> Dict[str, int]:
     """Main per-shard loop (make_examples_core.py:3481). Returns counts.
 
     `example_sink(serialized_example)` replaces the examples TFRecord
-    for the fused streaming pipeline (leave examples_filename empty)."""
+    for the fused streaming pipeline (leave examples_filename empty).
+    `plan_sink(PlannedExample)` goes further: the host stops after row
+    planning and ships device-encode payloads — pileup painting then
+    runs on the TPU fused with the CNN (calling.plan_predictor).
+    `gvcf_sink(Variant)` / `small_model_cvo_sink(cvo)` likewise replace
+    the gVCF / small-model-CVO TFRecords in fused-stream runs."""
     from deepvariant_tpu.utils.resources import ResourceMonitor
 
+    if example_sink is not None and plan_sink is not None:
+        raise ValueError("pass example_sink or plan_sink, not both")
     monitor = ResourceMonitor().start()
     processor = RegionProcessor(options)
+    if gvcf_sink is not None and not options.gvcf_filename:
+        processor.force_gvcfs = True
+    if plan_sink is not None:
+        if not processor.examples_builder.supports_device_encode():
+            o = options.pileup_options
+            raise ValueError(
+                "this channel/alt-mode configuration is not device-"
+                f"encodable (channels {sorted(o.channels)}, "
+                f"alt_aligned_pileup {o.alt_aligned_pileup!r}); run "
+                "the host-encode stream instead"
+            )
+        processor.plan_mode = True
     if (options.sample_name == DEFAULT_SAMPLE_NAME
             and processor.bam_reader is not None
             and hasattr(processor.bam_reader, "header")):
@@ -1744,7 +1814,10 @@ def make_examples_runner(
     runtime_rows = []
     sitelist: List[str] = []
     n_candidates_logged = 0
-    with OutputsWriter(options, example_sink=example_sink) as writer:
+    with OutputsWriter(options, example_sink=example_sink,
+                       plan_sink=plan_sink, gvcf_sink=gvcf_sink,
+                       small_model_cvo_sink=small_model_cvo_sink
+                       ) as writer:
         for region in regions:
             outputs = processor.process(region)
             if options.output_sitelist:
@@ -1765,6 +1838,7 @@ def make_examples_runner(
                         region.reference_name, region.start, region.end,
                     )
             writer.write_examples(*outputs.examples)
+            writer.write_plans(*outputs.plans)
             writer.write_candidates(*outputs.candidates)
             writer.write_gvcfs(*outputs.gvcfs)
             writer.write_small_model_cvos(*outputs.small_model_cvos)

@@ -69,6 +69,22 @@ class BuiltExample:
     label: Optional[int] = None
 
 
+@dataclasses.dataclass
+class PlannedExample:
+    """Device-encode payload for one (candidate, alt-combo) example.
+
+    `plan` holds the pileup_jax row tensors (host-side planning done,
+    painting deferred to the device); crosses the stream-pipeline
+    worker queue instead of a host-painted image
+    (reference fast_pipeline shm analog, stream_examples_kernel.cc)."""
+
+    plan: dict
+    variant: Variant
+    alt_indices: List[int]
+    variant_type: int
+    label: Optional[int] = None
+
+
 class ExamplesBuilder:
     """Builds tf.Examples for the candidates of one region."""
 
@@ -335,6 +351,59 @@ class ExamplesBuilder:
                 label=label,
             )
             yield BuiltExample(encoded, variant, indices, image, label)
+
+    def supports_device_encode(self) -> bool:
+        """True when this channel/alt-mode config can be painted by the
+        jitted device encoder (pileup_jax.make_longread_encode_fn)."""
+        from deepvariant_tpu.make_examples.pileup_jax import (
+            DEVICE_CHANNELS,
+        )
+
+        o = self.pileup_options
+        return (
+            all(ch in DEVICE_CHANNELS for ch in o.channels)
+            and o.alt_aligned_pileup in ("", "none", "diff_channels")
+        )
+
+    def build_plans_for_candidate(
+        self,
+        dv_call: DeepVariantCall,
+        batch: ReadBatch,
+        label_fn=None,
+    ) -> Iterator[PlannedExample]:
+        """Device-encode twin of build_examples_for_candidate: the same
+        candidate/combo loop, but each example's host work stops after
+        row planning (pileup_jax.plan_longread_example) — the channel
+        painting runs later as one jitted device program fused with the
+        CNN forward. Bit-exactness vs the host painter is asserted by
+        tests/test_pileup_jax*.py for every supported channel set."""
+        from deepvariant_tpu.make_examples import pileup_jax
+
+        variant = dv_call.variant
+        alt_index = {a: i for i, a in enumerate(variant.alternate_bases)}
+        for combo in alt_allele_combinations(
+            variant, self.pileup_options.multi_allelic_mode
+        ):
+            plan = pileup_jax.plan_longread_example(
+                self, dv_call, batch, combo
+            )
+            if plan is None:
+                # Reference window unavailable (contig edge):
+                # build_examples_for_candidate emits nothing either.
+                return
+            indices = sorted(
+                alt_index[a] for a in combo if a in alt_index
+            )
+            label = None
+            if label_fn is not None:
+                label = label_fn(variant, indices)
+            yield PlannedExample(
+                plan=plan,
+                variant=variant,
+                alt_indices=indices,
+                variant_type=encoded_variant_type(variant),
+                label=label,
+            )
 
     def example_shape(self) -> Tuple[int, int, int]:
         """Final tensor shape incl. alt-aligned composition

@@ -490,14 +490,21 @@ def _apply_somatic_filters(
 
 
 def _read_nonvariants(
-    path: str, contigs: Sequence[ContigInfo]
+    path, contigs: Sequence[ContigInfo]
 ) -> Iterator[Variant]:
+    """`path` is a sharded TFRecord spec, or a list of in-memory
+    Variant records from the fused streaming pipeline — both get the
+    same (contig, start, end) sort, so stream and staged gVCF merges
+    see identical record order."""
     contig_index = {c.name: i for i, c in enumerate(contigs)}
-    records = []
-    for p in glob_sharded_inputs(path):
-        with TFRecordReader(p) as reader:
-            for buf in reader:
-                records.append(Variant.decode(buf))
+    if isinstance(path, str):
+        records = []
+        for p in glob_sharded_inputs(path):
+            with TFRecordReader(p) as reader:
+                for buf in reader:
+                    records.append(Variant.decode(buf))
+    else:
+        records = list(path)
     records.sort(
         key=lambda v: (
             contig_index.get(v.reference_name, 1 << 30), v.start, v.end

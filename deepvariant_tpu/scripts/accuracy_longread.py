@@ -19,7 +19,12 @@ families with the fitted long-read simulator
   3. train the flax InceptionV3 with the device-resident loop,
   4. evaluate on the REAL family BAM against the NIST/GIAB HG002
      v4.2.1 truth inside its shipped confident regions (hap.py
-     semantics) — training never sees a real read or truth record,
+     semantics) — training never sees a real TRUTH RECORD; note the
+     error model IS fitted on the template BAM's reads (the ONT
+     template region equals the eval span, the PacBio template region
+     contains it, and template quality strings are resampled verbatim
+     into training reads), so the eval is independent of truth labels
+     but not of the template run's error statistics,
   5. quote the oracle-labeling ceiling beside the model F1.
 
 Eval data (all shipped by the reference):

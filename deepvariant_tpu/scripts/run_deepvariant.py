@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
              "postprocess with NO intermediate example/CVO files "
              "(the reference's fast_pipeline equivalent, "
              "fast_pipeline.cc:248)")
+    p.add_argument(
+        "--stream_encoder", choices=("auto", "device", "host"),
+        default="auto",
+        help="--stream pileup painter: 'device' fuses pileup encoding "
+             "with the CNN on the TPU (workers ship compact candidate "
+             "plans), 'host' paints images on the workers; 'auto' "
+             "picks device whenever the preset's channels allow it")
     return p
 
 
@@ -80,9 +87,26 @@ def _run_make_examples_shard(args_tuple):
     return rc, buf.getvalue()
 
 
+def _stream_device_encodable(options) -> bool:
+    """Is the preset's pileup config paintable by the jitted device
+    encoder (pileup_jax.make_longread_encode_fn)?"""
+    from deepvariant_tpu.make_examples.pileup_jax import DEVICE_CHANNELS
+
+    o = options.pileup_options
+    return (
+        all(ch in DEVICE_CHANNELS for ch in o.channels)
+        and o.alt_aligned_pileup in ("", "none", "diff_channels")
+    )
+
+
 def _run_stream(args, me_argv, num_workers: int, t_start: float) -> int:
     """Fused streaming mode: stage 1 workers feed the device directly;
-    no intermediate example/CVO files (fast_pipeline.cc:248 analog)."""
+    no intermediate example/CVO/gVCF files (fast_pipeline.cc:248
+    analog). Where the preset's channels allow it (WGS/WES/PACBIO/
+    ONT_R104/... — everything but the population-AF pangenome stack)
+    the pileup PAINTING also moves onto the TPU: workers ship compact
+    candidate plans and one fused XLA program encodes + classifies
+    without the image ever leaving HBM."""
     from deepvariant_tpu.calling.call_variants import Predictor
     from deepvariant_tpu.parallel.stream_pipeline import (
         run_streaming_pipeline,
@@ -95,17 +119,6 @@ def _run_stream(args, me_argv, num_workers: int, t_start: float) -> int:
         resolved_options_from_args,
     )
 
-    if args.output_gvcf:
-        raise SystemExit(
-            "--stream does not produce gVCF output yet; drop "
-            "--output_gvcf or run the staged pipeline"
-        )
-    if args.call_small_model_examples:
-        raise SystemExit(
-            "--stream does not gate through the small model yet; "
-            "drop --call_small_model_examples or run the staged "
-            "pipeline"
-        )
     if not args.checkpoint and not args.allow_uninitialized_model:
         raise SystemExit(
             "pass --checkpoint (or --allow_uninitialized_model for "
@@ -114,13 +127,43 @@ def _run_stream(args, me_argv, num_workers: int, t_start: float) -> int:
     me_args = me_build_parser().parse_args(me_argv + ["--task", "0"])
     options = resolved_options_from_args(me_args)
 
-    def predictor_factory(shape):
-        model, variables = load_variables_for_shape(
-            args.checkpoint, shape
+    device_encode = args.stream_encoder != "host" and \
+        _stream_device_encodable(options)
+    if args.stream_encoder == "device" and not device_encode:
+        raise SystemExit(
+            "--stream_encoder=device: this preset's channel/alt-mode "
+            "configuration is not device-encodable; use "
+            "--stream_encoder=host or auto"
         )
-        return Predictor(
-            variables, batch_size=args.batch_size, model=model
+
+    plan_predictor_factory = None
+    predictor_factory = None
+    if device_encode:
+        o = options.pileup_options
+        c = len(o.channels) + (
+            2 if o.alt_aligned_pileup == "diff_channels" else 0
         )
+        shape = (o.height, o.width, c)
+
+        def plan_predictor_factory():
+            from deepvariant_tpu.calling.plan_predictor import (
+                PlanPredictor,
+            )
+
+            model, variables = load_variables_for_shape(
+                args.checkpoint, shape
+            )
+            return PlanPredictor(
+                variables, o, batch_size=args.batch_size, model=model
+            )
+    else:
+        def predictor_factory(shape):
+            model, variables = load_variables_for_shape(
+                args.checkpoint, shape
+            )
+            return Predictor(
+                variables, batch_size=args.batch_size, model=model
+            )
 
     result = run_streaming_pipeline(
         options,
@@ -130,13 +173,19 @@ def _run_stream(args, me_argv, num_workers: int, t_start: float) -> int:
         num_workers=num_workers,
         batch_size=args.batch_size,
         predictor_factory=predictor_factory,
+        device_encode=device_encode,
+        plan_predictor_factory=plan_predictor_factory,
+        output_gvcf=args.output_gvcf,
         postprocess_kwargs={
             "use_multiallelic_model": args.use_multiallelic_model,
         },
     )
     print(
         f"streamed {result['stream_examples']} examples at "
-        f"{result['stream_examples_per_sec']} ex/s (feed included); "
+        f"{result['stream_examples_per_sec']} ex/s (feed included; "
+        f"steady-state "
+        f"{result['stream_steady_state_examples_per_sec']} ex/s), "
+        f"encoder={'device' if device_encode else 'host'}; "
         f"postprocess: {result['postprocess']}"
     )
     print(f"total: {time.time() - t_start:.1f}s -> {args.output_vcf}")

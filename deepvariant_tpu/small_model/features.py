@@ -203,7 +203,11 @@ class SmallModelExampleFactory:
                     + encoder.variant_feature_values())
         if self.vaf_context_window_size:
             ctx = list(context_vafs or [])
-            want = self.vaf_context_window_size + 1
+            # Offsets are range(-w//2, w//2 + 1): 2*(w//2)+1 entries
+            # (reference _get_context_allele_frequency_offsets,
+            # make_small_model_examples.py:159-166) — w+1 only for
+            # even w; the production window (51) is odd.
+            want = 2 * (self.vaf_context_window_size // 2) + 1
             ctx = (ctx + [0] * want)[:want]
             features += ctx
         if self.expand_by_haplotype:

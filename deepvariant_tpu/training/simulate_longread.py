@@ -417,6 +417,14 @@ def simulate_long_window_reads(
     """
     lo, hi = window
     span = hi - lo
+    if span < cfg.min_read_length:
+        # Otherwise every candidate read is rejected by the
+        # min_read_length clip and the loop never advances.
+        raise ValueError(
+            f"window {lo}-{hi} span {span} bp < min_read_length "
+            f"{cfg.min_read_length}; widen the window or lower "
+            "min_read_length"
+        )
     reads: List[Read] = []
     hp_sites = [_hp_sites(seq, hp_r0) for seq, _ in haps]
     inv_maps = []
@@ -431,7 +439,16 @@ def simulate_long_window_reads(
     target_bases = int(span * coverage)
     emitted = 0
     idx = 0
+    consecutive_rejects = 0
     while emitted < target_bases:
+        if consecutive_rejects > 100_000:
+            raise RuntimeError(
+                f"window {lo}-{hi}: {consecutive_rejects} consecutive "
+                "rejected read draws — degenerate window/config "
+                "(emitted "
+                f"{emitted}/{target_bases} bases before stalling)"
+            )
+        consecutive_rejects += 1
         L = model.draw_length(
             rng, cfg.min_read_length, min(cfg.max_read_length, span)
         )
@@ -497,6 +514,7 @@ def simulate_long_window_reads(
         ))
         emitted += len(seq)
         idx += 1
+        consecutive_rejects = 0
     return reads
 
 

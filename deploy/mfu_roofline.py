@@ -41,21 +41,36 @@ def _rup(x: int, m: int) -> int:
 
 
 # StableHLO (MLIR) formats from jax.jit(...).lower(...).as_text():
-#   stablehlo.convolution(...) ... : (tensor<BxHxWxCxbf16>,
-#       tensor<KHxKWxCIxCOxbf16>) -> tensor<BxHoxWoxCOxbf16>
-#   stablehlo.dot_general %a, %b, contracting_dims = [i] x [j], ... :
+#   stablehlo.convolution(%a, %b) dim_numbers = [b, 0, 1, f]x[0, 1, i, o]
+#       ->[b, 0, 1, f], window = {...} ... :
+#       (tensor<BxHxWxCxbf16>, tensor<KHxKWxCIxCOxbf16>)
+#       -> tensor<BxHoxWoxCOxbf16>
+#   stablehlo.dot_general %a, %b, [batching_dims = [..] x [..],]
+#       contracting_dims = [i] x [j], ... :
 #       (tensor<MxKxf32>, tensor<KxNxf32>) -> tensor<MxNxf32>
+# The backward pass permutes these layouts (weight-grad convs are
+# [f,0,1,b]x[i,0,1,o]->[0,1,b,f]; data-grad convs swap i/o), so k/n/m
+# MUST come from the dim_numbers / contracting_dims clauses, not from
+# assumed positions.
 _CONV = re.compile(
-    r"stablehlo\.convolution\(.*?:\s*"
+    r"stablehlo\.convolution\(.*?"
+    r"dim_numbers\s*=\s*\[([^\]]*)\]x\[([^\]]*)\]->\[([^\]]*)\]"
+    r".*?:\s*"
     r"\(tensor<([\dx]+)x\w+>,\s*tensor<([\dx]+)x\w+>\)"
     r"\s*->\s*tensor<([\dx]+)x\w+>",
     re.DOTALL,
 )
+_BATCH_GROUPS = re.compile(r"batch_group_count\s*=\s*(\d+)")
 _DOT = re.compile(
-    r"stablehlo\.dot_general\s.*?:\s*"
+    r"stablehlo\.dot_general\s.*?"
+    r"contracting_dims\s*=\s*\[([\d,\s]*)\]\s*x\s*\[([\d,\s]*)\]"
+    r".*?:\s*"
     r"\(tensor<([\dx]+)x\w+>,\s*tensor<([\dx]+)x\w+>\)"
     r"\s*->\s*tensor<([\dx]+)x\w+>",
     re.DOTALL,
+)
+_DOT_BATCHING = re.compile(
+    r"batching_dims\s*=\s*\[([\d,\s]*)\]\s*x\s*\[([\d,\s]*)\]"
 )
 
 
@@ -63,45 +78,101 @@ def _dims(s: str) -> List[int]:
     return [int(d) for d in s.split("x") if d]
 
 
+def _spec(s: str) -> List[str]:
+    """Parse one side of a dim_numbers clause: 'b, 0, 1, f' ->
+    ['b', '0', '1', 'f']."""
+    return [tok.strip() for tok in s.split(",") if tok.strip()]
+
+
+def _int_list(s: str) -> List[int]:
+    return [int(tok) for tok in s.split(",") if tok.strip()]
+
+
 def analyze_hlo(hlo_text: str) -> List[Dict]:
-    """Matmul-shaped ops with FLOPs and modeled MXU efficiency."""
+    """Matmul-shaped ops with FLOPs and modeled MXU efficiency.
+
+    Layout-aware: the kernel's 'i'/'o' dims and the output's 'f' dim
+    are located from each op's dim_numbers clause, and dot_general
+    contraction/batching dims come from its attribute lists, so forward
+    convs, weight-grad convs ([f,0,1,b]x[i,0,1,o]->[0,1,b,f]),
+    data-grad convs (i/o transposed) and transposed dots all get
+    correct k/n/m. Ops whose clauses can't be parsed are skipped and
+    counted in the caller's skipped-FLOPs tally rather than
+    mis-modeled.
+    """
     ops = []
     for line in hlo_text.splitlines():
         m = _CONV.search(line)
         if m:
-            lhs_d, rhs_d, out_d = (_dims(g) for g in m.groups())
-            if len(rhs_d) != 4 or len(out_d) < 2:
+            lhs_spec, rhs_spec, out_spec = (
+                _spec(g) for g in m.groups()[:3]
+            )
+            lhs_d, rhs_d, out_d = (_dims(g) for g in m.groups()[3:])
+            if (len(rhs_spec) != len(rhs_d)
+                    or len(out_spec) != len(out_d)
+                    or "i" not in rhs_spec or "o" not in rhs_spec
+                    or "f" not in out_spec):
                 continue
-            # [b,0,1,f]x[0,1,i,o]->[b,0,1,f]: kernel [kh, kw, Cin, Cout].
-            kh, kw, cin, cout = rhs_d
-            batch = out_d[0]
-            spatial = math.prod(out_d[1:-1])
-            k = kh * kw * cin
-            n = out_d[-1]
-            mdim = batch * spatial
+            # Contraction depth = prod(kernel spatial) * kernel-input;
+            # output width = kernel-output features; M = everything
+            # else in the output (batch x spatial).
+            cin = rhs_d[rhs_spec.index("i")]
+            cout = rhs_d[rhs_spec.index("o")]
+            kspatial = math.prod(
+                d for s, d in zip(rhs_spec, rhs_d) if s.isdigit()
+            )
+            bg = _BATCH_GROUPS.search(line)
+            bgroups = int(bg.group(1)) if bg else 1
+            # Kernel 'i' is already per-feature-group, so K needs no
+            # feature_group correction; batch groups split the output
+            # features contracted per M element.
+            k = kspatial * cin
+            n = cout // max(bgroups, 1)
+            mdim = math.prod(
+                d for s, d in zip(out_spec, out_d) if s != "f"
+            )
             flops = 2.0 * mdim * k * n
             eff = (k / _rup(k, 128)) * (n / _rup(n, 128)) \
                 * (mdim / _rup(mdim, 8))
+            spatial_str = "x".join(
+                str(d) for s, d in zip(out_spec, out_d) if s.isdigit()
+            )
             ops.append({
                 "kind": "conv",
-                "shape": f"{kh}x{kw}x{cin}->{n} @{out_d[1]}x{out_d[2]}",
+                "shape": f"{kspatial}(sp)x{cin}->{n} @{spatial_str}",
                 "k": k, "n": n, "m": mdim,
                 "flops": flops, "eff": round(eff, 4),
             })
             continue
         m = _DOT.search(line)
         if m:
-            lhs, rhs, out = (_dims(g) for g in m.groups())
-            if len(lhs) < 2 or len(rhs) < 2:
+            lc, rc = _int_list(m.group(1)), _int_list(m.group(2))
+            lhs, rhs, out = (_dims(g) for g in m.groups()[2:])
+            if len(lhs) < 1 or len(rhs) < 1:
                 continue
-            k = lhs[-1]
-            n = out[-1]
-            mdim = math.prod(out[:-1])
-            flops = 2.0 * mdim * k * n
+            bm = _DOT_BATCHING.search(line)
+            lb = _int_list(bm.group(1)) if bm else []
+            rb = _int_list(bm.group(2)) if bm else []
+            if (any(d >= len(lhs) for d in lc + lb)
+                    or any(d >= len(rhs) for d in rc + rb)):
+                continue
+            k = math.prod(lhs[d] for d in lc) if lc else 1
+            bdim = math.prod(lhs[d] for d in lb) if lb else 1
+            mdim = math.prod(
+                d for i, d in enumerate(lhs) if i not in lc + lb
+            )
+            n = math.prod(
+                d for i, d in enumerate(rhs) if i not in rc + rb
+            )
+            flops = 2.0 * bdim * mdim * k * n
+            # Each batch slice is an independent MXU matmul; lane
+            # quantization applies per slice.
             eff = (k / _rup(k, 128)) * (n / _rup(n, 128)) \
                 * (mdim / _rup(mdim, 8))
             ops.append({
-                "kind": "dot", "shape": f"[{mdim}x{k}]x[{k}x{n}]",
+                "kind": "dot",
+                "shape": (f"{bdim}x" if bdim > 1 else "")
+                + f"[{mdim}x{k}]x[{k}x{n}]",
                 "k": k, "n": n, "m": mdim,
                 "flops": flops, "eff": round(eff, 4),
             })
@@ -159,10 +230,18 @@ def roofline(batch: int, train: bool) -> Dict:
     cycles = sum(o["flops"] / max(o["eff"], 1e-9) for o in ops)
     ceiling = total / cycles if cycles else 0.0
     by_share = sorted(ops, key=lambda o: -o["flops"])
+    # Detect-and-report: matmul ops whose dim_numbers clause did not
+    # parse are excluded from the model, never mis-assigned.
+    n_matmul_lines = sum(
+        1 for line in hlo.splitlines()
+        if "stablehlo.convolution" in line
+        or "stablehlo.dot_general" in line
+    )
     return {
         "batch": batch,
         "graph": "train" if train else "inference",
         "n_matmul_ops": len(ops),
+        "n_unparsed_matmul_ops": n_matmul_lines - len(ops),
         "total_matmul_flops": total,
         "mxu_tile_ceiling_mfu": round(ceiling, 4),
         "worst_offenders": [
@@ -181,7 +260,7 @@ def main() -> None:
     result = roofline(args.batch, args.train)
     out = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "mfu_roofline_r03.json",
+        "mfu_roofline_r04.json",
     )
     existing = {}
     if os.path.exists(out):

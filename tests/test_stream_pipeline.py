@@ -63,13 +63,15 @@ def test_postprocess_accepts_in_memory_cvos(tmp_path):
 
 
 @pytest.mark.integration
-def test_stream_matches_staged_pipeline(tmp_path):
+def test_stream_matches_staged_pipeline(tmp_path, capsys):
     """run_deepvariant --stream on real chr20 data emits the exact VCF
-    of the staged run (same flags, uninitialized model, 2 workers)."""
+    of the staged run (same flags, uninitialized model, 2 workers) —
+    with BOTH stream encoders: 'device' (workers ship candidate plans,
+    the TPU paints pileups fused with the CNN) and 'host' (workers
+    paint images). WGS is device-encodable, so auto == device."""
     import deepvariant_tpu.scripts.run_deepvariant as rdv
 
     staged_vcf = str(tmp_path / "staged.vcf.gz")
-    stream_vcf = str(tmp_path / "stream.vcf.gz")
     common = [
         "--reads", READS,
         "--ref", REF,
@@ -84,13 +86,60 @@ def test_stream_matches_staged_pipeline(tmp_path):
         "--intermediate_results_dir", str(tmp_path / "staged_inter"),
     ])
     assert rc == 0
-    rc = rdv.main(common + ["--stream", "--output_vcf", stream_vcf])
-    assert rc == 0
-
-    assert _read_vcf_bytes(staged_vcf) == _read_vcf_bytes(stream_vcf)
+    staged = _read_vcf_bytes(staged_vcf)
+    capsys.readouterr()
+    for encoder in ("auto", "host"):
+        stream_vcf = str(tmp_path / f"stream_{encoder}.vcf.gz")
+        rc = rdv.main(common + [
+            "--stream", "--stream_encoder", encoder,
+            "--output_vcf", stream_vcf,
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        expected = "device" if encoder == "auto" else "host"
+        assert f"encoder={expected}" in out
+        assert staged == _read_vcf_bytes(stream_vcf), encoder
     # And genuinely no intermediate example/CVO file was produced.
     produced = {
         name for name in os.listdir(str(tmp_path))
         if "tfrecord" in name
     }
     assert not produced
+
+
+@pytest.mark.integration
+def test_stream_gvcf_and_small_model_match_staged(tmp_path):
+    """--stream --output_gvcf --call_small_model_examples is a drop-in
+    replacement: gVCF records and small-model CVOs travel the worker
+    queues (no TFRecords) and both output files are byte-identical to
+    the staged pipeline's."""
+    import deepvariant_tpu.scripts.run_deepvariant as rdv
+
+    staged_vcf = str(tmp_path / "staged.vcf.gz")
+    staged_gvcf = str(tmp_path / "staged.g.vcf.gz")
+    stream_vcf = str(tmp_path / "stream.vcf.gz")
+    stream_gvcf = str(tmp_path / "stream.g.vcf.gz")
+    common = [
+        "--reads", READS,
+        "--ref", REF,
+        "--regions", "chr20:10,000,000-10,004,000",
+        "--num_shards", "2",
+        "--batch_size", "8",
+        "--allow_uninitialized_model",
+        "--sample_name", "NA12878",
+        "--call_small_model_examples",
+    ]
+    rc = rdv.main(common + [
+        "--output_vcf", staged_vcf,
+        "--output_gvcf", staged_gvcf,
+        "--intermediate_results_dir", str(tmp_path / "staged_inter"),
+    ])
+    assert rc == 0
+    rc = rdv.main(common + [
+        "--stream",
+        "--output_vcf", stream_vcf,
+        "--output_gvcf", stream_gvcf,
+    ])
+    assert rc == 0
+    assert _read_vcf_bytes(staged_vcf) == _read_vcf_bytes(stream_vcf)
+    assert _read_vcf_bytes(staged_gvcf) == _read_vcf_bytes(stream_gvcf)
