@@ -572,6 +572,17 @@ class RegionProcessor:
         options.pileup_options.min_base_quality = (
             options.min_base_quality
         )
+        if options.small_model_vaf_context_window_size != \
+                options.variant_caller_options \
+                .small_model_vaf_context_window_size:
+            # The caller populates the per-candidate context-VAF map
+            # (variant_calling_multisample.cc:1160-1164).
+            options.variant_caller_options = dataclasses.replace(
+                options.variant_caller_options,
+                small_model_vaf_context_window_size=(
+                    options.small_model_vaf_context_window_size
+                ),
+            )
         if options.proposed_variants_filename:
             from deepvariant_tpu.make_examples.vcf_candidate_importer \
                 import VcfCandidateImporter
@@ -1127,6 +1138,20 @@ class RegionProcessor:
             _phased_genotype_from_counts(c[1], c[2]) for c in counts
         ]
 
+    def _small_model_context_vafs(self, dv_call) -> Optional[List[int]]:
+        """Context VAF features in offset order
+        (encode_variant_allele_frequency_at_position,
+        make_small_model_examples.py:487-512): candidate map lookups
+        at variant.start + offset, 0 where absent."""
+        w = self.small_model_factory.vaf_context_window_size \
+            if self.small_model_factory else 0
+        if not w:
+            return None
+        half = w // 2
+        start = dv_call.variant.start
+        m = dv_call.allele_frequency_at_position
+        return [m.get(start + o, 0) for o in range(-half, half + 1)]
+
     def process(self, region: Range) -> RegionOutputs:
         runtimes: Dict[str, float] = {}
         self.region_number += 1
@@ -1317,6 +1342,7 @@ class RegionProcessor:
         # (make_examples_core.py:3624-3649 hooks).
         small_model_cvos: List = []
         skip_for_cnn: set = set()
+        cnn_allowed_sets: Dict[int, List[Tuple[int, ...]]] = {}
         if self.small_model_caller is not None and candidates:
             t0 = time.perf_counter()
             rows = []
@@ -1324,10 +1350,12 @@ class RegionProcessor:
             phases = batch.hp.tolist() if len(batch.hp) == len(batch) \
                 else None
             for ci, dv_call in enumerate(candidates):
+                ctx = self._small_model_context_vafs(dv_call)
                 for alt_indices in self.small_model_factory \
                         .alt_index_sets(dv_call):
                     rows.append(self.small_model_factory.encode(
                         dv_call, alt_indices, batch,
+                        context_vafs=ctx,
                         read_phases=phases,
                     ))
                     row_meta.append((ci, dv_call, alt_indices))
@@ -1336,19 +1364,29 @@ class RegionProcessor:
                     row_meta, np.stack(rows)
                 )
                 small_model_cvos = result.cvos
-                # Only fully-resolved candidates (every alt-index set
-                # accepted) skip CNN examples.
-                accepted_counts: Dict[int, int] = {}
-                for idx in result.filtered_indices:
-                    accepted_counts[idx] = accepted_counts.get(
-                        idx, 0
-                    ) + 1
+                # Fully-resolved candidates (every alt-index set
+                # accepted) skip CNN examples entirely; PARTIALLY
+                # accepted multiallelics go to the CNN with only their
+                # remaining sets (make_examples_alt_allele_indices
+                # semantics, small_model/inference.py:186-193 +
+                # make_examples_native.cc:194).
+                accepted_by_ci: Dict[int, set] = {}
+                for ci, alt_set in result.accepted_sets:
+                    accepted_by_ci.setdefault(ci, set()).add(alt_set)
                 for ci, dv_call in enumerate(candidates):
-                    want = len(
-                        self.small_model_factory.alt_index_sets(dv_call)
+                    got = accepted_by_ci.get(ci)
+                    if not got:
+                        continue
+                    all_sets = self.small_model_factory.alt_index_sets(
+                        dv_call
                     )
-                    if accepted_counts.get(ci, 0) == want:
+                    remaining = [
+                        tuple(s) for s in all_sets if tuple(s) not in got
+                    ]
+                    if not remaining:
                         skip_for_cnn.add(ci)
+                    else:
+                        cnn_allowed_sets[ci] = remaining
             runtimes["small model calls"] = time.perf_counter() - t0
 
         # Training mode: label all candidates of the region at once (the
@@ -1374,10 +1412,12 @@ class RegionProcessor:
                 label = labels_by_index.get(idx)
                 if label is None or not label.is_confident:
                     continue
+                ctx = self._small_model_context_vafs(dv_call)
                 for alt_indices in self.small_model_factory \
                         .alt_index_sets(dv_call):
                     row = self.small_model_factory.encode(
-                        dv_call, alt_indices, batch
+                        dv_call, alt_indices, batch,
+                        context_vafs=ctx,
                     )
                     small_model_examples.append(
                         encode_training_example(
@@ -1421,16 +1461,19 @@ class RegionProcessor:
                     lambda variant, alt_indices, _label=label:
                     _label.label_for_alt_alleles(alt_indices)
                 )
+            allowed_sets = cnn_allowed_sets.get(idx)
             if self.plan_mode:
                 plans.extend(
                     self.examples_builder.build_plans_for_candidate(
-                        dv_call, batch, label_fn=label_fn
+                        dv_call, batch, label_fn=label_fn,
+                        allowed_alt_index_sets=allowed_sets,
                     )
                 )
             else:
                 for built in (
                     self.examples_builder.build_examples_for_candidate(
-                        dv_call, batch, label_fn=label_fn
+                        dv_call, batch, label_fn=label_fn,
+                        allowed_alt_index_sets=allowed_sets,
                     )
                 ):
                     examples.append(built.encoded)

@@ -41,11 +41,22 @@ def encoded_variant_type(variant: Variant) -> int:
 
 
 def alt_allele_combinations(
-    variant: Variant, multi_allelic_mode: str = "add_het_alt"
+    variant: Variant, multi_allelic_mode: str = "add_het_alt",
+    allowed_alt_index_sets: Optional[Sequence[Tuple[int, ...]]] = None,
 ) -> List[List[str]]:
     """ADD_HET_ALT_IMAGES: every 1- and 2-subset of alts
-    (make_examples_native.cc:207-227)."""
+    (make_examples_native.cc:207-227).
+
+    `allowed_alt_index_sets` restricts the enumeration to the given
+    alt-index tuples (AltAlleleCombinationsFromIndices,
+    make_examples_native.cc:234-268) — the small-model gate removes
+    the sets it already called from the CNN's workload."""
     alts = list(variant.alternate_bases)
+    if allowed_alt_index_sets is not None:
+        if multi_allelic_mode == "no_het_alt":
+            return [[alts[s[0]]] for s in allowed_alt_index_sets
+                    if len(s) == 1]
+        return [[alts[i] for i in s] for s in allowed_alt_index_sets]
     if multi_allelic_mode == "no_het_alt":
         return [[a] for a in alts]
     with_ref = [variant.reference_bases] + alts
@@ -307,6 +318,7 @@ class ExamplesBuilder:
         dv_call: DeepVariantCall,
         batch: ReadBatch,
         label_fn=None,
+        allowed_alt_index_sets=None,
     ) -> Iterator[BuiltExample]:
         from deepvariant_tpu.make_examples import alt_aligned as aa
 
@@ -321,7 +333,8 @@ class ExamplesBuilder:
         dv_call, batch, read_indices, sort_positions = \
             self.prepare_candidate_batch(dv_call, batch)
         for combo in alt_allele_combinations(
-            variant, self.pileup_options.multi_allelic_mode
+            variant, self.pileup_options.multi_allelic_mode,
+            allowed_alt_index_sets=allowed_alt_index_sets,
         ):
             image = self.encoder.build_pileup(
                 dv_call, ref_window, batch, read_indices, combo,
@@ -370,6 +383,7 @@ class ExamplesBuilder:
         dv_call: DeepVariantCall,
         batch: ReadBatch,
         label_fn=None,
+        allowed_alt_index_sets=None,
     ) -> Iterator[PlannedExample]:
         """Device-encode twin of build_examples_for_candidate: the same
         candidate/combo loop, but each example's host work stops after
@@ -382,7 +396,8 @@ class ExamplesBuilder:
         variant = dv_call.variant
         alt_index = {a: i for i, a in enumerate(variant.alternate_bases)}
         for combo in alt_allele_combinations(
-            variant, self.pileup_options.multi_allelic_mode
+            variant, self.pileup_options.multi_allelic_mode,
+            allowed_alt_index_sets=allowed_alt_index_sets,
         ):
             plan = pileup_jax.plan_longread_example(
                 self, dv_call, batch, combo

@@ -102,6 +102,14 @@ class DeepVariantCall:
     allele_frequencies: Dict[str, float] = dataclasses.field(
         default_factory=dict
     )
+    # Per-position integer VAF (0-100) over the small-model context
+    # window around the candidate (AddAdjacentAlleleFractionsAtPosition,
+    # variant_calling_multisample.cc:1288-1314); keys are absolute
+    # genome positions. Populated when
+    # small_model_vaf_context_window_size > 0.
+    allele_frequency_at_position: Dict[int, int] = dataclasses.field(
+        default_factory=dict
+    )
     # (allele bases, allele type) -> vcf alt string, kept so other
     # samples' read support can be computed for the same candidate
     # (multisample pileups color every sample's reads by support).
@@ -695,9 +703,29 @@ class VerySensitiveCaller:
                 # Skip the positions covered by the complex site
                 # (skip_next_count, :1109-1112).
                 _state["skip_until"] = pos + len(ref_bases)
+        # Context VAFs for the small model
+        # (AddAdjacentAlleleFractionsAtPosition,
+        # variant_calling_multisample.cc:1288-1314, gated at :1160):
+        # integer percent of non-ref read alleles over depth at every
+        # position within +/- window//2 of the candidate, clamped to
+        # the counter interval.
+        ctx_vafs: Dict[int, int] = {}
+        w = self.options.small_model_vaf_context_window_size
+        if w > 0:
+            half = w // 2
+            size = len(counter.interval)
+            for p in range(max(0, interval_pos - half),
+                           min(size, interval_pos + half + 1)):
+                pc_p = counter.position_count(p)
+                n_alt = len(pc_p.read_alleles) if pc_p is not None else 0
+                depth = int(counter.ref_count[p]) + n_alt
+                ctx_vafs[counter.interval.start + p] = (
+                    (100 * n_alt) // depth if depth > 0 else 0
+                )
         return DeepVariantCall(
             variant=variant, allele_support=support, ref_support=ref_ids,
             allele_keys=dict(mapped),
+            allele_frequency_at_position=ctx_vafs,
         )
 
     def support_from_counter(

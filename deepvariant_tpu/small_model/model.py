@@ -99,6 +99,11 @@ def _is_snp(variant: Variant) -> bool:
 class SmallModelCallResult:
     cvos: List[CallVariantsOutput]
     filtered_indices: List[int]  # candidate indices accepted (skip CNN)
+    # (candidate_index, alt_allele_indices) per ACCEPTED row: partially
+    # accepted multiallelic candidates go to the CNN with only their
+    # remaining alt-index sets (make_examples_alt_allele_indices,
+    # small_model/inference.py:186-193, make_examples_native.cc:194).
+    accepted_sets: List[Tuple[int, Tuple[int, ...]]] = None
 
 
 class SmallModelVariantCaller:
@@ -157,21 +162,27 @@ class SmallModelVariantCaller:
         alt_allele_indices) aligned with `examples` rows.
         """
         if len(examples) == 0:
-            return SmallModelCallResult([], [])
+            return SmallModelCallResult([], [], [])
         probs = self.classify(examples.astype(np.float32))
         cvos: List[CallVariantsOutput] = []
         accepted: List[int] = []
+        accepted_sets: List[Tuple[int, Tuple[int, ...]]] = []
         for (cand_idx, candidate, alt_indices), p in zip(
             candidates_with_alt_indices, probs
         ):
             p = [float(x) for x in p]
             total = sum(p) or 1.0
             p = [x / total for x in p]
-            if self.emit_all_candidates or self._accept(candidate, p):
+            accept = self._accept(candidate, p)
+            if self.emit_all_candidates or accept:
                 cvos.append(CallVariantsOutput(
                     variant=candidate.variant,
                     alt_allele_indices=list(alt_indices),
                     genotype_probabilities=genomics_math.round_gls(p),
                 ))
+            if accept and not self.emit_all_candidates:
+                # emit_all_candidates (debug) keeps EVERY candidate on
+                # the CNN path too (inference.py:185-193).
                 accepted.append(cand_idx)
-        return SmallModelCallResult(cvos, accepted)
+                accepted_sets.append((cand_idx, tuple(alt_indices)))
+        return SmallModelCallResult(cvos, accepted, accepted_sets)

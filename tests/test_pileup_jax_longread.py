@@ -66,8 +66,9 @@ def test_longread_device_parity_on_pacbio_goldens(monkeypatch):
     captured = []
     original = type(builder).build_examples_for_candidate
 
-    def capture(self, dv_call, batch, label_fn=None):
-        built = list(original(self, dv_call, batch, label_fn=label_fn))
+    def capture(self, dv_call, batch, label_fn=None, **kwargs):
+        built = list(original(self, dv_call, batch, label_fn=label_fn,
+                              **kwargs))
         captured.append((dv_call, batch, [b.image for b in built]))
         return built
 

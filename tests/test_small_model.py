@@ -115,12 +115,15 @@ class TestGate:
         )
         result = caller.call_variants([(0, cand, (0,))], zero_rows)
         assert result.cvos == [] and result.filtered_indices == []
-        # emit_all_candidates writes everything.
+        # emit_all_candidates (debug) writes every CVO but keeps every
+        # candidate on the CNN path too (inference.py:185-193: the
+        # candidate lands in candidates_not_called regardless).
         caller.emit_all_candidates = True
         rows = np.stack([factory.encode(cand, (0,), batch)])
         result = caller.call_variants([(0, cand, (0,))], rows)
         assert len(result.cvos) == 1
-        assert result.filtered_indices == [0]
+        assert result.filtered_indices == []
+        assert result.accepted_sets == []
         assert abs(sum(result.cvos[0].genotype_probabilities) - 1) < 1e-9
 
 
@@ -352,3 +355,29 @@ class TestReferenceFeatureTable:
         snp = flags("A", ["C"])
         assert (snp["is_snp"], snp["is_insertion"],
                 snp["is_deletion"]) == (1, 0, 0)
+
+
+class TestPartialAcceptance:
+    def test_restricted_alt_combinations(self):
+        """Partially accepted multiallelics reach the CNN with only the
+        remaining alt-index sets (AltAlleleCombinationsFromIndices,
+        make_examples_native.cc:234-268)."""
+        from deepvariant_tpu.core.types import Variant
+        from deepvariant_tpu.make_examples.examples_builder import (
+            alt_allele_combinations,
+        )
+
+        v = Variant(
+            reference_name="chr1", start=10, end=11,
+            reference_bases="A", alternate_bases=["C", "G"],
+        )
+        assert alt_allele_combinations(v) == [["C"], ["G"], ["C", "G"]]
+        assert alt_allele_combinations(
+            v, allowed_alt_index_sets=[(1,), (0, 1)]
+        ) == [["G"], ["C", "G"]]
+        assert alt_allele_combinations(
+            v, "no_het_alt", allowed_alt_index_sets=[(1,), (0, 1)]
+        ) == [["G"]]
+        assert alt_allele_combinations(
+            v, allowed_alt_index_sets=[]
+        ) == []

@@ -291,3 +291,81 @@ def test_no_normal_fields_without_tumor_role():
     assert len(candidates) == 1
     info = candidates[0].variant.calls[0].info
     assert "NDP" not in info and "NAD" not in info and "NAF" not in info
+
+
+# -- small-model context VAFs ----------------------------------------------------
+
+
+def _context_vaf_counter():
+    """Seven positions around a candidate at absolute position 10
+    (TestCallVariantAddAdjacentAlleleFractionsAtPosition*,
+    variant_calling_multisample_test.cc:190-295)."""
+    return make_counter(7, "AAAAAAA", {
+        0: (20, 5, "T"),    # pos 7
+        1: (20, 19, "T"),   # pos 8  -> VAF 95
+        2: (20, 17, "T"),   # pos 9  -> VAF 85
+        3: (20, 19, "T"),   # pos 10 -> VAF 95 (the candidate)
+        4: (20, 20, "T"),   # pos 11 -> VAF 100
+        5: (20, 0, "T"),    # pos 12 -> VAF 0
+        6: (20, 10, "T"),   # pos 13
+    })
+
+
+def _candidate_at(candidates, start):
+    return next(c for c in candidates if c.variant.start == start)
+
+
+def test_context_vafs_window_5():
+    """Window 5: map holds exactly positions 8..12 with integer VAFs
+    (variant_calling_multisample_test.cc:231-236)."""
+    caller = VerySensitiveCaller(
+        make_options(small_model_vaf_context_window_size=5)
+    )
+    candidates = caller.calls_in_region(
+        _context_vaf_counter(), context_counters=[_context_vaf_counter()]
+    )
+    call = _candidate_at(candidates, 10)
+    assert call.allele_frequency_at_position == {
+        8: 95, 9: 85, 10: 95, 11: 100, 12: 0,
+    }
+
+
+def test_context_vafs_window_3():
+    """Window 3 (variant_calling_multisample_test.cc:282-285)."""
+    caller = VerySensitiveCaller(
+        make_options(small_model_vaf_context_window_size=3)
+    )
+    candidates = caller.calls_in_region(
+        _context_vaf_counter(), context_counters=[_context_vaf_counter()]
+    )
+    call = _candidate_at(candidates, 10)
+    assert call.allele_frequency_at_position == {9: 85, 10: 95, 11: 100}
+
+
+def test_context_vafs_window_0():
+    """Window 0 disables the map
+    (variant_calling_multisample_test.cc:291-325)."""
+    caller = VerySensitiveCaller(make_options())
+    candidates = caller.calls_in_region(
+        _context_vaf_counter(), context_counters=[_context_vaf_counter()]
+    )
+    call = _candidate_at(candidates, 10)
+    assert call.allele_frequency_at_position == {}
+
+
+def test_context_vafs_clamped_at_interval_edge():
+    """The window clamps to the counter interval
+    (start/end arithmetic, variant_calling_multisample.cc:1297-1301)."""
+    caller = VerySensitiveCaller(
+        make_options(small_model_vaf_context_window_size=5)
+    )
+    counter = make_counter(7, "AAA", {
+        0: (20, 19, "T"),   # pos 7 (the candidate)
+        1: (20, 17, "T"),   # pos 8
+        2: (20, 10, "T"),   # pos 9
+    })
+    candidates = caller.calls_in_region(
+        counter, context_counters=[counter]
+    )
+    call = _candidate_at(candidates, 7)
+    assert call.allele_frequency_at_position == {7: 95, 8: 85, 9: 50}
