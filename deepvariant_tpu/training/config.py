@@ -50,6 +50,12 @@ class TrainConfig:
     backbone_dropout_rate: float = 0.2
 
     use_mixed_precision: bool = True  # bfloat16 on TPU
+    # Micro-batching toward the reference's 16384 global batch
+    # (dv_config.py:57): the train step splits each batch into this
+    # many sequential micro-batches, averages the gradients, and
+    # applies ONE optimizer update — effective batch = batch_size,
+    # HBM high-water = one micro-batch's activations.
+    gradient_accumulation_steps: int = 1
     class_weights: str = ""  # e.g. "1,1,10"
     denovo_enabled: bool = False
     denovo_weight: float = 1.0

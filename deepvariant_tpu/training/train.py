@@ -144,17 +144,24 @@ def loss_fn(
 # ---------------------------------------------------------------------------
 
 def make_train_step(model: InceptionV3, tx, config: TrainConfig):
-    """Returns the jittable train step (donated state, sharded batch)."""
+    """Returns the jittable train step (donated state, sharded batch).
 
-    def train_step(state: Dict, batch: Dict):
-        dropout_rng = jax.random.fold_in(
-            jax.random.PRNGKey(config.seed), state["step"]
-        )
+    With config.gradient_accumulation_steps > 1 the incoming batch is
+    split into that many sequential micro-batches inside ONE lax.scan;
+    gradients average across micro-steps and the optimizer applies a
+    single update — the reference's 16384 global batch
+    (dv_config.py:57) on one chip without 16384 examples' activations
+    ever being live. Batch-norm statistics thread through the scan
+    (each micro-batch updates the running stats, like 16 consecutive
+    reference replica steps)."""
+    accum = max(int(getattr(
+        config, "gradient_accumulation_steps", 1) or 1), 1)
 
+    def micro_grad(params, batch_stats, micro_batch, dropout_rng):
         def compute(params):
-            x = normalize_pileup(batch["images"])
+            x = normalize_pileup(micro_batch["images"])
             (probs, mutated) = model.apply(
-                {"params": params, "batch_stats": state["batch_stats"]},
+                {"params": params, "batch_stats": batch_stats},
                 x,
                 train=True,
                 mutable=["batch_stats"],
@@ -162,15 +169,62 @@ def make_train_step(model: InceptionV3, tx, config: TrainConfig):
             )
             loss = loss_fn(
                 probs,
-                batch["labels"],
-                batch["sample_weights"],
+                micro_batch["labels"],
+                micro_batch["sample_weights"],
                 config.label_smoothing,
             ) + _l2_kernel_penalty(params, config.weight_decay)
             return loss, (probs, mutated["batch_stats"])
 
-        (loss, (probs, new_batch_stats)), grads = jax.value_and_grad(
-            compute, has_aux=True
-        )(state["params"])
+        return jax.value_and_grad(compute, has_aux=True)(params)
+
+    def train_step(state: Dict, batch: Dict):
+        dropout_rng = jax.random.fold_in(
+            jax.random.PRNGKey(config.seed), state["step"]
+        )
+
+        if accum == 1:
+            (loss, (probs, new_batch_stats)), grads = micro_grad(
+                state["params"], state["batch_stats"], batch,
+                dropout_rng,
+            )
+        else:
+            micros = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum, x.shape[0] // accum)
+                                    + x.shape[1:]),
+                batch,
+            )
+
+            def body(carry, inputs):
+                bs, grad_sum, loss_sum = carry
+                mb, i = inputs
+                (l, (p, new_bs)), g = micro_grad(
+                    state["params"], bs, mb,
+                    jax.random.fold_in(dropout_rng, i),
+                )
+                grad_sum = jax.tree_util.tree_map(
+                    jnp.add, grad_sum, g
+                )
+                return (new_bs, grad_sum, loss_sum + l), p
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda x: jnp.zeros_like(x, dtype=jnp.float32),
+                state["params"],
+            )
+            (new_batch_stats, grad_sum, loss_sum), probs_stack = \
+                jax.lax.scan(
+                    body,
+                    (state["batch_stats"], zero_grads,
+                     jnp.float32(0.0)),
+                    (micros, jnp.arange(accum)),
+                )
+            inv = jnp.float32(1.0 / accum)
+            grads = jax.tree_util.tree_map(
+                lambda g: (g * inv).astype(g.dtype), grad_sum
+            )
+            loss = loss_sum * inv
+            probs = probs_stack.reshape(
+                (-1,) + probs_stack.shape[2:]
+            )
         updates, new_opt_state = tx.update(
             grads, state["opt_state"], state["params"]
         )

@@ -342,3 +342,70 @@ def test_input_fn_on_reference_golden_training_examples():
     assert n_scored == n_records
     assert seen_labels <= {0, 1, 2}
     assert len(seen_labels) >= 2
+
+
+class NoDropoutModel(nn.Module):
+    """TinyModel minus dropout: deterministic micro-gradients for the
+    accumulation-equivalence test."""
+
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = ConvBN(8, (3, 3), strides=(4, 4), dtype=self.dtype,
+                   name="stem")(x, train)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        logits = nn.Dense(3, name="classification")(x)
+        return jax.nn.softmax(logits, axis=-1)
+
+
+def test_gradient_accumulation_matches_single_micro_batch():
+    """gradient_accumulation_steps=2 over a batch whose two halves are
+    identical applies exactly the update of a single half-batch step:
+    identical per-micro BN stats, averaged (= identical) gradients,
+    one optimizer update (dv_config.py:57's 16384 global batch via
+    micro-batching)."""
+    rng = np.random.RandomState(3)
+    half = {
+        "images": rng.randint(0, 255, (4, 32, 32, 4), np.uint8),
+        "labels": rng.randint(0, 3, (4,)).astype(np.int32),
+        "sample_weights": np.ones((4,), np.float32),
+        "variant_types": rng.randint(1, 3, (4,)).astype(np.int32),
+    }
+    doubled = {k: np.concatenate([v, v]) for k, v in half.items()}
+
+    def run(cfg, batch):
+        model = NoDropoutModel()
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 4)),
+            train=False,
+        )
+        tx, _ = train_lib.make_optimizer(cfg, steps_per_epoch=10)
+        state = train_lib.init_state(model, variables, tx)
+        step = train_lib.make_train_step(model, tx, cfg)
+        new_state, loss, cms = jax.jit(step)(state, batch)
+        return jax.device_get(new_state), float(loss), cms
+
+    base = TrainConfig(use_mixed_precision=False, warmup_steps=0,
+                       weight_decay=1e-4)
+    accum2 = TrainConfig(use_mixed_precision=False, warmup_steps=0,
+                         weight_decay=1e-4,
+                         gradient_accumulation_steps=2)
+    s1, loss1, _ = run(base, half)
+    s2, loss2, cms2 = run(accum2, doubled)
+    assert loss2 == pytest.approx(loss1, rel=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5,
+                                                atol=1e-7),
+        s1["params"], s2["params"],
+    )
+    # Confusion metrics cover the FULL effective batch.
+    assert np.asarray(cms2["all"]).sum() == 8
+    # BN running stats advanced twice (two micro-steps), so they differ
+    # from the single-step run.
+    bs_diff = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        s1["batch_stats"], s2["batch_stats"],
+    )
+    assert max(jax.tree_util.tree_leaves(bs_diff)) > 0
