@@ -624,10 +624,34 @@ def _device_default() -> dict:
         "unit": "examples/s",
         "vs_baseline": None,
     }
+    # The tunnel backend's FIRST execution containing RNG ops costs
+    # ~3 min per client session (measured: 173-235 s one-time; it then
+    # drops to milliseconds). Dispatch a tiny RNG program WITHOUT
+    # fetching so the warmup overlaps the inference section's compiles
+    # — the train step (dropout) queues behind it FIFO and lands on a
+    # warm RNG path instead of dying in it.
+    rng_warm = None
+    try:
+        import jax
+
+        rng_warm = jax.jit(
+            lambda k: jax.random.uniform(k, (8,)).sum()
+        )(jax.random.PRNGKey(0))
+    except Exception:
+        pass
     try:
         out.update(_device_metrics(batch=BATCH, fold_bn=False))
     except Exception as e:
         out["inference_error"] = str(e)[:200]
+    if rng_warm is not None:
+        try:
+            t_w = time.perf_counter()
+            float(jax.device_get(rng_warm))
+            out["t_rng_warm_residual_s"] = round(
+                time.perf_counter() - t_w, 1
+            )
+        except Exception as e:
+            out["rng_warm_error"] = str(e)[:120]
     out["t_inference_s"] = round(time.perf_counter() - t0, 1)
     t1 = time.perf_counter()
     try:

@@ -294,10 +294,29 @@ def create_model(
     Returns (module, variables) where variables = {params, batch_stats}.
     """
     model = InceptionV3(dtype=dtype, bn_momentum=bn_momentum)
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-    dummy = jnp.zeros((1, height, width, num_channels), jnp.bfloat16)
-    variables = model.init(rng, dummy, train=False)
+
+    def _init():
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+        dummy = jnp.zeros(
+            (1, height, width, num_channels), jnp.bfloat16
+        )
+        return model.init(key, dummy, train=False)
+
+    # Initialize on the HOST cpu backend when one exists: flax init is
+    # its own jitted program, and compiling + running it through a
+    # remote-TPU tunnel costs minutes for zero benefit — consumers
+    # device_put the finished arrays (weights travel H2D exactly once
+    # either way). Falls through when only one backend is configured.
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and rng is None and \
+            jax.default_backend() != "cpu":
+        with jax.default_device(cpu):
+            variables = _init()
+    else:
+        variables = _init()
     return model, variables
 
 
