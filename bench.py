@@ -63,7 +63,14 @@ BASELINE_EXAMPLES_PER_SEC = 7800.0
 STAGE1_REF_BP_PER_SEC_PER_CORE = 3.1e9 / (2775.0 * 96)
 BATCH = 1024           # judge-measured round-3 winner (45.6k ex/s)
 TRAIN_BATCH = 1024
-K2 = 8
+K2 = 8                 # distinct resident batches (memory bound)
+# Dynamic loop trip counts for the slope: ONE fori_loop executable
+# timed at both points; the tunnel's per-call dispatch+fetch overhead
+# (measured up to ~7 s with +/-0.4 s jitter in round 4 — it was ~30 ms
+# in round 3) cancels in the difference, and 56 steps of signal keep
+# the jitter below a few percent.
+K_SMALL = 8
+K_BIG = 128
 REPEATS = 3
 TESTDATA = "/root/reference/deepvariant/testdata"
 DEVICE_TIMEOUT_S = 1500
@@ -305,23 +312,28 @@ def _device_metrics(batch: int = BATCH, fold_bn: bool = False) -> dict:
         # already fuses inference BN), see deploy/bench_full artifacts.
         model, variables = fold_batch_norm(model, variables)
 
-    def run_k(variables, stacked):
-        def step(acc, batch):
-            probs = model.apply(
-                variables, normalize_pileup(batch), train=False
+    def run_n(variables, stacked, n):
+        # Dynamic-trip-count loop over the K2 resident batches: ONE
+        # executable serves every timing point. The carry accumulates
+        # probs.sum() from every step, so the final 4-byte fetch
+        # data-depends on all of them — XLA/the backend cannot elide
+        # or reorder any step.
+        def body(i, acc):
+            b = jax.lax.dynamic_index_in_dim(
+                stacked, jnp.remainder(i, K2), keepdims=False
             )
-            return acc + probs.astype(jnp.float32).sum(), None
+            probs = model.apply(
+                variables, normalize_pileup(b), train=False
+            )
+            return acc + probs.astype(jnp.float32).sum()
 
-        total, _ = jax.lax.scan(step, jnp.float32(0.0), stacked)
-        return total
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     dev_batches = jax.device_put(batches)
     dev_vars = jax.device_put(variables)
 
-    # Two executables only (device compiles through the tunnel are slow):
-    # a single-batch step (also XLA's flop oracle — cost_analysis cannot
-    # see inside a scan loop) and a K2-step scan. Both end in a scalar
-    # fetch, so their fixed dispatch overhead cancels in the slope.
+    # One-step executable is the flop oracle only (cost_analysis cannot
+    # see inside a loop); it is never timed.
     one_step = jax.jit(
         lambda v, b: model.apply(
             v, normalize_pileup(b), train=False
@@ -332,25 +344,17 @@ def _device_metrics(batch: int = BATCH, fold_bn: bool = False) -> dict:
     )
     flops_per_step = float(one_compiled.cost_analysis()["flops"])
 
-    scan = jax.jit(run_k)
-    scan_compiled = _compile_with_retry(
-        lambda: scan.lower(dev_vars, dev_batches).compile()
+    loop = jax.jit(run_n)
+    loop_compiled = _compile_with_retry(
+        lambda: loop.lower(
+            dev_vars, dev_batches, jnp.int32(0)
+        ).compile()
     )
 
-    def time_best(fn, *args):
-        float(jax.device_get(fn(*args)))  # warm
-        best = float("inf")
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            out = fn(*args)
-            float(jax.device_get(out))  # 4-byte fetch forces execution
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1 = time_best(one_compiled, dev_vars, dev_batches[0])
-    t2 = time_best(scan_compiled, dev_vars, dev_batches)
-    steps = K2 - 1
-    per_step = (t2 - t1) / steps
+    t1, t2 = _time_loop_pair(
+        lambda n: loop_compiled(dev_vars, dev_batches, jnp.int32(n))
+    )
+    per_step = (t2 - t1) / (K_BIG - K_SMALL)
     rate = batch / per_step
     achieved = flops_per_step / per_step
     device = jax.devices()[0]
@@ -368,9 +372,28 @@ def _device_metrics(batch: int = BATCH, fold_bn: bool = False) -> dict:
         "batch": batch,
         "fold_bn": fold_bn,
         "device": device.device_kind,
-        "fixed_overhead_ms": round((t1 - per_step) * 1e3, 1),
-        "timed_steps": [1, K2],
+        "fixed_overhead_ms": round(
+            (t1 - K_SMALL * per_step) * 1e3, 1
+        ),
+        "timed_steps": [K_SMALL, K_BIG],
     }
+
+
+def _time_loop_pair(run_n):
+    """Best-of-REPEATS wall time of run_n at K_SMALL and K_BIG; the
+    fetch of the data-dependent scalar forces execution."""
+    import jax
+
+    float(jax.device_get(run_n(K_SMALL)))  # warm
+    times = {}
+    for n in (K_SMALL, K_BIG):
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            float(jax.device_get(run_n(n)))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    return times[K_SMALL], times[K_BIG]
 
 
 def _compile_with_retry(compile_fn, retries: int = 1):
@@ -387,13 +410,15 @@ def _compile_with_retry(compile_fn, retries: int = 1):
             time.sleep(5.0)
 
 
-def _train_metrics(use_bf16: bool = True, batch: int = TRAIN_BATCH,
-                   donate: bool = True) -> dict:
+def _train_metrics(use_bf16: bool = True,
+                   batch: int = TRAIN_BATCH) -> dict:
     """Forward+backward train-step throughput on the chip, device-
     resident data (training/train_resident.py's production layout).
-    Same data-dependent-scalar sync contract as inference: the scanned
+    Same data-dependent-scalar sync contract as inference: the looped
     epoch returns a loss that depends on every step; FLOPs from XLA
-    cost_analysis of the UNSCANNED step."""
+    cost_analysis of the UNLOOPED step. No buffer donation: re-running
+    a donated executable crashes this backend (round-4 finding), and
+    state+state' both resident is only ~0.8 GB."""
     import jax
     import jax.numpy as jnp
 
@@ -440,61 +465,48 @@ def _train_metrics(use_bf16: bool = True, batch: int = TRAIN_BATCH,
 
     def one(state, batch_data):
         new_state, loss, _ = train_step(state, batch_data)
-        return new_state, loss + state_probe(new_state)
+        return loss + state_probe(new_state)
 
-    def scan_k(state, stacked):
-        def body(state, batch_data):
+    def loop_n(state, stacked, n):
+        def body(i, carry):
+            state, acc = carry
+            batch_data = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, jnp.remainder(i, K2), keepdims=False
+                ),
+                stacked,
+            )
             state, loss, _ = train_step(state, batch_data)
-            return state, loss
+            return (state, acc + loss)
 
-        state, losses = jax.lax.scan(body, state, stacked)
-        # The probe also keeps the LAST step's parameter update alive
+        state, losses = jax.lax.fori_loop(
+            0, n, body, (state, jnp.float32(0.0))
+        )
+        # The probe keeps the LAST step's parameter update alive
         # (earlier steps feed the carry; the final state is otherwise
         # unused).
-        return losses.sum() + state_probe(state)
+        return losses + state_probe(state)
 
     dev_state = jax.device_put(state)
     dev_data = jax.device_put(data)
     first = {k: v[0] for k, v in dev_data.items()}
 
-    one_j = jax.jit(lambda s, b: one(s, b)[1])
+    one_j = jax.jit(one)
     one_compiled = _compile_with_retry(
         lambda: one_j.lower(dev_state, first).compile()
     )
     flops_per_step = float(one_compiled.cost_analysis()["flops"])
-    scan_j = jax.jit(scan_k, donate_argnums=(0,) if donate else ())
-    scan_compiled = _compile_with_retry(
-        lambda: scan_j.lower(dev_state, dev_data).compile()
+    loop_j = jax.jit(loop_n)
+    loop_compiled = _compile_with_retry(
+        lambda: loop_j.lower(
+            dev_state, dev_data, jnp.int32(0)
+        ).compile()
     )
 
-    def time_best(fn, *args):
-        float(jax.device_get(fn(*args)))
-        best = float("inf")
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            out = fn(*args)
-            float(jax.device_get(out))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1 = time_best(one_compiled, dev_state, first)
-    if donate:
-        # Donated-state scan consumes its input buffer; re-put per call.
-        def run_scan():
-            s = jax.device_put(state)
-            return scan_compiled(s, dev_data)
-
-        float(jax.device_get(run_scan()))
-        t2 = float("inf")
-        for _ in range(REPEATS):
-            s = jax.device_put(state)
-            t0 = time.perf_counter()
-            out = scan_compiled(s, dev_data)
-            float(jax.device_get(out))
-            t2 = min(t2, time.perf_counter() - t0)
-    else:
-        t2 = time_best(scan_compiled, dev_state, dev_data)
-    per_step = (t2 - t1) / (K2 - 1)
+    t1, t2 = _time_loop_pair(
+        lambda n: loop_compiled(dev_state, dev_data, jnp.int32(n))
+    )
+    per_step = (t2 - t1) / (K_BIG - K_SMALL)
     achieved = flops_per_step / per_step
     peak = _peak_flops(jax.devices()[0].device_kind)
     prefix = "train" if use_bf16 else "train_f32"
@@ -544,7 +556,7 @@ def _encode_call_metrics(batch: int = 512) -> dict:
         ),
         examples_filename="",
         mode="calling",
-        regions=["chr20:10,000,000-10,060,000"],
+        regions=["chr20:10,000,000-10,150,000"],
         realigner_enabled=True,
         write_run_info=False,
     )
@@ -556,7 +568,14 @@ def _encode_call_metrics(batch: int = 512) -> dict:
         variables, o, batch_size=batch, model=model
     )
 
-    # --- chip capability: device-resident plans, slope-timed ---------
+    # --- chip capability: device-resident plans, loop-slope-timed ----
+    import jax.numpy as jnp
+
+    from deepvariant_tpu.make_examples.pileup_jax import (
+        make_longread_encode_fn,
+    )
+    from deepvariant_tpu.models.inception_v3 import normalize_pileup
+
     rng = np.random.RandomState(2)
     rows = o.height - o.reference_band_height
     plan = dict(predictor._zero_plan)
@@ -573,42 +592,65 @@ def _encode_call_metrics(batch: int = 512) -> dict:
     args = predictor._stack([plan] * batch)
     dev_args = [jax.device_put(a) for a in args]
     dev_vars = predictor.variables
-    fused = predictor._fused
+    encode_fn = make_longread_encode_fn(o)  # inlines under jit
 
-    def run_k(k):
-        out = None
-        t0 = time.perf_counter()
-        for _ in range(k):
-            out = fused(dev_vars, *dev_args)
-        np.asarray(out)  # fetch of the last output forces the queue
-        return time.perf_counter() - t0
+    def loop_n(variables, plan_args, n):
+        # Per-step roll of the quality rows makes every iteration's
+        # encode+call data-distinct, so loop-invariant code motion
+        # cannot hoist the body.
+        def body(i, acc):
+            stepped = list(plan_args)
+            stepped[1] = jnp.roll(stepped[1], i, axis=0)
+            images = encode_fn(*stepped)
+            probs = predictor.model.apply(
+                variables, normalize_pileup(images), train=False
+            )
+            return acc + probs.astype(jnp.float32).sum()
 
-    run_k(1)  # compile + warm
-    kq = 8
-    t1 = min(run_k(1) for _ in range(REPEATS))
-    tk = min(run_k(kq) for _ in range(REPEATS))
-    per_call = (tk - t1) / (kq - 1)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    loop_compiled = _compile_with_retry(
+        lambda: jax.jit(loop_n).lower(
+            dev_vars, dev_args, jnp.int32(0)
+        ).compile()
+    )
+    t1, t2 = _time_loop_pair(
+        lambda n: loop_compiled(dev_vars, dev_args, jnp.int32(n))
+    )
+    per_call = (t2 - t1) / (K_BIG - K_SMALL)
     fused_rate = batch / per_call
 
     # --- product stream over real reads (steady-state) ---------------
-    cvos, stats, _ = stream_examples_to_cvos(
-        options, num_workers=2, batch_size=batch,
-        device_encode=True,
-        plan_predictor_factory=lambda: predictor,
+    # A small-batch predictor keeps >= 3 device batches in the stream
+    # so the compile-excluded steady state is a real rate; on this
+    # 4-core host the steady state is stage-1-bound (~hundreds ex/s) —
+    # the fused loop above is the per-chip capability.
+    stream_batch = 128
+    stream_predictor = PlanPredictor(
+        predictor.variables, o, batch_size=stream_batch,
+        model=predictor.model,
     )
-    return {
+    cvos, stats, _ = stream_examples_to_cvos(
+        options, num_workers=3, batch_size=stream_batch,
+        device_encode=True,
+        plan_predictor_factory=lambda: stream_predictor,
+    )
+    out = {
         "encode_plus_call_examples_per_sec_per_chip": round(
             fused_rate, 1
         ),
         "encode_plus_call_batch": batch,
         "stream_examples": stats.num_examples,
         "stream_examples_per_sec": round(stats.examples_per_sec, 1),
-        "stream_steady_state_examples_per_sec": round(
-            stats.steady_state_examples_per_sec, 1
-        ),
         "stream_encoder": "device",
-        "stream_workers": 2,
+        "stream_workers": 3,
+        "stream_batch": stream_batch,
     }
+    if stats.num_examples >= 3 * stream_batch:
+        out["stream_steady_state_examples_per_sec"] = round(
+            stats.steady_state_examples_per_sec, 1
+        )
+    return out
 
 
 def _device_default() -> dict:

@@ -51,6 +51,31 @@ SIM_TRAIN_WINDOWS = [
 ]
 SIM_TUNE_WINDOWS = [(59_970_000, 60_000_000)]
 
+GRCH38 = f"{TESTDATA}/input/grch38.chr20_and_21_10M.fa.gz"
+
+# --sim_build: which reference the TRAINING simulation runs over. The
+# eval is always the real hg19/b37 NA12878+HG001 data, so 'grch38'
+# demonstrates cross-genome-build transfer (round-3 directive #6):
+# the model trains on reads simulated from a DIFFERENT reference
+# build (GRCh38 chr20 + chr21 non-N islands; long-read eval spans
+# chr20:9.0-9.1M and 5.05-5.075M excluded) with the error model still
+# fitted to the hg19 template run.
+SIM_BUILDS = {
+    "hg19": {
+        "ref": REF,
+        "train": [("chr20", SIM_TRAIN_WINDOWS)],
+        "tune": [("chr20", SIM_TUNE_WINDOWS)],
+    },
+    "grch38": {
+        "ref": GRCH38,
+        "train": [
+            ("chr20", [(200_000, 700_000), (1_000_000, 1_400_000)]),
+            ("chr21", [(9_550_000, 9_950_000)]),
+        ],
+        "tune": [("chr21", [(9_000_000, 9_030_000)])],
+    },
+}
+
 EVAL_SOURCES = (
     {
         "label": "na12878_s1",
@@ -207,64 +232,76 @@ def generate_corpus(
     coverage: float,
     num_workers: int,
     include_real: bool,
+    sim_build: str = "hg19",
     log_fn=print,
 ) -> Dict[str, object]:
     """Simulate replicates + label them; returns dataset paths/counts."""
     from deepvariant_tpu.training.simulate import SimConfig, simulate_corpus
 
+    build = SIM_BUILDS[sim_build]
+    sim_ref = build["ref"]
     train_parts: List[str] = []
     counts = {}
     for seed, template in seeds:
-        rep_dir = os.path.join(workdir, f"rep{seed}")
-        t0 = time.time()
-        tmpl = dict(TEMPLATES[template])
-        cov = tmpl.pop("coverage", coverage)
-        sim = simulate_corpus(SimConfig(
-            ref_path=REF, contig="chr20",
-            windows=SIM_TRAIN_WINDOWS, seed=seed, coverage=cov,
-            **tmpl,
-        ), rep_dir)
-        log_fn(
-            f"rep{seed}: {sim['n_variants']} variants, "
-            f"{sim['n_reads']} reads in {time.time() - t0:.0f}s"
-        )
-        jobs = []
-        for i, region in enumerate(
-            _chunk_regions("chr20", SIM_TRAIN_WINDOWS)
-        ):
-            part = os.path.join(rep_dir, f"part{i:03d}.tfrecord.gz")
-            jobs.append(dict(
-                reads_filename=sim["bam"], ref_filename=REF,
-                examples_filename=part, mode="training",
-                regions=[region], realigner_enabled=True,
-                truth_variants_filename=sim["truth_vcf"],
-                confident_regions_filename=sim["confident_bed"],
-            ))
-            train_parts.append(part)
-        t0 = time.time()
-        _run_make_examples_fanout(jobs, num_workers, log_fn=lambda _: None)
-        log_fn(f"rep{seed}: labeled in {time.time() - t0:.0f}s")
+        for contig, windows in build["train"]:
+            rep_dir = os.path.join(workdir, f"rep{seed}_{contig}")
+            t0 = time.time()
+            tmpl = dict(TEMPLATES[template])
+            cov = tmpl.pop("coverage", coverage)
+            sim = simulate_corpus(SimConfig(
+                ref_path=sim_ref, contig=contig,
+                windows=windows, seed=seed, coverage=cov,
+                **tmpl,
+            ), rep_dir)
+            log_fn(
+                f"rep{seed} {contig}: {sim['n_variants']} variants, "
+                f"{sim['n_reads']} reads in {time.time() - t0:.0f}s"
+            )
+            jobs = []
+            for i, region in enumerate(
+                _chunk_regions(contig, windows)
+            ):
+                part = os.path.join(
+                    rep_dir, f"part{i:03d}.tfrecord.gz"
+                )
+                jobs.append(dict(
+                    reads_filename=sim["bam"], ref_filename=sim_ref,
+                    examples_filename=part, mode="training",
+                    regions=[region], realigner_enabled=True,
+                    truth_variants_filename=sim["truth_vcf"],
+                    confident_regions_filename=sim["confident_bed"],
+                ))
+                train_parts.append(part)
+            t0 = time.time()
+            _run_make_examples_fanout(
+                jobs, num_workers, log_fn=lambda _: None
+            )
+            log_fn(f"rep{seed} {contig}: labeled in "
+                   f"{time.time() - t0:.0f}s")
 
     # Tune corpus: its own windows AND its own seed — the tune slice
     # shares no simulated genome with training.
-    tune_dir = os.path.join(workdir, "tune_sim")
-    tune_sim = simulate_corpus(SimConfig(
-        ref_path=REF, contig="chr20", windows=SIM_TUNE_WINDOWS,
-        seed=max(s for s, _ in seeds) + 7919, coverage=coverage,
-    ), tune_dir)
     tune_parts = []
-    jobs = []
-    for i, region in enumerate(_chunk_regions("chr20", SIM_TUNE_WINDOWS)):
-        part = os.path.join(tune_dir, f"part{i:03d}.tfrecord.gz")
-        jobs.append(dict(
-            reads_filename=tune_sim["bam"], ref_filename=REF,
-            examples_filename=part, mode="training",
-            regions=[region], realigner_enabled=True,
-            truth_variants_filename=tune_sim["truth_vcf"],
-            confident_regions_filename=tune_sim["confident_bed"],
-        ))
-        tune_parts.append(part)
-    _run_make_examples_fanout(jobs, num_workers, log_fn=lambda _: None)
+    for contig, windows in build["tune"]:
+        tune_dir = os.path.join(workdir, f"tune_sim_{contig}")
+        tune_sim = simulate_corpus(SimConfig(
+            ref_path=sim_ref, contig=contig, windows=windows,
+            seed=max(s for s, _ in seeds) + 7919, coverage=coverage,
+        ), tune_dir)
+        jobs = []
+        for i, region in enumerate(_chunk_regions(contig, windows)):
+            part = os.path.join(tune_dir, f"part{i:03d}.tfrecord.gz")
+            jobs.append(dict(
+                reads_filename=tune_sim["bam"], ref_filename=sim_ref,
+                examples_filename=part, mode="training",
+                regions=[region], realigner_enabled=True,
+                truth_variants_filename=tune_sim["truth_vcf"],
+                confident_regions_filename=tune_sim["confident_bed"],
+            ))
+            tune_parts.append(part)
+        _run_make_examples_fanout(
+            jobs, num_workers, log_fn=lambda _: None
+        )
 
     if include_real:
         # Pool the real labeled corpus from the TRAIN region only
@@ -589,6 +626,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--num_epochs", type=int, default=40)
     p.add_argument("--learning_rate", type=float, default=0.004)
     p.add_argument("--device", choices=("auto", "cpu"), default="auto")
+    p.add_argument("--sim_build", choices=tuple(SIM_BUILDS),
+                   default="hg19",
+                   help="reference build the TRAINING simulation uses "
+                        "(eval stays on the real hg19/b37 data; "
+                        "'grch38' = cross-build transfer)")
     p.add_argument("--select", choices=("final", "best"),
                    default="final",
                    help="which checkpoint to eval: the converged final "
@@ -613,10 +655,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     }
 
     counts_path = os.path.join(args.workdir, "corpus_counts.json")
+    result["sim_build"] = args.sim_build
     if "gen" in stages:
         counts = generate_corpus(
             args.workdir, seeds, args.coverage, args.num_workers,
             include_real=args.include_real,
+            sim_build=args.sim_build,
         )
         with open(counts_path, "w") as f:
             json.dump(counts, f)
