@@ -338,6 +338,16 @@ def evaluate_model(
         ev["truth"], oracle_vcf,
         confident_bed=ev["confident_bed"], region=ev["region"],
     )
+    # Confident-region FN diagnosis (tools/fn_audit.py): candidate
+    # miss vs CNN miss vs genotype error, persisted beside the eval.
+    from deepvariant_tpu.tools import fn_audit
+
+    audit = fn_audit.run(
+        ev["truth"], vcf_out, cvo_path,
+        confident_bed=ev["confident_bed"], region=ev["region"],
+    )
+    with open(os.path.join(ev_dir, "fn_audit.json"), "w") as f:
+        json.dump(audit, f, indent=1)
     log_fn(
         f"{family}: confident-regions F1 snp "
         f"{confident['snp']['f1']:.4f} / indel "
@@ -351,6 +361,7 @@ def evaluate_model(
         "model_confident": confident,
         "model_full_span": full,
         "oracle_confident": oracle,
+        "fn_audit": audit,
     }
 
 

@@ -479,12 +479,30 @@ def evaluate_model(
             f"all-F1 {confident_metrics['all']['f1']:.4f}; oracle "
             f"ceiling all-F1 {oracle_metrics['all']['f1']:.4f}"
         )
+        # FN audit inside the confident regions: why did each missed
+        # truth variant go missing (candidate? CNN? genotype?) —
+        # round-3 directive #6's diagnosis, persisted per source.
+        from deepvariant_tpu.tools import fn_audit
+
+        audit = fn_audit.run(
+            src["truth"], vcf_out, cvo_path,
+            confident_bed=src["confident_bed"], region=region,
+        )
+        with open(os.path.join(ev_dir, "fn_audit.json"), "w") as f:
+            json.dump(audit, f, indent=1)
+        if audit:
+            cats = {}
+            for r in audit:
+                cats[r["category"]] = cats.get(r["category"], 0) + 1
+            log_fn(f"{src['label']}: confident-region FN audit: {cats}")
+
         per_source.append({
             "label": src["label"],
             "region": region,
             "model": model_metrics,
             "model_confident": confident_metrics,
             "oracle": oracle_metrics,
+            "fn_audit": audit,
         })
 
     def _pool(key):
