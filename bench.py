@@ -452,13 +452,15 @@ def _train_metrics(use_bf16: bool = True,
     train_step = train_lib.make_train_step(model, tx, config)
 
     def state_probe(state):
-        # A scalar that data-depends on the UPDATED parameters: without
-        # it, an executable returning only the loss lets XLA dead-code-
-        # eliminate the whole backward pass + optimizer update (the
-        # loss needs only the forward pass), and the "train" oracle
-        # silently measures inference (observed: train_mfu 0.086 vs
-        # the real ~3x that).
-        leaves = jax.tree_util.tree_leaves(state["params"])[:4]
+        # A scalar that data-depends on EVERY updated parameter.
+        # Round-4 lesson: probing only a FEW leaves lets XLA dead-code-
+        # eliminate the rest of the backward pass in the ONE-STEP flop
+        # oracle (the timed loop always does full work — its carried
+        # state feeds the next iteration — so the round-3 "train_mfu
+        # 0.142" divided full-step time by partial-step flops and
+        # UNDERCOUNTED). Summing all ~300 leaves adds ~21M trivial adds
+        # to the oracle, which is never timed.
+        leaves = jax.tree_util.tree_leaves(state["params"])
         return sum(
             l.astype(jnp.float32).sum() for l in leaves
         ) * jnp.float32(1e-30)

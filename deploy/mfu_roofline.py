@@ -210,7 +210,11 @@ def roofline(batch: int, train: bool) -> Dict:
 
         def fn(s, b):
             new_s, loss, _ = step(s, b)
-            leaves = jax.tree_util.tree_leaves(new_s["params"])[:4]
+            # Probe EVERY leaf: keeping only a few alive lets XLA DCE
+            # most of the backward out of the analyzed graph (round-4
+            # finding — the r03 train ceiling was computed on a
+            # partial backward).
+            leaves = jax.tree_util.tree_leaves(new_s["params"])
             return loss + sum(
                 l.astype(jnp.float32).sum() for l in leaves
             ) * jnp.float32(1e-30)
