@@ -558,7 +558,7 @@ def _encode_call_metrics(batch: int = 512) -> dict:
         ),
         examples_filename="",
         mode="calling",
-        regions=["chr20:10,000,000-10,150,000"],
+        regions=["chr20:10,000,000-10,250,000"],
         realigner_enabled=True,
         write_run_info=False,
     )

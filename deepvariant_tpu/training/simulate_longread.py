@@ -208,6 +208,7 @@ class LongReadModel:
         lengths: List[int] = []
         pool: List[np.ndarray] = []
         aligned_bases = 0
+        region_bases = 0
         ins_events: List[int] = []
         del_events: List[int] = []
         hp_events = 0
@@ -238,6 +239,19 @@ class LongReadModel:
                     n_events += 1
                     if ref is not None and hp_mask[min(rp, len(ref) - 1)]:
                         hp_events += 1
+                if op in (1, 8, 9):
+                    # Depth counts only the bases INSIDE the fitted
+                    # region: long reads overhang a small window by a
+                    # read length on each side, so counting whole
+                    # reads inflated depth ~(1 + readlen/span)x —
+                    # measured 2.1x on the 25 kb ONT template (sim
+                    # pileups saturated at 95+ rows where real ones
+                    # have ~60; the transferred model then called
+                    # clean hom-alts het).
+                    lo = max(rp, region.start)
+                    hi = min(rp + n, region.end)
+                    if hi > lo:
+                        region_bases += hi - lo
                 if op in (1, 8, 9) and ref is not None \
                         and rp + n <= len(ref):
                     r_slice = ref[rp: rp + n]
@@ -253,18 +267,20 @@ class LongReadModel:
                     rp += n
                 if op in OPS_CONSUME_READ:
                     qp += n
-                if op in OPS_CONSUME_READ and op != _OP_I:
+                if op in (1, 8, 9):
+                    # Per-base rates normalize over ALIGNED bases
+                    # (M/=/X) — soft-clips are neither aligned nor
+                    # error opportunities.
                     aligned_bases += n
         if not aligned_bases:
             raise ValueError(f"no usable template reads in {bam_path}")
         hp_fraction = hp_events / n_events if (
             ref is not None and n_events
         ) else 0.6
-        # Mean template depth over the fitted region (the read set is
-        # the region query, so clipped edge overlap is negligible at
-        # these read lengths).
+        # Mean template depth over the fitted region, from the bases
+        # that actually land INSIDE it (see region_bases above).
         span = region.end - region.start
-        mean_depth = aligned_bases / span if span > 0 else 32.0
+        mean_depth = region_bases / span if span > 0 else 32.0
         # Mismatches include true het/hom variant sites (~0.0003/base
         # at human density) — subtract a human-variation allowance so
         # extra_sub_rate models machine/alignment artifacts only.
