@@ -96,7 +96,13 @@ class LongReadSimConfig:
     # depth, and a model trained at ONE depth latches onto absolute
     # alt-row counts (measured: a 32x-trained model called 42x real
     # hets hom-alt). (lo, hi) multiplies `coverage` per window.
-    depth_jitter: Tuple[float, float] = (0.75, 1.3)
+    # Widened in round 4: with (0.75, 1.3) a PacBio model called every
+    # hom-alt below ~0.75x of the fitted mean het (the CNN latches
+    # onto absolute alt-row counts; the held-out sim eval drew a
+    # 0.87-jitter window and scored 0.64 with 245 uniform hom->het
+    # flips at qual ~11). The wider envelope forces depth-invariant
+    # features.
+    depth_jitter: Tuple[float, float] = (0.5, 1.45)
     # Truth process (same knobs/defaults as the Illumina simulator).
     snv_rate: float = 1.0 / 250.0
     indel_rate: float = 1.0 / 1400.0

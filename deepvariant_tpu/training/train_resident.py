@@ -220,9 +220,23 @@ def train_resident(
         perm = rng.permutation(n_train)[: steps_per_epoch * batch]
         perm = perm.reshape(steps_per_epoch, batch).astype(np.int32)
         t0 = time.time()
-        state, loss, cm_all, cm_snp, cm_indel = epoch_fn(
-            state, data, jax.device_put(perm, device)
-        )
+        # Retry the first-epoch compile: the tunneled remote compiler
+        # intermittently dies with HTTP 500 / tpu_compile_helper exit 1
+        # (observed repeatedly in round 4); the failure does not cache,
+        # so a re-invocation recompiles.
+        for attempt in range(3):
+            try:
+                state, loss, cm_all, cm_snp, cm_indel = epoch_fn(
+                    state, data, jax.device_put(perm, device)
+                )
+                break
+            except Exception as e:
+                if epoch > 0 or attempt == 2 or \
+                        "500" not in str(e):
+                    raise
+                log_fn(f"epoch-compile retry {attempt + 1}: "
+                       f"{str(e)[:120]}")
+                time.sleep(10.0)
         # Scalar fetch: data-depends on every scanned step, so this IS
         # the epoch barrier (block_until_ready is a no-op on the
         # tunneled backend).
