@@ -122,6 +122,11 @@ class SimVariant:
     # as het (measured on the NA12878 eval: every wrong-GT call was
     # hom->het before this knob existed).
     p_ref_draw: float = 0.5
+    # When a fragment covers several variants, the one with the
+    # highest priority governs its haplotype sourcing (ties: first).
+    # Somatic variants set 1 so their sub-0.5 VAFs are not dragged
+    # toward 0.5 by neighboring germline hets.
+    source_priority: int = 0
 
 
 class QualityModel:
@@ -519,6 +524,7 @@ def simulate_window_reads(
     name_prefix: str,
     variants: Sequence[SimVariant] = (),
     window: Optional[Tuple[int, int]] = None,
+    slip_shared_rates: Optional[Dict[int, Tuple[float, float]]] = None,
 ) -> List[Read]:
     """Emit paired reads over one simulated window.
 
@@ -543,7 +549,14 @@ def simulate_window_reads(
         np.fromiter(hot_alt.keys(), np.int64, len(hot_alt))
         if hot_alt else np.zeros(0, np.int64)
     )
-    slip_sites = build_slip_sites(rng, haps, cfg, {})
+    # Slip rates key on the tract's REFERENCE anchor, so passing one
+    # dict across related samples (trio members, tumor/normal) makes
+    # the same locus slip at the same rate in every sample — the
+    # polymerase behaves per-locus, not per-library.
+    slip_sites = build_slip_sites(
+        rng, haps, cfg,
+        slip_shared_rates if slip_shared_rates is not None else {},
+    )
     # ref coordinate -> haplotype coordinate maps (aligned bases only).
     inv_maps = []
     for seq, refpos in haps:
@@ -555,6 +568,9 @@ def simulate_window_reads(
         -1 if v.genotype == (1, 1) else v.genotype.index(1)
         for v in variants
     ], np.int64)
+    var_priority = np.array(
+        [v.source_priority for v in variants], np.int64
+    )
     for frag_idx in range(n_fragments):
         frag_len = int(np.clip(
             rng.normal(cfg.fragment_mean, cfg.fragment_std), min_frag, 800
@@ -562,11 +578,20 @@ def simulate_window_reads(
         if span <= frag_len:
             continue
         ref_start = ref_lo + int(rng.integers(span - frag_len))
-        # Source haplotype from the first covered variant's draw rule.
+        # Source haplotype from the governing covered variant's draw
+        # rule: the highest-priority covered variant, first on ties.
         i0 = int(np.searchsorted(var_pos, ref_start + 3))
         if i0 < len(var_pos) and var_pos[i0] < ref_start + frag_len - 3:
-            p_ref = float(var_p_ref[i0])
-            alt_hap = int(var_alt_hap[i0])
+            i_sel = i0
+            i1 = int(np.searchsorted(
+                var_pos, ref_start + frag_len - 3
+            ))
+            if i1 > i0 + 1:
+                seg = var_priority[i0:i1]
+                if seg.max() > seg[0]:
+                    i_sel = i0 + int(np.argmax(seg))
+            p_ref = float(var_p_ref[i_sel])
+            alt_hap = int(var_alt_hap[i_sel])
             u = rng.random()
             if alt_hap < 0:  # hom-alt: contamination -> pure ref source
                 hap = 2 if u < p_ref else int(rng.integers(2))
