@@ -98,6 +98,27 @@ def _eligible(
     return _genotype_key(variant) is not None
 
 
+def wilson_ci(
+    successes: int, n: int, z: float = 1.959964
+) -> Tuple[float, float]:
+    """Wilson score 95% interval for a binomial proportion.
+
+    The reference's published F1s are computed over millions of calls
+    (docs/metrics.md:33-44) where the interval is negligible; the
+    in-image evals run on hundreds-to-thousands of calls, so every
+    reported proportion carries this interval.
+    """
+    if n == 0:
+        return (0.0, 1.0)
+    p = successes / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (
+        z * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5) / denom
+    )
+    return (max(0.0, center - half), min(1.0, center + half))
+
+
 @dataclasses.dataclass
 class TypeMetrics:
     tp: int = 0
@@ -120,11 +141,26 @@ class TypeMetrics:
         return 2 * p * r / (p + r) if p + r else 0.0
 
     def as_dict(self) -> Dict[str, float]:
+        r_ci = wilson_ci(self.tp, self.tp + self.fn)
+        p_ci = wilson_ci(self.tp, self.tp + self.fp)
+        # F1 is monotone in both precision and recall, so evaluating
+        # it at the paired interval ends gives a conservative
+        # (wider-than-exact) 95% band.
+        def _f1(p, r):
+            return 2 * p * r / (p + r) if p + r else 0.0
+
         return {
             "tp": self.tp, "fn": self.fn, "fp": self.fp,
+            "n_truth": self.tp + self.fn,
             "recall": round(self.recall, 6),
             "precision": round(self.precision, 6),
             "f1": round(self.f1, 6),
+            "recall_ci95": [round(x, 6) for x in r_ci],
+            "precision_ci95": [round(x, 6) for x in p_ci],
+            "f1_ci95": [
+                round(_f1(p_ci[0], r_ci[0]), 6),
+                round(_f1(p_ci[1], r_ci[1]), 6),
+            ],
         }
 
 

@@ -539,19 +539,31 @@ def simulate_somatic_corpus(
                cfg.sample_name_tumor)
     _write_bam(bam_normal, ref_reader.contigs, normal_reads,
                cfg.sample_name_normal)
-    # Somatic truth: GT 0/1 (the CNN's class-1 target under the
-    # somatic labeling convention — germline candidates are absent
-    # from this truth, so the labeler assigns them class 0 and the
-    # model learns to suppress them via the stacked normal plane).
+    # DeepSomatic class convention (postprocess _apply_somatic_filters
+    # / reference vcf_writer.cc WriteSomatic): class 1 (het) = GERMLINE
+    # (GT rewritten to 0/0, GERMLINE filter), class 2 (hom-alt) =
+    # SOMATIC (stays PASS). Training truth therefore encodes every
+    # germline variant as 0/1 (-> label 1) regardless of its real
+    # zygosity and every somatic variant as 1/1 (-> label 2).
+    vaf_info = {
+        pos: {"VAF": [round(v, 4)]} for pos, v in vaf_by_pos.items()
+    }
     truth_somatic = os.path.join(outdir, "truth_somatic.vcf.gz")
     _write_truth_vcf(
         truth_somatic, ref_reader.contigs, cfg.contig,
-        [dataclasses.replace(v, genotype=(0, 1)) for v in somatic_all],
+        [dataclasses.replace(v, genotype=(1, 1)) for v in somatic_all],
         cfg.sample_name_tumor,
-        info_by_pos={
-            pos: {"VAF": [round(v, 4)]}
-            for pos, v in vaf_by_pos.items()
-        },
+        info_by_pos=vaf_info,
+    )
+    truth_training = os.path.join(outdir, "truth_training.vcf.gz")
+    _write_truth_vcf(
+        truth_training, ref_reader.contigs, cfg.contig,
+        [dataclasses.replace(v, genotype=(0, 1))
+         for v in germline_all]
+        + [dataclasses.replace(v, genotype=(1, 1))
+           for v in somatic_all],
+        cfg.sample_name_tumor,
+        info_by_pos=vaf_info,
     )
     truth_germline = os.path.join(outdir, "truth_germline.vcf.gz")
     _write_truth_vcf(truth_germline, ref_reader.contigs, cfg.contig,
@@ -564,6 +576,7 @@ def simulate_somatic_corpus(
         "bam_tumor": bam_tumor,
         "bam_normal": bam_normal,
         "truth_somatic": truth_somatic,
+        "truth_training": truth_training,
         "truth_germline": truth_germline,
         "confident_bed": bed,
         "n_somatic": len(somatic_all),
