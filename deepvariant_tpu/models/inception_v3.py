@@ -97,6 +97,22 @@ class ConvBN(nn.Module):
         return nn.relu(x).astype(self.dtype)
 
 
+def _space_to_depth_2x2(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), zero-padding odd H/W.
+
+    Channel packing: index ((p*2 + q)*C + c) for in-block offset
+    (p, q) — the order `convert_stem_to_s2d` packs the stem kernel in.
+    """
+    b, h, w, c = x.shape
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        h, w = h + ph, w + pw
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
 def _avg_pool_same(x):
     return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
 
@@ -231,32 +247,53 @@ class InceptionV3(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
     fold_bn: bool = False
+    # Inference-graph option: the stride-2 3x3 stem conv rewritten as
+    # space-to-depth + a 2x2 stride-1 conv — mathematically EXACT
+    # (convert_stem_to_s2d transforms the weights), but the matmul's
+    # contraction dim grows 4.5x (3*3*C -> 2*2*4C), filling MXU tiles
+    # a 7-channel 3x3 kernel leaves mostly empty.
+    stem_s2d: bool = False
 
     @nn.compact
-    def backbone(self, x, train: bool = False):
+    def backbone(self, x, train: bool = False, stop_after=None):
+        """`stop_after` truncates the graph after a named block group
+        ('stem' / 'mixedN') and returns that activation — the
+        per-segment timing hook (deploy/infer_study.py phase=blocks);
+        None (production) runs the full backbone."""
         cb = functools.partial(ConvBN, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn)
         x = x.astype(self.dtype)
         # Stem (keras InceptionV3 lines before mixed0).
-        x = cb(32, (3, 3), strides=(2, 2), padding="VALID", name="stem1")(
-            x, train
-        )
+        if self.stem_s2d:
+            x = _space_to_depth_2x2(x)
+            x = cb(32, (2, 2), padding="VALID", name="stem1")(x, train)
+        else:
+            x = cb(32, (3, 3), strides=(2, 2), padding="VALID",
+                   name="stem1")(x, train)
         x = cb(32, (3, 3), padding="VALID", name="stem2")(x, train)
         x = cb(64, (3, 3), name="stem3")(x, train)
         x = _max_pool_v(x)
         x = cb(80, (1, 1), padding="VALID", name="stem4")(x, train)
         x = cb(192, (3, 3), padding="VALID", name="stem5")(x, train)
         x = _max_pool_v(x)
-        x = InceptionA(32, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed0")(x, train)
-        x = InceptionA(64, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed1")(x, train)
-        x = InceptionA(64, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed2")(x, train)
-        x = ReductionA(dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed3")(x, train)
-        x = InceptionB(128, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed4")(x, train)
-        x = InceptionB(160, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed5")(x, train)
-        x = InceptionB(160, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed6")(x, train)
-        x = InceptionB(192, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed7")(x, train)
-        x = ReductionB(dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed8")(x, train)
-        x = InceptionC(dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed9")(x, train)
-        x = InceptionC(dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed10")(x, train)
+        if stop_after == "stem":
+            return x
+        blocks = [
+            ("mixed0", InceptionA(32, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed0")),
+            ("mixed1", InceptionA(64, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed1")),
+            ("mixed2", InceptionA(64, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed2")),
+            ("mixed3", ReductionA(dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed3")),
+            ("mixed4", InceptionB(128, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed4")),
+            ("mixed5", InceptionB(160, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed5")),
+            ("mixed6", InceptionB(160, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed6")),
+            ("mixed7", InceptionB(192, dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed7")),
+            ("mixed8", ReductionB(dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed8")),
+            ("mixed9", InceptionC(dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed9")),
+            ("mixed10", InceptionC(dtype=self.dtype, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn, name="mixed10")),
+        ]
+        for name, block in blocks:
+            x = block(x, train)
+            if stop_after == name:
+                return x
         # pooling='avg' backbone output (keras_modeling.py:252-257).
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
@@ -366,6 +403,66 @@ def fold_batch_norm(model: InceptionV3, variables):
         fold_bn=True,
     )
     return folded_model, {"params": traverse_util.unflatten_dict(folded)}
+
+
+def convert_stem_to_s2d(model: InceptionV3, variables):
+    """Rewrite the stem for the space-to-depth inference graph.
+
+    Exact: a VALID 3x3 stride-2 conv equals a VALID 4x4 stride-2 conv
+    with a zero-padded kernel, which equals a VALID 2x2 stride-1 conv
+    over the 2x2 space-to-depth input — K2[a, b, (p*2+q)*C + c, o] =
+    K[2a+p, 2b+q, c, o] (zero where the pad lands). Works on folded
+    and unfolded variables (BN/bias attach to output channels, which
+    are untouched).
+    """
+    import copy
+
+    import numpy as np
+
+    out = copy.deepcopy(jax.device_get(variables))
+    kernel = np.asarray(out["params"]["stem1"]["conv"]["kernel"])
+    kh, kw, c, o = kernel.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError(f"stem1 kernel is {kernel.shape}, expected 3x3")
+    k2 = np.zeros((2, 2, 4 * c, o), kernel.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            for p in (0, 1):
+                for q in (0, 1):
+                    di, dj = 2 * a + p, 2 * b + q
+                    if di < 3 and dj < 3:
+                        k2[a, b, (p * 2 + q) * c: (p * 2 + q + 1) * c] \
+                            = kernel[di, dj]
+    out["params"]["stem1"]["conv"]["kernel"] = k2
+    s2d_model = InceptionV3(
+        num_classes=model.num_classes,
+        dropout_rate=model.dropout_rate,
+        dtype=model.dtype,
+        bn_momentum=model.bn_momentum,
+        fold_bn=model.fold_bn,
+        stem_s2d=True,
+    )
+    return s2d_model, out
+
+
+def pad_stem_input_channels(variables, to_channels: int):
+    """Zero-pad the stem conv's input-channel dim (the caller pads the
+    images to match). Exact: the padded kernel slice is zero, so the
+    extra image channels never contribute. Call BEFORE
+    convert_stem_to_s2d so the s2d contraction packs the padded C."""
+    import copy
+
+    import numpy as np
+
+    out = copy.deepcopy(jax.device_get(variables))
+    kernel = np.asarray(out["params"]["stem1"]["conv"]["kernel"])
+    kh, kw, c, o = kernel.shape
+    if to_channels < c:
+        raise ValueError(f"cannot shrink {c} -> {to_channels}")
+    padded = np.zeros((kh, kw, to_channels, o), kernel.dtype)
+    padded[:, :, :c] = kernel
+    out["params"]["stem1"]["conv"]["kernel"] = padded
+    return out
 
 
 def adapt_input_channels(params, new_num_channels: int, rng=None):
