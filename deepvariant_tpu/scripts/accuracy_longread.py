@@ -151,12 +151,38 @@ def _chunk_windows(
     return out
 
 
+def resolve_channels(
+    family: str, extra_channels_csv: str
+) -> Optional[List[int]]:
+    """Preset channels + appended extras (the homopolymer-family
+    ablation, round-5 directive #6: enums 16/17/28/29/30 exist and
+    are bit-exact in pileup.py but no preset uses them for ONT —
+    reference homopolymer_weighted_channel.cc). Returns the full
+    channel list to override with, or None for the preset default."""
+    if not extra_channels_csv:
+        return None
+    from deepvariant_tpu.make_examples.core import MakeExamplesOptions
+    from deepvariant_tpu.make_examples.presets import apply_model_preset
+
+    probe = MakeExamplesOptions(
+        reads_filename="", ref_filename="", examples_filename="",
+    )
+    apply_model_preset(probe, FAMILIES[family]["preset"])
+    base = list(probe.pileup_options.channels)
+    for tok in extra_channels_csv.split(","):
+        ch = int(tok)
+        if ch not in base:
+            base.append(ch)
+    return base
+
+
 def generate_corpus(
     workdir: str,
     family: str,
     seeds: Sequence[int],
     coverage: Optional[float],
     num_workers: int,
+    extra_channels: Optional[List[int]] = None,
     log_fn=print,
 ) -> Dict[str, int]:
     from deepvariant_tpu.training.simulate_longread import (
@@ -182,14 +208,17 @@ def generate_corpus(
             _chunk_windows("chr20", windows, 75_000)
         ):
             part = os.path.join(outdir, f"{tag}{i:03d}.tfrecord.gz")
-            jobs.append(dict(
+            job = dict(
                 reads_filename=sim["bam"], ref_filename=GRCH38_10M,
                 examples_filename=part, mode="training",
                 regions=[region],
                 truth_variants_filename=sim["truth_vcf"],
                 confident_regions_filename=sim["confident_bed"],
                 model_preset=spec["preset"],
-            ))
+            )
+            if extra_channels:
+                job["channels_override"] = extra_channels
+            jobs.append(job)
             parts.append(part)
         _run_make_examples_fanout(jobs, num_workers,
                                   log_fn=lambda _: None)
@@ -285,6 +314,10 @@ def evaluate_model(
     family: str,
     ckpt: str,
     batch_size: int,
+    extra_channels: Optional[List[int]] = None,
+    sim_windows: Optional[List[Tuple[int, int]]] = None,
+    sim_seed: int = 0,
+    eval_tag: str = "eval",
     log_fn=print,
 ) -> Dict[str, object]:
     from deepvariant_tpu.calling.call_variants import call_variants
@@ -298,7 +331,20 @@ def evaluate_model(
 
     spec = FAMILIES[family]
     ev = dict(spec["eval"])
-    ev_dir = os.path.join(workdir, "eval")
+    if sim_windows:
+        # CI-powered held-out simulated eval over caller-chosen spans
+        # (round-5 directive #2): overrides the family default.
+        lo, hi = sim_windows[0][0], sim_windows[-1][1]
+        ev = {
+            "simulated": True,
+            "ref": GRCH38_10M,
+            "windows": list(sim_windows),
+            "region": f"chr20:{lo}-{hi}",
+            "span": (lo, hi),
+            "seed": sim_seed or 91000,
+            "sample": "SIM",
+        }
+    ev_dir = os.path.join(workdir, eval_tag)
     os.makedirs(ev_dir, exist_ok=True)
     if ev.get("simulated"):
         # Held-out simulated eval (see the pacbio FAMILIES note):
@@ -328,21 +374,36 @@ def evaluate_model(
 
     calling_path = os.path.join(ev_dir, "calling.tfrecord.gz")
     oracle_path = os.path.join(ev_dir, "oracle.tfrecord.gz")
-    jobs = [
-        dict(
+    # Chunk the eval span so a Mbp-scale powered eval parallelizes
+    # the same way the labeling fan-out does.
+    eval_windows = ev.get("windows") or [ev["span"]]
+    jobs, calling_parts, oracle_parts = [], [], []
+    for i, region in enumerate(
+        _chunk_windows("chr20", eval_windows, 75_000)
+    ):
+        cp = os.path.join(ev_dir, f"calling{i:03d}.tfrecord.gz")
+        op = os.path.join(ev_dir, f"oracle{i:03d}.tfrecord.gz")
+        cjob = dict(
             reads_filename=ev["reads"], ref_filename=ev["ref"],
-            examples_filename=calling_path, mode="calling",
-            regions=[ev["region"]], model_preset=spec["preset"],
-        ),
-        dict(
+            examples_filename=cp, mode="calling",
+            regions=[region], model_preset=spec["preset"],
+        )
+        ojob = dict(
             reads_filename=ev["reads"], ref_filename=ev["ref"],
-            examples_filename=oracle_path, mode="training",
-            regions=[ev["region"]], model_preset=spec["preset"],
+            examples_filename=op, mode="training",
+            regions=[region], model_preset=spec["preset"],
             truth_variants_filename=ev["truth"],
             confident_regions_filename=ev["confident_bed"],
-        ),
-    ]
-    _run_make_examples_fanout(jobs, 2, log_fn=lambda _: None)
+        )
+        if extra_channels:
+            cjob["channels_override"] = extra_channels
+            ojob["channels_override"] = extra_channels
+        jobs += [cjob, ojob]
+        calling_parts.append(cp)
+        oracle_parts.append(op)
+    _run_make_examples_fanout(jobs, 4, log_fn=lambda _: None)
+    _merge_tfrecords(calling_parts, calling_path)
+    _merge_tfrecords(oracle_parts, oracle_path)
 
     model, variables, _ = load_variables_for_examples(
         ckpt, calling_path
@@ -428,16 +489,29 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         "final scored far higher) or the tune-best")
     p.add_argument("--checkpoint", default="")
     p.add_argument("--report", default="")
+    p.add_argument("--extra_channels", default="",
+                   help="comma enums appended to the preset channel "
+                        "set for training AND eval (homopolymer "
+                        "ablation: 16,17,28,29,30)")
+    p.add_argument("--sim_eval_windows", default="",
+                   help="lo-hi[,lo-hi] chr20 spans: run an EXTRA "
+                        "held-out simulated eval at this scale "
+                        "(stage name simeval)")
+    p.add_argument("--sim_eval_seed", type=int, default=91000)
     args = p.parse_args(argv)
 
     stages = set(args.stages.split(","))
     os.makedirs(args.workdir, exist_ok=True)
+    extra_channels = resolve_channels(args.family, args.extra_channels)
     result: Dict[str, object] = {"family": args.family}
+    if extra_channels:
+        result["channels_override"] = extra_channels
     if "gen" in stages:
         result["corpus"] = generate_corpus(
             args.workdir, args.family,
             [int(s) for s in args.seeds.split(",")],
             args.coverage or None, args.num_workers,
+            extra_channels=extra_channels,
         )
     ckpt = args.checkpoint or os.path.join(
         args.workdir, "experiment", "checkpoints",
@@ -452,6 +526,18 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     if "eval" in stages:
         result["eval"] = evaluate_model(
             args.workdir, args.family, ckpt, args.batch_size,
+            extra_channels=extra_channels,
+        )
+    if "simeval" in stages and args.sim_eval_windows:
+        windows = [
+            tuple(int(x) for x in tok.split("-"))
+            for tok in args.sim_eval_windows.split(",")
+        ]
+        result["sim_eval"] = evaluate_model(
+            args.workdir, args.family, ckpt, args.batch_size,
+            extra_channels=extra_channels,
+            sim_windows=windows, sim_seed=args.sim_eval_seed,
+            eval_tag="sim_eval",
         )
     report = args.report or os.path.join(args.workdir, "report.json")
     with open(report, "w") as f:

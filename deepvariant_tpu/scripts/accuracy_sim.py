@@ -140,8 +140,11 @@ def _run_make_examples_fanout(
                 "apply_model_preset\n"
                 "kw = json.loads(sys.argv[1])\n"
                 "preset = kw.pop('model_preset', None)\n"
+                "channels = kw.pop('channels_override', None)\n"
                 "opts = MakeExamplesOptions(**kw)\n"
                 "if preset: apply_model_preset(opts, preset)\n"
+                "if channels: opts.pileup_options.channels = "
+                "tuple(channels)\n"
                 "print(json.dumps(make_examples_runner(opts)))\n"
             )
             proc = subprocess.Popen(
@@ -208,6 +211,15 @@ TEMPLATES = {
                      "HG001.chr20.10_10p1mb_sorted.bam",
         template_region=("20", 10_000_000, 10_080_000),
         coverage=12.0,
+    ),
+    # Indel-enriched replicate (round-5 directive #5): 4x the indel
+    # rate so het/hom indel geometry — the round-4 audited failure
+    # (a 10 bp het deletion called hom-alt) — trains on ~4x the data.
+    "indelrich": dict(
+        template_bam=f"{TESTDATA}/input/"
+                     "NA12878_S1.chr20.10_10p1mb.bam",
+        template_region=("chr20", 10_000_000, 10_080_000),
+        indel_rate=1.0 / 550.0,
     ),
 }
 
@@ -530,6 +542,130 @@ def evaluate_model(
     }
 
 
+# Statistically-powered held-out sim eval (round-5 directive #2):
+# 1.5 Mbp of fresh-seed GRCh38 chr20 simulation — ~6.5k truth calls,
+# ~650 indels — DISJOINT from every span any WGS corpus trains on
+# (grch38 build trains chr20 0.2-1.4M + chr21; hg19 build trains a
+# different assembly entirely).
+POWERED_EVAL_WINDOWS = [
+    (5_200_000, 6_000_000),
+    (6_000_000, 6_700_000),
+]
+
+
+def evaluate_sim_powered(
+    workdir: str,
+    ckpt: str,
+    batch_size: int,
+    num_workers: int,
+    eval_seed: int = 91555,
+    windows=None,
+    coverage: float = 50.0,
+    log_fn=print,
+) -> Dict[str, object]:
+    """Fresh-seed simulated eval with exact truth at CI-bearing scale,
+    through the full calling pipeline; oracle ceiling + FN audit."""
+    from deepvariant_tpu.calling.call_variants import call_variants
+    from deepvariant_tpu.io.fasta import FastaReader
+    from deepvariant_tpu.labeler import labeled_examples_to_vcf
+    from deepvariant_tpu.postprocess.pipeline import postprocess_variants
+    from deepvariant_tpu.scripts.call_variants import (
+        load_variables_for_examples,
+    )
+    from deepvariant_tpu.tools import fn_audit, vcf_eval
+    from deepvariant_tpu.training.simulate import SimConfig, simulate_corpus
+
+    windows = windows or POWERED_EVAL_WINDOWS
+    ev_dir = os.path.join(workdir, "sim_eval")
+    os.makedirs(ev_dir, exist_ok=True)
+    t0 = time.time()
+    sim = simulate_corpus(SimConfig(
+        ref_path=GRCH38, contig="chr20", windows=windows,
+        seed=eval_seed, coverage=coverage,
+        **{k: v for k, v in TEMPLATES["na12878"].items()},
+    ), os.path.join(ev_dir, "sim"))
+    log_fn(f"powered sim eval: {sim['n_variants']} truth variants, "
+           f"{sim['n_reads']} reads in {time.time() - t0:.0f}s")
+
+    calling_parts, oracle_parts, jobs = [], [], []
+    for i, region in enumerate(_chunk_regions("chr20", windows)):
+        cp = os.path.join(ev_dir, f"calling{i:03d}.tfrecord.gz")
+        op = os.path.join(ev_dir, f"oracle{i:03d}.tfrecord.gz")
+        jobs.append(dict(
+            reads_filename=sim["bam"], ref_filename=GRCH38,
+            examples_filename=cp, mode="calling",
+            regions=[region], realigner_enabled=True,
+        ))
+        jobs.append(dict(
+            reads_filename=sim["bam"], ref_filename=GRCH38,
+            examples_filename=op, mode="training",
+            regions=[region], realigner_enabled=True,
+            truth_variants_filename=sim["truth_vcf"],
+            confident_regions_filename=sim["confident_bed"],
+        ))
+        calling_parts.append(cp)
+        oracle_parts.append(op)
+    t0 = time.time()
+    _run_make_examples_fanout(jobs, num_workers, log_fn=lambda _: None)
+    log_fn(f"powered eval stage-1 in {time.time() - t0:.0f}s")
+
+    calling_path = os.path.join(ev_dir, "calling.tfrecord.gz")
+    oracle_path = os.path.join(ev_dir, "oracle.tfrecord.gz")
+    _merge_tfrecords(calling_parts, calling_path)
+    _merge_tfrecords(oracle_parts, oracle_path)
+
+    model, variables, _ = load_variables_for_examples(
+        ckpt, calling_path
+    )
+    cvo_path = os.path.join(ev_dir, "cvo.tfrecord.gz")
+    call_variants(
+        calling_path, cvo_path, variables,
+        batch_size=batch_size, model=model,
+    )
+    vcf_out = os.path.join(ev_dir, "out.vcf.gz")
+    postprocess_variants(
+        cvo_path, vcf_out, FastaReader(GRCH38).contigs,
+        sample_name="SIM",
+    )
+    region = f"chr20:{windows[0][0]}-{windows[-1][1]}"
+    model_metrics = vcf_eval.evaluate(
+        sim["truth_vcf"], vcf_out,
+        confident_bed=sim["confident_bed"], region=region,
+    )
+    oracle_vcf = os.path.join(ev_dir, "oracle.vcf.gz")
+    labeled_examples_to_vcf.run(
+        oracle_path, GRCH38, oracle_vcf, sample_name="SIM",
+    )
+    oracle_metrics = vcf_eval.evaluate(
+        sim["truth_vcf"], oracle_vcf,
+        confident_bed=sim["confident_bed"], region=region,
+    )
+    audit = fn_audit.run(
+        sim["truth_vcf"], vcf_out, cvo_path,
+        confident_bed=sim["confident_bed"], region=region,
+    )
+    with open(os.path.join(ev_dir, "fn_audit.json"), "w") as f:
+        json.dump(audit, f, indent=1)
+    cats: Dict[str, int] = {}
+    for r in audit:
+        cats[r["category"]] = cats.get(r["category"], 0) + 1
+    log_fn(
+        f"powered sim eval: all-F1 {model_metrics['all']['f1']:.4f} "
+        f"(snp {model_metrics['snp']['f1']:.4f} n="
+        f"{model_metrics['snp']['n_truth']} / indel "
+        f"{model_metrics['indel']['f1']:.4f} n="
+        f"{model_metrics['indel']['n_truth']}); oracle "
+        f"{oracle_metrics['all']['f1']:.4f}; fn audit {cats}"
+    )
+    return {
+        "region": region,
+        "eval_seed": eval_seed,
+        "model": model_metrics,
+        "oracle": oracle_metrics,
+        "fn_audit_categories": cats,
+    }
+
+
 def write_report(path: str, result: Dict[str, object]) -> None:
     m = result["eval"]["model"]
     mc = result["eval"]["model_confident"]
@@ -630,7 +766,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p = argparse.ArgumentParser("accuracy_sim")
     p.add_argument("--workdir", required=True)
     p.add_argument("--stages", default="gen,train,eval",
-                   help="comma list of gen|train|eval")
+                   help="comma list of gen|train|eval|simeval "
+                        "(simeval = the CI-powered held-out GRCh38 "
+                        "simulated eval, evaluate_sim_powered)")
+    p.add_argument("--sim_eval_seed", type=int, default=91555)
     p.add_argument("--seeds", default="101,202",
                    help="comma list of replicate seeds")
     p.add_argument("--coverage", type=float, default=50.0)
@@ -697,6 +836,16 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             args.workdir, args.batch_size, args.num_epochs,
             args.learning_rate, args.device,
         )
+
+    if "simeval" in stages:
+        result["sim_eval"] = evaluate_sim_powered(
+            args.workdir, ckpt, args.batch_size, args.num_workers,
+            eval_seed=args.sim_eval_seed,
+        )
+        with open(os.path.join(
+            args.workdir, "sim_eval_report.json"
+        ), "w") as f:
+            json.dump(result["sim_eval"], f, indent=1)
 
     if "eval" in stages:
         lo, hi = (int(x) for x in args.eval_span.split("-"))

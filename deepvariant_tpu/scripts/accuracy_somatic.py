@@ -119,7 +119,7 @@ def simulate_replicate(
 
 def generate_corpus(
     workdir: str, seeds: Sequence[int], num_workers: int,
-    train_cap: Optional[int] = 20_000, log_fn=print
+    train_cap: Optional[int] = 19_000, log_fn=print
 ) -> Dict[str, int]:
     from deepvariant_tpu.scripts.accuracy_sim import _merge_tfrecords
     from deepvariant_tpu.training.data import DatasetConfig

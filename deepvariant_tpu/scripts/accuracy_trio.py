@@ -231,7 +231,7 @@ def _merge_tfrecords_capped(
 
 def generate_corpus(
     workdir: str, seeds: Sequence[int], num_workers: int,
-    train_cap: Optional[int] = 14_000, log_fn=print
+    train_cap: Optional[int] = 13_000, log_fn=print
 ) -> Dict[str, int]:
     from deepvariant_tpu.scripts.accuracy_sim import _merge_tfrecords
     from deepvariant_tpu.training.data import DatasetConfig
