@@ -339,7 +339,17 @@ def generate_corpus(
 
     train_path = os.path.join(workdir, "train.tfrecord.gz")
     tune_path = os.path.join(workdir, "tune.tfrecord.gz")
-    counts["train"] = _merge_tfrecords(train_parts, train_path)
+    # Even-stride cap at 40k examples (~6.2e9 resident uint8 elements):
+    # the tunnel's epoch-executable compiler dies somewhere between
+    # 6.0e9 and 6.5e9 resident elements (round-5 bisect), and the
+    # device-resident trainer ships the whole tensor to HBM.
+    from deepvariant_tpu.scripts.accuracy_trio import (
+        _merge_tfrecords_capped,
+    )
+
+    counts["train"] = _merge_tfrecords_capped(
+        train_parts, train_path, 40_000
+    )
     counts["tune"] = _merge_tfrecords(tune_parts, tune_path)
     log_fn(f"corpus: {counts['train']} train / {counts['tune']} tune")
 
