@@ -102,6 +102,7 @@ class Predictor:
         devices: Optional[Sequence[jax.Device]] = None,
         ablation_channels: Optional[Sequence[int]] = None,
         fold_bn: bool = False,
+        pad_stem_to: Optional[int] = None,
     ):
         self.model = model or InceptionV3()
         self.variables = variables
@@ -109,12 +110,13 @@ class Predictor:
                 "batch_stats" in variables:
             # Export-time BN folding (keras_modeling.py:246's BN layers
             # vanish from the inference graph): conv+bias+relu stays
-            # bfloat16 end to end. Exact to float32 rounding. OFF by
-            # default: measured SLOWER than the unfolded graph at every
-            # batch size on the chip (XLA already fuses inference BN;
-            # r3 judge run: 45,098 folded vs 45,646 unfolded ex/s at
-            # batch 1024) — folding remains an export option for
-            # runtimes without BN fusion.
+            # bfloat16 end to end. Exact to float32 rounding.
+            # Round-5 interleaved A/B trials (deploy/infer_study_r05
+            # .json, 6 rounds, same-session compiles): folded
+            # 46.1k +/- 0.06k vs unfolded 45.7k +/- 1.7k ex/s at batch
+            # 1024 — folded is slightly faster AND 30x more stable;
+            # the earlier "folding is slower" readings (r3/r4) were
+            # unfolded-side tunnel noise, not a real effect.
             from deepvariant_tpu.models.inception_v3 import (
                 fold_batch_norm,
             )
@@ -123,6 +125,24 @@ class Predictor:
                 self.model, variables
             )
             variables = self.variables
+        self.pad_stem_to = None
+        if pad_stem_to:
+            # MXU tile packing: zero-pad the stem kernel's input-
+            # channel dim (exact — models/inception_v3.py
+            # pad_stem_input_channels) and pad the images to match on
+            # DEVICE inside the jitted forward. Measured +1.2% at
+            # batch 1024 (infer_study_r05 phase=stem, folded_pad8).
+            from deepvariant_tpu.models.inception_v3 import (
+                pad_stem_input_channels,
+            )
+
+            kernel = variables["params"]["stem1"]["conv"]["kernel"]
+            if kernel.shape[2] < pad_stem_to:
+                self.variables = pad_stem_input_channels(
+                    variables, pad_stem_to
+                )
+                variables = self.variables
+                self.pad_stem_to = pad_stem_to
         devices = list(devices or jax.devices())
         # Data-parallel mesh: batch sharded over every device
         # (replaces MirroredStrategy, call_variants.py:782).
@@ -141,10 +161,16 @@ class Predictor:
         if ablation_channels:
             keep = np.array(ablation_channels, np.int32)
 
+        pad_to = self.pad_stem_to
+
         def forward(variables, images_u8):
             x = normalize_pileup(images_u8)
             if keep is not None:
                 x = x[..., keep]
+            if pad_to and x.shape[-1] < pad_to:
+                x = jnp.pad(
+                    x, ((0, 0),) * 3 + ((0, pad_to - x.shape[-1]),)
+                )
             return self.model.apply(variables, x, train=False)
 
         self._forward = jax.jit(

@@ -183,6 +183,7 @@ def generate_corpus(
     coverage: Optional[float],
     num_workers: int,
     extra_channels: Optional[List[int]] = None,
+    truth_indel_rate: Optional[float] = None,
     log_fn=print,
 ) -> Dict[str, int]:
     from deepvariant_tpu.training.simulate_longread import (
@@ -192,6 +193,9 @@ def generate_corpus(
 
     spec = FAMILIES[family]
     cov = coverage if coverage is not None else spec["coverage"]
+    rate_kw = (
+        {"indel_rate": truth_indel_rate} if truth_indel_rate else {}
+    )
 
     def _sim(windows, seed, outdir):
         return simulate_corpus_longread(LongReadSimConfig(
@@ -199,7 +203,7 @@ def generate_corpus(
             template_bam=spec["template_bam"],
             template_region=spec["template_region"],
             template_ref_path=spec["template_ref"],
-            seed=seed, coverage=cov,
+            seed=seed, coverage=cov, **rate_kw,
         ), outdir)
 
     def _label(sim, windows, outdir, tag) -> List[str]:
@@ -498,6 +502,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         "held-out simulated eval at this scale "
                         "(stage name simeval)")
     p.add_argument("--sim_eval_seed", type=int, default=91000)
+    p.add_argument("--truth_indel_rate", type=float, default=0.0,
+                   help="override the TRAINING corpus truth indel "
+                        "rate (simulate_longread default 1/1400; "
+                        "most indels land in repeat tracts via "
+                        "indel_repeat_fraction) — the ONT "
+                        "homopolymer-indel enrichment knob")
     args = p.parse_args(argv)
 
     stages = set(args.stages.split(","))
@@ -512,6 +522,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             [int(s) for s in args.seeds.split(",")],
             args.coverage or None, args.num_workers,
             extra_channels=extra_channels,
+            truth_indel_rate=args.truth_indel_rate or None,
         )
     ckpt = args.checkpoint or os.path.join(
         args.workdir, "experiment", "checkpoints",

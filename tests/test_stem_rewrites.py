@@ -87,3 +87,22 @@ def test_s2d_rejects_non_3x3(setup):
     m2, v2 = convert_stem_to_s2d(model, variables)
     with pytest.raises(ValueError):
         convert_stem_to_s2d(m2, v2)
+
+
+def test_predictor_fold_pad_equivalence():
+    """Predictor(fold_bn=True, pad_stem_to=8) matches the plain
+    graph (calling/call_variants.py — the production fast path the
+    round-5 study selected)."""
+    from deepvariant_tpu.calling.call_variants import Predictor
+
+    rng = np.random.RandomState(3)
+    model, variables = create_model(7, dtype=jnp.float32)
+    images = rng.randint(0, 255, (8, 100, 221, 7)).astype(np.uint8)
+    base = np.asarray(Predictor(
+        variables, batch_size=8, model=model
+    )(images))
+    fast = np.asarray(Predictor(
+        variables, batch_size=8, model=model,
+        fold_bn=True, pad_stem_to=8,
+    )(images))
+    np.testing.assert_allclose(fast, base, atol=3e-5)
