@@ -36,10 +36,14 @@ Measurement contract (the round-1 number was wrong; this is why):
    under test).
  * FLOPs come from XLA's own `compile().cost_analysis()` of the exact
    single-step executable (cost_analysis cannot see inside a scan).
- * BN folding defaults OFF: measured both ways at every batch
-   (deploy/bench_full artifacts), unfolded is consistently the faster
-   inference graph — XLA already fuses inference BN; folding stays an
-   export-time option (models/inception_v3.fold_batch_norm).
+ * The headline graph is the round-5 measured winner: BN FOLDED +
+   stem input channels padded to 8 (both exact rewrites,
+   models/inception_v3.py). Round-5 interleaved A/B trials
+   (deploy/infer_study_r05.json) settled the r3/r4 contradiction:
+   folded 46.1k +/- 0.06k vs unfolded 45.7k +/- 1.7k ex/s at batch
+   1024 — the earlier "unfolded faster" readings were unfolded-side
+   tunnel noise (sigma 30x the folded graph's); channel padding adds
+   +1.2%; space-to-depth stem measured SLOWER (38.1k) and stays off.
 
 Baseline: reference WGS call_variants does ~7.5M examples in 15m58s on
 an n2-standard-96 => ~7,800 ex/s for the whole machine
@@ -285,7 +289,8 @@ def _stage1_scaling_metrics() -> dict:
     }
 
 
-def _device_metrics(batch: int = BATCH, fold_bn: bool = False) -> dict:
+def _device_metrics(batch: int = BATCH, fold_bn: bool = True,
+                    pad8: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -293,6 +298,7 @@ def _device_metrics(batch: int = BATCH, fold_bn: bool = False) -> dict:
         create_model,
         fold_batch_norm,
         normalize_pileup,
+        pad_stem_input_channels,
     )
 
     golden = _load_golden_images()
@@ -307,10 +313,16 @@ def _device_metrics(batch: int = BATCH, fold_bn: bool = False) -> dict:
 
     model, variables = create_model(c, dtype=jnp.bfloat16)
     if fold_bn:
-        # Export-time folding option. NOT the bench default: measured
-        # slower than the unfolded graph at every batch size (XLA
-        # already fuses inference BN), see deploy/bench_full artifacts.
+        # Round-5 measured winner (see module docstring): folded is
+        # slightly faster and far more run-to-run stable.
         model, variables = fold_batch_norm(model, variables)
+    if pad8 and c < 8:
+        # Exact stem-kernel channel pad; pads images to match.
+        variables = pad_stem_input_channels(variables, 8)
+        batches = np.concatenate([
+            batches,
+            np.zeros(batches.shape[:-1] + (8 - c,), np.uint8),
+        ], axis=-1)
 
     def run_n(variables, stacked, n):
         # Dynamic-trip-count loop over the K2 resident batches: ONE
@@ -371,6 +383,7 @@ def _device_metrics(batch: int = BATCH, fold_bn: bool = False) -> dict:
         "flops_per_example": round(flops_per_step / batch / 1e9, 3) * 1e9,
         "batch": batch,
         "fold_bn": fold_bn,
+        "pad8": pad8,
         "device": device.device_kind,
         "fixed_overhead_ms": round(
             (t1 - K_SMALL * per_step) * 1e3, 1
@@ -666,6 +679,27 @@ def _encode_call_metrics(batch: int = 512) -> dict:
     return out
 
 
+def _stream_host_economics() -> dict:
+    """Device-encode stream host side vs a null classifier: pure plan
+    production + queue transport (round-5 directive #7). One worker's
+    plans/s is the per-core rate; cores-per-chip-to-saturate and the
+    stream-path e2e projection derive in main() once the fused device
+    rate is known."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from deploy.stream_study import worker_scaling
+
+    ws = worker_scaling(log_fn=lambda _: None)
+    return {
+        "stream_plans_per_sec_per_worker": ws[
+            "plans_per_sec_per_worker"],
+        "stream_plan_scaling_efficiency_2way": ws[
+            "scaling_efficiency_2way"],
+        "stream_plans_per_sec": ws["plans_per_sec"],
+    }
+
+
 def _device_default() -> dict:
     """Driver-budget device section: 5 tunnel compiles total.
 
@@ -695,7 +729,7 @@ def _device_default() -> dict:
     except Exception:
         pass
     try:
-        out.update(_device_metrics(batch=BATCH, fold_bn=False))
+        out.update(_device_metrics(batch=BATCH))
     except Exception as e:
         out["inference_error"] = str(e)[:200]
     if rng_warm is not None:
@@ -797,6 +831,10 @@ def main():
         **_stage3_metrics(),
         **_stage1_scaling_metrics(),
     }
+    try:
+        host.update(_stream_host_economics())
+    except Exception as e:
+        host["stream_economics_error"] = str(e)[:160]
     print(json.dumps({
         "metric": "call_examples_per_sec_per_chip",
         "value": None,
@@ -873,6 +911,29 @@ def main():
             round(ref_h / band[0], 2),   # optimistic speedup
         ]
         merged["e2e_genome_hours_estimate"] = band[1]
+    # Stream-path (product-default --stream) economics: how many host
+    # cores one chip's fused encode+call rate needs, and the stream
+    # e2e projection at 96 cores (round-5 directive #7).
+    fused = merged.get("encode_plus_call_examples_per_sec_per_chip")
+    per_worker = merged.get("stream_plans_per_sec_per_worker")
+    eff = merged.get("stream_plan_scaling_efficiency_2way")
+    if fused and per_worker and eff:
+        merged["stream_cores_per_chip_saturation"] = round(
+            fused / (per_worker * eff), 1
+        )
+        plan_rate_96 = 96 * per_worker * eff
+        stream_rate = min(plan_rate_96, fused)
+        s3 = merged.get("stage3_cvos_per_sec_per_core")
+        if s3:
+            e2e = (
+                7.5e6 / stream_rate / 3600.0
+                + 7.5e6 / (s3 * 96) / 3600.0
+            )
+            merged["stream_e2e_96core_genome_hours"] = round(e2e, 3)
+            ref_h = (3600 + 8 * 60 + 58) / 3600.0
+            merged["stream_e2e_vs_ref_wall_clock"] = round(
+                ref_h / e2e, 2
+            )
     merged["bench_wall_seconds"] = round(
         time.perf_counter() - t_start, 1
     )
