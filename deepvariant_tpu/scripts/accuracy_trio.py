@@ -231,7 +231,7 @@ def _merge_tfrecords_capped(
 
 def generate_corpus(
     workdir: str, seeds: Sequence[int], num_workers: int,
-    train_cap: Optional[int] = 13_000, log_fn=print
+    train_cap: Optional[int] = 10_000, log_fn=print
 ) -> Dict[str, int]:
     from deepvariant_tpu.scripts.accuracy_sim import _merge_tfrecords
     from deepvariant_tpu.training.data import DatasetConfig
@@ -443,7 +443,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--seeds", default="501,502")
     p.add_argument("--eval_seed", type=int, default=90555)
     p.add_argument("--num_workers", type=int, default=4)
-    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=96)
     p.add_argument("--num_epochs", type=int, default=30)
     p.add_argument("--learning_rate", type=float, default=0.004)
     p.add_argument("--device", choices=("auto", "cpu"), default="auto")
