@@ -241,6 +241,7 @@ def call_variants(
     include_debug_info: bool = False,
     limit: int = 0,
     max_batches: int = 0,
+    fast_graph: bool = False,
 ) -> dict:
     """Run inference over sharded example TFRecords, write CVO TFRecord.
 
@@ -254,11 +255,17 @@ def call_variants(
              "output_paths": [...]}.
     """
     paths = glob_sharded_inputs(examples_path)
+    # fast_graph: the round-5 measured winner (folded BN + stem pad8,
+    # deploy/infer_study_r05.json) — +1.2% throughput and ~30x lower
+    # run-to-run variance; numerics exact to f32 rounding, so it is
+    # opt-in where byte-stable output across graph versions matters.
     predictor = Predictor(
         variables,
         batch_size=batch_size,
         model=model,
         ablation_channels=ablation_channels,
+        fold_bn=fast_graph,
+        pad_stem_to=8 if fast_graph else None,
     )
     n = 0
     start = time.time()
