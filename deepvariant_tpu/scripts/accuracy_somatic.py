@@ -238,13 +238,24 @@ def evaluate_model(
     calling_jobs, calling_parts = _somatic_jobs(
         sim, EVAL_WINDOWS, ev_dir, "calling", "calling"
     )
+    # Oracle pass (truth-labeled training-mode examples): which
+    # somatic sites even BECOME candidates under the reference-parity
+    # thresholds (vsc_min_fraction_snps 0.12 / indels 0.06,
+    # make_examples_options.py:327-343 — DeepSomatic changes only the
+    # multiplier to inf, make_examples_somatic.py:149). Below ~0.12
+    # VAF the ceiling, not the CNN, bounds recall.
+    oracle_jobs, oracle_parts = _somatic_jobs(
+        sim, EVAL_WINDOWS, ev_dir, "training", "oracle"
+    )
     t0 = time.time()
-    run_multisample_fanout(calling_jobs, num_workers,
+    run_multisample_fanout(calling_jobs + oracle_jobs, num_workers,
                            log_fn=lambda _: None)
     log_fn(f"eval stage-1 in {time.time() - t0:.0f}s")
 
     calling_path = os.path.join(ev_dir, "calling.tfrecord.gz")
     _merge_tfrecords(calling_parts, calling_path)
+    oracle_path = os.path.join(ev_dir, "oracle.tfrecord.gz")
+    _merge_tfrecords(oracle_parts, oracle_path)
 
     model, variables, _ = load_variables_for_examples(
         ckpt, calling_path
@@ -278,6 +289,17 @@ def evaluate_model(
             if v.filter in (["PASS"], ["."])
             and v.calls and sorted(v.calls[0].genotype) == [1, 1]
         }
+    # Candidate-reachable somatic sites from the oracle pass: a
+    # class-2 labeled example exists at the locus.
+    from deepvariant_tpu.io import tfrecord
+    from deepvariant_tpu.io.examples import parse_example
+
+    reachable = set()
+    for buf in tfrecord.read_tfrecords(oracle_path):
+        ex = parse_example(buf)
+        if int(ex.label or 0) == 2:
+            reachable.add(ex.variant.start)
+
     vaf_by_pos = sim["vaf_by_pos"]
     strata = []
     for lo_v, hi_v in VAF_BINS:
@@ -288,6 +310,11 @@ def evaluate_model(
         tp = sum(
             1 for v in in_bin if (CONTIG, v.pos) in called
         )
+        n_reach = sum(1 for v in in_bin if v.pos in reachable)
+        tp_reach = sum(
+            1 for v in in_bin
+            if v.pos in reachable and (CONTIG, v.pos) in called
+        )
         ci = vcf_eval.wilson_ci(tp, len(in_bin))
         strata.append({
             "vaf_bin": [lo_v, hi_v],
@@ -295,10 +322,18 @@ def evaluate_model(
             "called": tp,
             "recall": round(tp / len(in_bin), 4) if in_bin else None,
             "recall_ci95": [round(x, 4) for x in ci],
+            "candidate_reachable": n_reach,
+            "ceiling_recall": (
+                round(n_reach / len(in_bin), 4) if in_bin else None
+            ),
+            "recall_of_reachable": (
+                round(tp_reach / n_reach, 4) if n_reach else None
+            ),
         })
         log_fn(
-            f"VAF [{lo_v:.2f},{hi_v:.2f}): recall "
-            f"{tp}/{len(in_bin)}"
+            f"VAF [{lo_v:.2f},{hi_v:.2f}): recall {tp}/{len(in_bin)} "
+            f"(ceiling {n_reach}/{len(in_bin)}, of-reachable "
+            f"{tp_reach}/{n_reach})"
         )
 
     # Germline leak-through: called-PASS records at true germline
@@ -313,10 +348,26 @@ def evaluate_model(
         f"{model_metrics['indel']['f1']:.4f}); germline leaks "
         f"{leaks}/{len(germline_pos)}"
     )
+    # Overall ceiling + the reachable-sites decomposition: model F1
+    # among candidate-reachable somatic sites isolates CNN error from
+    # the threshold-bounded candidate stage.
+    all_pos = [v.pos for v in sim["somatic_variants"]]
+    n_reachable = sum(1 for p_ in all_pos if p_ in reachable)
+    called_reach = sum(
+        1 for p_ in all_pos
+        if p_ in reachable and (CONTIG, p_) in called
+    )
+    ceiling = round(n_reachable / len(all_pos), 4) if all_pos else None
     return {
         "region": region,
         "model": model_metrics,
         "vaf_strata": strata,
+        "candidate_ceiling_recall": ceiling,
+        "candidate_reachable": n_reachable,
+        "recall_of_reachable": (
+            round(called_reach / n_reachable, 4)
+            if n_reachable else None
+        ),
         "germline_sites": len(germline_pos),
         "germline_leaks": leaks,
     }
