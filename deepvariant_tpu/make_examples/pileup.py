@@ -116,17 +116,20 @@ def _homopolymer_flags(seq: np.ndarray) -> np.ndarray:
 
 
 def _homopolymer_weights(seq: np.ndarray) -> np.ndarray:
-    """Run length per base (homopolymer_weighted_channel.cc:...)."""
+    """Run length per base (homopolymer_weighted_channel.cc:...).
+
+    Vectorized run-length encode: the per-READ channels hand this the
+    FULL read sequence (a 25 kb ONT read), and the prior Python
+    while-loop made channel 17 ~50x the cost of the whole rest of
+    stage 1 (round-5 measurement: 57 s vs 4.2 s per 12 kb region)."""
     n = len(seq)
-    out = np.zeros(n, np.int32)
-    i = 0
-    while i < n:
-        j = i
-        while j < n and seq[j] == seq[i]:
-            j += 1
-        out[i:j] = j - i
-        i = j
-    return out
+    if n == 0:
+        return np.zeros(0, np.int32)
+    change = np.flatnonzero(seq[1:] != seq[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    lens = (ends - starts).astype(np.int32)
+    return np.repeat(lens, lens)
 
 
 def _scale_int(value: float, max_val: float) -> int:
