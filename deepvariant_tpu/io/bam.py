@@ -92,6 +92,9 @@ class ReadBatch:
         "seq_offsets", "cigar_ops", "cigar_lens", "cigar_offsets",
         "mate_ref_id", "mate_pos", "tlen", "aux", "hp", "meth",
         "meth6ma", "tp", "t0", "ref_names",
+        # Planner-side per-read walk memo (pileup_jax
+        # build_region_tensors); lives and dies with the batch.
+        "_plan_walk_cache", "_plan_ref_ends",
     )
 
     def __init__(self, ref_names: Sequence[str]):

@@ -64,19 +64,51 @@ def build_region_tensors(
     span_start: int,
     span_end: int,
 ) -> RegionTensors:
-    """One CIGAR walk per read over [span_start, span_end)."""
+    """One CIGAR walk per read per REGION over [span_start, span_end).
+
+    Round-5 stream-economics finding (deploy/stream_study_r05.json):
+    the naive version re-walked every read's cigar for every
+    candidate, making row PLANNING 61% of device-encode stage-1. Two
+    fixes, both exact: (a) only reads overlapping the span are
+    touched, (b) each read's walk is computed once per batch in
+    GLOBAL coordinates and memoized on the batch, so the ~6
+    candidates per partition slice instead of re-walking."""
     width = span_end - span_start
     k = len(batch)
     bases = np.zeros((k, width), np.uint8)
     quals = np.zeros((k, width), np.uint8)
     min_quals = np.full((k, width), 255, np.uint8)
-    for r in range(k):
-        cols, b, q = encoder._walk_events(batch, r, span_start, width)
-        if cols is None:
+    cache = getattr(batch, "_plan_walk_cache", None)
+    if cache is None:
+        cache = {}
+        batch._plan_walk_cache = cache
+        batch._plan_ref_ends = batch.reference_ends()
+    ends = batch._plan_ref_ends
+    overlapping = np.flatnonzero(
+        (batch.pos < span_end) & (ends > span_start)
+    )
+    for r in overlapping:
+        r = int(r)
+        entry = cache.get(r)
+        if entry is None:
+            pos = int(batch.pos[r])
+            span = max(int(ends[r]) - pos, 1)
+            c_local, b, q = encoder._walk_events(batch, r, pos, span)
+            if c_local is None:
+                entry = (None, None, None)
+            else:
+                entry = (c_local + pos, b, q)  # global columns
+            cache[r] = entry
+        cols_g, b, q = entry
+        if cols_g is None:
             continue
-        bases[r, cols] = b
-        quals[r, cols] = q
-        np.minimum.at(min_quals[r], cols, q)
+        sel = (cols_g >= span_start) & (cols_g < span_end)
+        if not sel.any():
+            continue
+        cols = cols_g[sel] - span_start
+        bases[r, cols] = b[sel]
+        quals[r, cols] = q[sel]
+        np.minimum.at(min_quals[r], cols, q[sel])
     return RegionTensors(
         span_start=span_start,
         bases=bases,
