@@ -688,15 +688,14 @@ def _stream_host_economics() -> dict:
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from deploy.stream_study import worker_scaling
+    from deploy.stream_study import steady_plan_rate
 
-    ws = worker_scaling(log_fn=lambda _: None)
+    st = steady_plan_rate(log_fn=lambda _: None)
     return {
-        "stream_plans_per_sec_per_worker": ws[
-            "plans_per_sec_per_worker"],
-        "stream_plan_scaling_efficiency_2way": ws[
-            "scaling_efficiency_2way"],
-        "stream_plans_per_sec": ws["plans_per_sec"],
+        "stream_plans_per_sec_per_worker": st[
+            "steady_plans_per_sec_per_core"],
+        "stream_plan_bp_per_sec_per_core": st[
+            "steady_plan_bp_per_sec_per_core"],
     }
 
 
@@ -916,19 +915,19 @@ def main():
     # e2e projection at 96 cores (round-5 directive #7).
     fused = merged.get("encode_plus_call_examples_per_sec_per_chip")
     per_worker = merged.get("stream_plans_per_sec_per_worker")
-    eff = merged.get("stream_plan_scaling_efficiency_2way")
-    if fused and per_worker and eff:
+    bp_rate = merged.get("stream_plan_bp_per_sec_per_core")
+    eff = merged.get("stage1_scaling_efficiency_2way")
+    if fused and per_worker and eff and bp_rate:
         merged["stream_cores_per_chip_saturation"] = round(
             fused / (per_worker * eff), 1
         )
-        plan_rate_96 = 96 * per_worker * eff
-        stream_rate = min(plan_rate_96, fused)
+        # Span-based genome projection (stage-1 walks every bp; the
+        # example density of any 50 kb slice is not the genome's).
+        stage1_h = 3.1e9 / (bp_rate * 96 * eff) / 3600.0
+        chip_h = 7.5e6 / fused / 3600.0
         s3 = merged.get("stage3_cvos_per_sec_per_core")
         if s3:
-            e2e = (
-                7.5e6 / stream_rate / 3600.0
-                + 7.5e6 / (s3 * 96) / 3600.0
-            )
+            e2e = max(stage1_h, chip_h) + 7.5e6 / (s3 * 96) / 3600.0
             merged["stream_e2e_96core_genome_hours"] = round(e2e, 3)
             ref_h = (3600 + 8 * 60 + 58) / 3600.0
             merged["stream_e2e_vs_ref_wall_clock"] = round(
