@@ -75,6 +75,7 @@ def run_fold(
     num_epochs: int = 60,
     learning_rate: float = 0.002,
     select: str = "final",
+    channels: Optional[Sequence[int]] = None,
     log_fn=print,
 ) -> dict:
     from deepvariant_tpu.make_examples.core import (
@@ -99,6 +100,10 @@ def run_fold(
             regions=list(regions),
         )
         apply_model_preset(options, "ONT_R104")
+        if channels:
+            # Homopolymer-family ablation (round-5 directive #6):
+            # same override path as accuracy_longread/accuracy_sim.
+            options.pileup_options.channels = tuple(channels)
         if mode == "training":
             options.truth_variants_filename = TRUTH_VCF
             options.confident_regions_filename = CONFIDENT_BED
@@ -250,7 +255,16 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         "(converged) epoch or tune-best (noisy at "
                         "this tune-set size)")
     p.add_argument("--out_json", default="")
+    p.add_argument("--extra_channels", default="",
+                   help="comma-separated channel enums appended to "
+                        "the ONT_R104 preset for BOTH training and "
+                        "calling (e.g. the homopolymer family)")
     args = p.parse_args(argv)
+    from deepvariant_tpu.scripts.accuracy_longread import (
+        resolve_channels,
+    )
+
+    channels = resolve_channels("ont", args.extra_channels)
     result = run_cross_eval(
         args.workdir,
         n_folds=args.n_folds,
@@ -258,7 +272,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         num_epochs=args.num_epochs,
         learning_rate=args.learning_rate,
         select=args.select,
+        channels=channels,
     )
+    if channels:
+        result["channels_override"] = list(channels)
     if args.out_json:
         with open(args.out_json, "w") as f:
             json.dump(result, f, indent=2)
